@@ -1,0 +1,321 @@
+"""Index schema: property → index type + parameters, with point validation.
+
+Parity reference: models/index.go (IndexSchema, IndexSchemaValue, per-type
+parameter structs, CheckCompatibleMap with nested-property support and type
+coercion).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from semadb_tpu.models import constants as C
+from semadb_tpu.models.errors import ValidationError
+from semadb_tpu.models.quantizer import Quantizer
+
+
+def _check_metric(metric: str, vector_size: int) -> None:
+    if metric not in C.DISTANCE_METRICS:
+        raise ValidationError(f"unknown distance metric {metric}")
+    if metric == C.DISTANCE_HAVERSINE and vector_size != 2:
+        raise ValidationError(
+            f"haversine distance metric requires vector size 2 got {vector_size}"
+        )
+
+
+@dataclass
+class VectorFlatParams:
+    """Reference: models/index.go IndexVectorFlatParameters."""
+
+    vector_size: int
+    distance_metric: str
+    quantizer: Optional[Quantizer] = None
+
+    def validate(self) -> None:
+        if not (1 <= self.vector_size <= 4096):
+            raise ValidationError(
+                f"vector size must be between 1 and 4096, got {self.vector_size}"
+            )
+        _check_metric(self.distance_metric, self.vector_size)
+        if self.quantizer is not None:
+            self.quantizer.validate()
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "VectorFlatParams":
+        return cls(
+            vector_size=int(d["vectorSize"]),
+            distance_metric=d["distanceMetric"],
+            quantizer=Quantizer.from_dict(d.get("quantizer")),
+        )
+
+    def to_dict(self) -> dict:
+        out: dict = {"vectorSize": self.vector_size, "distanceMetric": self.distance_metric}
+        if self.quantizer is not None:
+            out["quantizer"] = self.quantizer.to_dict()
+        return out
+
+
+@dataclass
+class VectorVamanaParams:
+    """Reference: models/index.go IndexVectorVamanaParameters.
+
+    Defaults are the reference's v1 pipeline values (httpapi/v1/handlers.go:102-105).
+    """
+
+    vector_size: int
+    distance_metric: str
+    search_size: int = 75
+    degree_bound: int = 64
+    alpha: float = 1.2
+    quantizer: Optional[Quantizer] = None
+
+    def validate(self) -> None:
+        if not (1 <= self.vector_size <= 4096):
+            raise ValidationError(
+                f"vector size must be between 1 and 4096, got {self.vector_size}"
+            )
+        _check_metric(self.distance_metric, self.vector_size)
+        if not (25 <= self.search_size <= 75):
+            raise ValidationError(
+                f"search size must be between 25 and 75, got {self.search_size}"
+            )
+        if not (32 <= self.degree_bound <= 64):
+            raise ValidationError(
+                f"degree bound must be between 32 and 64, got {self.degree_bound}"
+            )
+        if not (1.1 <= self.alpha <= 1.5):
+            raise ValidationError(f"alpha must be between 1.1 and 1.5, got {self.alpha}")
+        if self.quantizer is not None:
+            self.quantizer.validate()
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "VectorVamanaParams":
+        return cls(
+            vector_size=int(d["vectorSize"]),
+            distance_metric=d["distanceMetric"],
+            search_size=int(d.get("searchSize", 75)),
+            degree_bound=int(d.get("degreeBound", 64)),
+            alpha=float(d.get("alpha", 1.2)),
+            quantizer=Quantizer.from_dict(d.get("quantizer")),
+        )
+
+    def to_dict(self) -> dict:
+        out: dict = {
+            "vectorSize": self.vector_size,
+            "distanceMetric": self.distance_metric,
+            "searchSize": self.search_size,
+            "degreeBound": self.degree_bound,
+            "alpha": self.alpha,
+        }
+        if self.quantizer is not None:
+            out["quantizer"] = self.quantizer.to_dict()
+        return out
+
+
+@dataclass
+class TextParams:
+    """Reference: models/index.go IndexTextParameters."""
+
+    analyser: str = "standard"
+
+    def validate(self) -> None:
+        if self.analyser != "standard":
+            raise ValidationError(f"unknown analyser {self.analyser}")
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TextParams":
+        return cls(analyser=d.get("analyser", "standard"))
+
+    def to_dict(self) -> dict:
+        return {"analyser": self.analyser}
+
+
+@dataclass
+class StringParams:
+    """Reference: models/index.go IndexStringParameters."""
+
+    case_sensitive: bool = False
+
+    def validate(self) -> None:  # nothing to check (reference parity)
+        pass
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "StringParams":
+        return cls(case_sensitive=bool(d.get("caseSensitive", False)))
+
+    def to_dict(self) -> dict:
+        return {"caseSensitive": self.case_sensitive}
+
+
+@dataclass
+class IndexSchemaValue:
+    """One property's index declaration (models/index.go IndexSchemaValue)."""
+
+    type: str
+    vector_flat: Optional[VectorFlatParams] = None
+    vector_vamana: Optional[VectorVamanaParams] = None
+    text: Optional[TextParams] = None
+    string: Optional[StringParams] = None
+    string_array: Optional[StringParams] = None
+
+    def validate(self) -> None:
+        if self.type not in C.INDEX_TYPES:
+            raise ValidationError(f"unknown index type {self.type}")
+        required = {
+            C.INDEX_TYPE_VECTOR_FLAT: ("vectorFlat", self.vector_flat),
+            C.INDEX_TYPE_VECTOR_VAMANA: ("vectorVamana", self.vector_vamana),
+            C.INDEX_TYPE_TEXT: ("text", self.text),
+            C.INDEX_TYPE_STRING: ("string", self.string),
+            C.INDEX_TYPE_STRING_ARRAY: ("stringArray", self.string_array),
+        }
+        if self.type in required:
+            name, params = required[self.type]
+            if params is None:
+                raise ValidationError(f"{name} parameters not provided for type {self.type}")
+            params.validate()
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexSchemaValue":
+        return cls(
+            type=d["type"],
+            vector_flat=VectorFlatParams.from_dict(d["vectorFlat"]) if d.get("vectorFlat") else None,
+            vector_vamana=(
+                VectorVamanaParams.from_dict(d["vectorVamana"]) if d.get("vectorVamana") else None
+            ),
+            text=TextParams.from_dict(d["text"]) if d.get("text") else None,
+            string=StringParams.from_dict(d["string"]) if d.get("string") else None,
+            string_array=StringParams.from_dict(d["stringArray"]) if d.get("stringArray") else None,
+        )
+
+    def to_dict(self) -> dict:
+        out: dict = {"type": self.type}
+        if self.vector_flat is not None:
+            out["vectorFlat"] = self.vector_flat.to_dict()
+        if self.vector_vamana is not None:
+            out["vectorVamana"] = self.vector_vamana.to_dict()
+        if self.text is not None:
+            out["text"] = self.text.to_dict()
+        if self.string is not None:
+            out["string"] = self.string.to_dict()
+        if self.string_array is not None:
+            out["stringArray"] = self.string_array.to_dict()
+        return out
+
+
+def _convert_to_vector(v) -> list:
+    """Coerce arbitrary JSON values into a float32 list (models/index.go:78-106)."""
+    if isinstance(v, np.ndarray):
+        if v.ndim != 1:
+            raise ValidationError(f"expected 1-d vector array, got shape {v.shape}")
+        return [float(x) for x in v.astype(np.float32)]
+    if isinstance(v, (list, tuple)):
+        out = []
+        for f in v:
+            if isinstance(f, bool) or not isinstance(f, (int, float, np.floating, np.integer)):
+                raise ValidationError(f"expected float, got {type(f).__name__}")
+            out.append(float(f))
+        return out
+    raise ValidationError(f"expected vector array, got {type(v).__name__}")
+
+
+@dataclass
+class IndexSchema:
+    """Collection index schema: property name → IndexSchemaValue.
+
+    Supports nested properties with dot notation ``a.b.c``
+    (models/index.go CheckCompatibleMap).
+    """
+
+    properties: dict = field(default_factory=dict)  # str -> IndexSchemaValue
+
+    def validate(self) -> None:
+        for v in self.properties.values():
+            v.validate()
+
+    def get(self, prop: str) -> Optional[IndexSchemaValue]:
+        return self.properties.get(prop)
+
+    def __contains__(self, prop: str) -> bool:
+        return prop in self.properties
+
+    def items(self):
+        return self.properties.items()
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexSchema":
+        return cls(properties={k: IndexSchemaValue.from_dict(v) for k, v in d.items()})
+
+    def to_dict(self) -> dict:
+        return {k: v.to_dict() for k, v in self.properties.items()}
+
+    def check_compatible_map(self, point_map: dict) -> None:
+        """Validate + coerce a user point map in place.
+
+        Mirrors models/index.go CheckCompatibleMap: absent properties are
+        skipped; present properties are type-checked and coerced (vectors to
+        float lists, ints to int, floats to float, string arrays to lists of
+        str) so downstream index code can rely on types.
+        """
+        for prop, schema in self.properties.items():
+            parts = prop.split(".")
+            m = point_map
+            skip = False
+            for i, part in enumerate(parts[:-1]):
+                nxt = m.get(part) if isinstance(m, dict) else None
+                if nxt is None:
+                    skip = True
+                    break
+                if not isinstance(nxt, dict):
+                    raise ValidationError(
+                        f"expected nested map for property {part}, got {type(nxt).__name__}"
+                    )
+                m = nxt
+            if skip or not isinstance(m, dict) or parts[-1] not in m:
+                continue
+            k = parts[-1]
+            v = m[k]
+            t = schema.type
+            if t in (C.INDEX_TYPE_VECTOR_FLAT, C.INDEX_TYPE_VECTOR_VAMANA):
+                try:
+                    vec = _convert_to_vector(v)
+                except ValidationError as e:
+                    raise ValidationError(f"expected a vector for property {k}: {e}") from e
+                params = schema.vector_flat if t == C.INDEX_TYPE_VECTOR_FLAT else schema.vector_vamana
+                if len(vec) != params.vector_size:
+                    raise ValidationError(
+                        f"expected vector of size {params.vector_size} for property {k},"
+                        f" got {len(vec)}"
+                    )
+                m[k] = vec
+            elif t in (C.INDEX_TYPE_TEXT, C.INDEX_TYPE_STRING):
+                if not isinstance(v, str):
+                    raise ValidationError(
+                        f"expected string for property {k}, got {type(v).__name__}"
+                    )
+            elif t == C.INDEX_TYPE_INTEGER:
+                if isinstance(v, bool):
+                    raise ValidationError(f"expected integer number for property {k}, got bool")
+                if isinstance(v, (int, np.integer)):
+                    m[k] = int(v)
+                elif isinstance(v, (float, np.floating)):
+                    # JSON decodes numbers as float; coerce like the reference
+                    m[k] = int(v)
+                else:
+                    raise ValidationError(
+                        f"expected integer number for property {k}, got {type(v).__name__}"
+                    )
+            elif t == C.INDEX_TYPE_FLOAT:
+                if isinstance(v, bool) or not isinstance(v, (int, float, np.floating, np.integer)):
+                    raise ValidationError(
+                        f"expected floating point number for property {k}, got {type(v).__name__}"
+                    )
+                m[k] = float(v)
+            elif t == C.INDEX_TYPE_STRING_ARRAY:
+                if not isinstance(v, (list, tuple)) or any(not isinstance(s, str) for s in v):
+                    raise ValidationError(
+                        f"expected string array for property {k}, got {type(v).__name__}"
+                    )
+                m[k] = list(v)

@@ -1,0 +1,186 @@
+"""Vamana (DiskANN-style) graph ANN index, device-resident.
+
+Host wrapper over the functional kernels in graph/search/build. Parity
+surface mirrors shard/index/vamana/vamana.go: InsertUpdateDelete over
+(id, vector|None) changes, Search with options + optional filter,
+persistence via array snapshots.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from semadb_tpu.index.vamana import build, graph, search as search_mod
+from semadb_tpu.index.vamana.build import delete_batch, insert_batch, robust_prune_batch  # noqa: F401
+from semadb_tpu.index.vamana.graph import (  # noqa: F401
+    NIL,
+    START_ID,
+    GraphConfig,
+    GraphState,
+    grow_graph,
+    init_graph,
+    required_capacity,
+)
+from semadb_tpu.index.vamana.search import (  # noqa: F401
+    beam_search,
+    exact_search,
+    search,
+    search_filtered,
+)
+from semadb_tpu.models import constants as C
+from semadb_tpu.models.schema import VectorVamanaParams
+
+# Insert chunk size: large enough to fill the MXU, small enough that the
+# parallel-batch approximation of sequential insertion stays benign.
+INSERT_CHUNK = 512
+
+
+class IndexVamana:
+    """Stateful host handle on a device-resident Vamana graph.
+
+    Reference: shard/index/vamana/vamana.go IndexVamana. Quantized search
+    (binary/product) plugs in through the vectorstore layer.
+    """
+
+    def __init__(self, params: VectorVamanaParams, capacity: int = graph.MIN_CAPACITY):
+        self.params = params
+        self.config = GraphConfig(
+            dim=params.vector_size,
+            metric=params.distance_metric,
+            degree_bound=params.degree_bound,
+            search_size=params.search_size,
+            alpha=params.alpha,
+        )
+        self.state = init_graph(self.config, capacity)
+
+    # -- persistence -------------------------------------------------------
+    def to_arrays(self) -> dict:
+        return {
+            "vectors": np.asarray(self.state.vectors),
+            "adjacency": np.asarray(self.state.adjacency),
+            "exists": np.asarray(self.state.exists),
+        }
+
+    @classmethod
+    def from_arrays(cls, params: VectorVamanaParams, arrays: dict) -> "IndexVamana":
+        idx = cls(params, capacity=arrays["vectors"].shape[0])
+        idx.state = GraphState(
+            vectors=jnp.asarray(arrays["vectors"]),
+            adjacency=jnp.asarray(arrays["adjacency"]),
+            exists=jnp.asarray(arrays["exists"]),
+        )
+        return idx
+
+    # -- introspection -----------------------------------------------------
+    def __len__(self) -> int:
+        return int(graph.live_count(self.state))
+
+    def exists_id(self, node_id: int) -> bool:
+        if not (0 <= node_id < self.state.capacity):
+            return False
+        return bool(self.state.exists[node_id]) and node_id != START_ID
+
+    def _ensure_capacity(self, max_id: int) -> None:
+        if max_id >= self.state.capacity:
+            self.state = grow_graph(self.state, required_capacity(max_id))
+
+    # -- writes ------------------------------------------------------------
+    def insert_update_delete(
+        self, changes: Iterable[Tuple[int, Optional[np.ndarray]]]
+    ) -> None:
+        """Apply (id, vector|None) changes.
+
+        Semantics parity with vamana.go insertUpdateDelete:
+          - unknown id + vector  → insert
+          - known id + vector    → update (remove inbound edges, re-insert)
+          - known id + None      → delete
+          - unknown id + None    → skip
+        Updates/deletes repair the graph before re-insertion so updated
+        points get fresh neighbourhoods.
+        """
+        inserts: list[tuple[int, np.ndarray]] = []
+        updates: list[tuple[int, np.ndarray]] = []
+        deletes: list[int] = []
+        max_id = 0
+        for node_id, vec in changes:
+            if node_id in (0, START_ID):
+                raise ValueError(f"cannot modify point with reserved id: {node_id}")
+            max_id = max(max_id, node_id)
+            known = self.exists_id(node_id)
+            if not known and vec is None:
+                continue
+            if not known:
+                inserts.append((node_id, vec))
+            elif vec is not None:
+                updates.append((node_id, vec))
+            else:
+                deletes.append(node_id)
+        self._ensure_capacity(max_id)
+
+        if inserts:
+            self._insert_chunked(inserts)
+        # Updates re-insert with fresh neighbourhoods: treat as delete+insert
+        # (vamana.go:150-170, 236-253 — inbound edges removed via the same
+        # scan as deletes, then re-inserted).
+        if updates or deletes:
+            repair_ids = np.array([i for i, _ in updates] + deletes, dtype=np.int32)
+            self.state = delete_batch(self.state, repair_ids, self.config)
+        if updates:
+            self._insert_chunked(updates)
+
+    def _insert_chunked(self, items: Sequence[Tuple[int, np.ndarray]]) -> None:
+        """Insert in growing rounds.
+
+        The sequential reference lets every insert see all prior points; a
+        parallel batch sees only the pre-batch graph. Keeping each batch no
+        larger than the current graph (doubling rounds, capped at
+        INSERT_CHUNK) bounds that approximation — the standard batch-build
+        schedule for Vamana-family indices.
+        """
+        i = 0
+        while i < len(items):
+            live = max(len(self), 32)
+            step = min(INSERT_CHUNK, max(32, live))
+            chunk = items[i : i + step]
+            i += step
+            ids = np.array([c[0] for c in chunk], dtype=np.int32)
+            vecs = np.stack([np.asarray(c[1], dtype=np.float32) for c in chunk])
+            self.state = insert_batch(
+                self.state, ids, vecs, self.config, self.params.search_size
+            )
+
+    # -- reads -------------------------------------------------------------
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        search_size: int = 0,
+        filter_mask: Optional[np.ndarray] = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k ids+distances for a batch of queries.
+
+        Returns (dists f32[B,k], ids i32[B,k]); empty slots are (inf, -1).
+        """
+        search_size = search_size or self.params.search_size
+        search_size = max(search_size, k)
+        q_np = np.atleast_2d(np.asarray(queries, np.float32))
+        B = q_np.shape[0]
+        # Pad the query batch to a power of two so compiled kernels are
+        # reused across batch sizes.
+        Bp = 1
+        while Bp < B:
+            Bp *= 2
+        if Bp != B:
+            q_np = np.concatenate([q_np, np.zeros((Bp - B, q_np.shape[1]), np.float32)])
+        q = jnp.asarray(q_np)
+        if filter_mask is not None:
+            fm = jnp.asarray(filter_mask, bool)
+            if fm.shape[0] < self.state.capacity:
+                fm = jnp.pad(fm, (0, self.state.capacity - fm.shape[0]))
+            d, i = search_filtered(self.state, q, fm, self.config, search_size, k)
+        else:
+            d, i = search_mod.search(self.state, q, self.config, search_size, k)
+        return np.asarray(d)[:B], np.asarray(i)[:B]

@@ -1,0 +1,491 @@
+"""Batched Vamana graph construction, update and delete repair.
+
+Reference algorithm (shard/index/vamana/insert.go, prune.go):
+  - insertSinglePoint: greedy-search the new point (k=1, L=searchSize), use
+    the visited set as robust-prune candidates for the new node's edges,
+    then add bidirectional edges — appending when the neighbour has room,
+    otherwise robust-pruning the neighbour's list with the new point added
+    (insert.go:16-68). Parallelised over NumCPU-1 workers with per-node
+    locks.
+  - robustPrune: take closest remaining candidate, drop later candidates
+    within ``alpha`` detour of it, stop at degreeBound (search.go:106-138).
+  - delete: scan all edges; nodes pointing at deleted nodes re-prune over
+    their own surviving edges plus the deleted neighbours' surviving edges
+    (one level); nodes left with no inbound edges are re-attached to the
+    start node (prune.go:12-154, vamana.go:140-253).
+
+TPU-native reformulation: inserts arrive in batches. All searches run as one
+batched beam-search on the pre-batch graph; all new rows are robust-pruned by
+one vmapped kernel; bidirectional edge backfill becomes a conflict-free
+scatter — each (target, slot) pair is unique by construction (slot = current
+edge count + rank of the inbound edge among same-target entries) — with
+overflowing targets merged-and-pruned in fixed-size chunks. Deviations from
+the sequential reference are documented inline; the correctness invariants
+(degree bound, connectivity via start node, no self/dangling edges) are
+preserved and tested.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semadb_tpu.index.vamana.graph import (
+    NIL,
+    START_ID,
+    GraphConfig,
+    GraphState,
+    edge_counts,
+)
+from semadb_tpu.index.vamana.search import beam_search
+from semadb_tpu.ops.distance import gather_distance
+from semadb_tpu.ops.topk import INF, sort_by_distance
+
+# Chunk sizes for fixed-shape repair kernels (host loops over chunks)
+OVERFLOW_CHUNK = 1024
+DELETE_CHUNK = 256
+# Per-node cap on expanded deleted neighbours during delete repair
+DELETE_EXPAND_MAX = 8
+
+
+def _pairwise_among(vectors: jax.Array, cand_ids: jax.Array, metric: str) -> jax.Array:
+    """Pairwise distances among gathered candidates: ids i32[B, C] → f32[B, C, C]."""
+    cap = vectors.shape[0]
+    cv = vectors[jnp.clip(cand_ids, 0, cap - 1)]  # [B, C, D]
+    if metric == "euclidean":
+        sq = jnp.sum(cv * cv, axis=-1)
+        cross = jnp.einsum(
+            "bcd,bed->bce", cv, cv, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.maximum(sq[:, :, None] - 2.0 * cross + sq[:, None, :], 0.0)
+    cross = jnp.einsum(
+        "bcd,bed->bce", cv, cv, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "cosine":
+        return 1.0 - cross
+    if metric == "dot":
+        return -cross
+    # haversine: elementwise over [B, C, 2] pairs
+    from semadb_tpu.ops.distance import _haversine_pair
+
+    return _haversine_pair(cv[:, :, None, :], cv[:, None, :, :])
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def robust_prune_batch(
+    cand_d: jax.Array,  # f32[B, C] sorted ascending
+    cand_i: jax.Array,  # i32[B, C]
+    cand_pd: jax.Array,  # f32[B, C, C] pairwise among candidates
+    self_ids: jax.Array,  # i32[B]
+    config: GraphConfig,
+) -> jax.Array:
+    """Vectorised robustPrune (search.go:106-138) over a batch of nodes.
+
+    Returns new adjacency rows i32[B, R]. Candidates must be sorted by
+    distance to the owning node; NIL/INF slots are ignored.
+    """
+    B, C = cand_i.shape
+    R = config.degree_bound
+    alpha = jnp.float32(config.alpha)
+    jidx = jnp.arange(C)
+
+    def body(i, carry):
+        removed, count, adj = carry
+        cid = cand_i[:, i]
+        sel = (
+            ~removed[:, i]
+            & (cid != NIL)
+            & (cid != self_ids)
+            & (count < R)
+            & jnp.isfinite(cand_d[:, i])
+        )
+        slot = jax.nn.one_hot(count, R, dtype=bool) & sel[:, None]
+        adj = jnp.where(slot, cid[:, None], adj)
+        count = count + sel.astype(jnp.int32)
+        # alpha-detour prune of later candidates
+        removed = removed | (
+            sel[:, None] & (alpha * cand_pd[:, i, :] < cand_d) & (jidx[None, :] > i)
+        )
+        return removed, count, adj
+
+    removed0 = jnp.zeros((B, C), dtype=bool)
+    adj0 = jnp.full((B, R), NIL, jnp.int32)
+    _, _, adj = jax.lax.fori_loop(0, C, body, (removed0, jnp.zeros(B, jnp.int32), adj0))
+    return adj
+
+
+@functools.partial(jax.jit, static_argnames=("config", "search_size", "intra_k"))
+def _insert_core(
+    state: GraphState,
+    new_ids: jax.Array,  # i32[B]
+    new_vecs: jax.Array,  # f32[B, D]
+    valid: jax.Array,  # bool[B] (padding rows are False)
+    config: GraphConfig,
+    search_size: int,
+    intra_k: int,
+):
+    """Search + prune new rows + phase-A backedge scatter.
+
+    Returns (state', flat_targets i32[E], flat_sources i32[E], inbound_rank
+    i32[E]) for the host-driven overflow phase.
+    """
+    cap = state.capacity
+    B = new_ids.shape[0]
+    R = config.degree_bound
+    safe_ids = jnp.where(valid, new_ids, 0)
+
+    # 1. Write vectors; mark existence. New nodes have no inbound edges yet
+    #    so searches cannot reach them (mirrors insert.go:35-37 note).
+    vectors = state.vectors.at[safe_ids].set(
+        jnp.where(valid[:, None], new_vecs, state.vectors[safe_ids])
+    )
+    exists = state.exists.at[safe_ids].set(valid | state.exists[safe_ids])
+    state = GraphState(vectors=vectors, adjacency=state.adjacency, exists=exists)
+
+    # 2. Batched greedy search on the pre-batch graph → visited candidate sets
+    res = beam_search(state, new_vecs, config, search_size)
+    cand_d, cand_i = res.visited_dists, res.visited_ids  # [B, V] sorted
+
+    # 3. Intra-batch candidates: the sequential reference lets later inserts
+    #    see earlier ones; in a parallel batch we approximate that by adding
+    #    each point's nearest in-batch peers to its candidate pool.
+    if intra_k > 0:
+        from semadb_tpu.ops.distance import pairwise_distance
+
+        bb = pairwise_distance(new_vecs, new_vecs, config.metric)  # [B, B]
+        eye = jnp.eye(B, dtype=bool)
+        bb = jnp.where(eye | ~valid[None, :] | ~valid[:, None], INF, bb)
+        nb_d, nb_j = jax.lax.top_k(-bb, min(intra_k, B))
+        nb_d = -nb_d
+        nb_i = jnp.where(jnp.isfinite(nb_d), safe_ids[nb_j], NIL)
+        cand_d = jnp.concatenate([cand_d, nb_d], axis=-1)
+        cand_i = jnp.concatenate([cand_i, nb_i], axis=-1)
+        cand_d, cand_i = sort_by_distance(cand_d, cand_i)
+
+    # 4. Robust prune → new adjacency rows
+    pd = _pairwise_among(state.vectors, cand_i, config.metric)
+    new_rows = robust_prune_batch(cand_d, cand_i, pd, safe_ids, config)  # [B, R]
+    new_rows = jnp.where(valid[:, None], new_rows, NIL)
+    adjacency = state.adjacency.at[safe_ids].set(
+        jnp.where(valid[:, None], new_rows, state.adjacency[safe_ids])
+    )
+
+    # 5. Backedges, phase A (append when room). Conflict-free scatter: the
+    #    slot for inbound edge e→t is edge_count[t] + rank(e among edges→t).
+    targets = new_rows.reshape(-1)  # [E]
+    sources = jnp.repeat(safe_ids, R)  # [E]
+    tvalid = (targets != NIL) & jnp.repeat(valid, R)
+    tsafe = jnp.where(tvalid, targets, cap - 1)
+
+    E = targets.shape[0]
+    order = jnp.argsort(jnp.where(tvalid, targets, jnp.int32(2**30)))
+    st = targets[order]
+    seg_new = jnp.concatenate([jnp.array([True]), st[1:] != st[:-1]])
+    seg_start = jnp.where(seg_new, jnp.arange(E), 0)
+    seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
+    rank_sorted = jnp.arange(E) - seg_start
+    rank = jnp.zeros(E, jnp.int32).at[order].set(rank_sorted.astype(jnp.int32))
+
+    # Skip backedges whose source is already in the target's row — happens
+    # for intra-batch pairs where the prune already created the edge both
+    # ways (the sequential reference can't hit this: backedge targets are
+    # always pre-existing nodes).
+    dup_edge = jnp.any(adjacency[tsafe] == sources[:, None], axis=-1)
+    counts = edge_counts(adjacency)  # [cap]
+    slot = counts[tsafe] + rank
+    fits = tvalid & ~dup_edge & (slot < R)
+    # Route non-appending writes out of bounds → dropped by scatter
+    t_idx = jnp.where(fits, targets, cap)
+    adjacency = adjacency.at[t_idx, jnp.where(fits, slot, 0)].set(
+        sources, mode="drop"
+    )
+
+    state = GraphState(vectors=state.vectors, adjacency=adjacency, exists=state.exists)
+    return state, targets, sources, tvalid & ~dup_edge & ~fits
+
+
+@functools.partial(jax.jit, static_argnames=("config", "chunk", "k_in"))
+def _overflow_chunk(
+    state: GraphState,
+    targets: jax.Array,  # i32[E] backedge targets
+    sources: jax.Array,  # i32[E]
+    pending: jax.Array,  # bool[E] — backedges not yet applied
+    config: GraphConfig,
+    chunk: int,
+    k_in: int,
+):
+    """Merge-and-prune one chunk of overflowing backedge targets.
+
+    For each selected target t: candidates = t's current edges ∪ pending
+    inbound sources for t; if the merged count fits the degree bound the
+    result is a plain append, otherwise robustPrune — matching
+    insert.go:44-63.
+    """
+    cap = state.capacity
+    R = config.degree_bound
+
+    # Select up to `chunk` distinct pending targets (ascending id)
+    t_mask = jnp.zeros(cap + 1, bool).at[jnp.where(pending, targets, cap)].set(
+        True, mode="drop"
+    )[:cap]
+    score = jnp.where(t_mask, -jnp.arange(cap, dtype=jnp.float32), -jnp.inf)
+    _, sel_t = jax.lax.top_k(score, chunk)
+    sel_valid = t_mask[sel_t]
+    sel_t = jnp.where(sel_valid, sel_t.astype(jnp.int32), NIL)
+    sel_safe = jnp.where(sel_valid, sel_t, 0)
+
+    # Gather pending inbound sources per selected target (up to k_in each)
+    hit = (targets[None, :] == sel_t[:, None]) & pending[None, :]  # [chunk, E]
+    # rank of each hit within its row
+    hrank = jnp.cumsum(hit, axis=-1) - 1
+    inb = jnp.full((chunk, k_in), NIL, jnp.int32)
+    col = jnp.where(hit & (hrank < k_in), hrank, k_in)
+    inb = inb.at[
+        jnp.broadcast_to(jnp.arange(chunk)[:, None], hit.shape), col
+    ].max(jnp.where(hit, sources[None, :], NIL), mode="drop")
+    applied = hit & (hrank < k_in)
+
+    # Candidate pool: existing edges + inbound
+    own = state.adjacency[sel_safe]  # [chunk, R]
+    cand = jnp.concatenate([own, inb], axis=-1)  # [chunk, R+k_in]
+    cvalid = cand != NIL
+    tvec = state.vectors[sel_safe]  # [chunk, D]
+    cd = gather_distance(state.vectors, jnp.clip(cand, 0, cap - 1), tvec, config.metric)
+    cd = jnp.where(cvalid, cd, INF)
+    ci = jnp.where(cvalid, cand, NIL)
+    # Dedup: an inbound source can already sit in the target's row (partial
+    # phase-A append) and duplicate edges must never form.
+    from semadb_tpu.ops.topk import dedup_by_id
+
+    cd, ci = dedup_by_id(cd, ci)
+    cd, ci = sort_by_distance(cd, ci)
+
+    n_cand = jnp.sum(ci != NIL, axis=-1)
+    pd = _pairwise_among(state.vectors, ci, config.metric)
+    pruned = robust_prune_batch(cd, ci, pd, sel_safe, config)  # [chunk, R]
+    # Plain append when the pool fits (insert.go:58-62): the sorted pool's
+    # first R entries ARE the appended list in that case.
+    appended = jnp.where(jnp.arange(R + k_in)[None, :] < R, ci, NIL)[:, :R]
+    new_rows = jnp.where((n_cand <= R)[:, None], appended, pruned)
+
+    t_idx = jnp.where(sel_valid, sel_t, cap)
+    adjacency = state.adjacency.at[t_idx].set(new_rows, mode="drop")
+    # Clear the pending flags we just applied
+    pending = pending & ~jnp.any(applied, axis=0)
+    state = GraphState(vectors=state.vectors, adjacency=adjacency, exists=state.exists)
+    return state, pending
+
+
+def _next_pow2(n: int, lo: int = 32) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def insert_batch(
+    state: GraphState,
+    new_ids: np.ndarray,
+    new_vecs: np.ndarray,
+    config: GraphConfig,
+    search_size: int = 0,
+    intra_k: int = 8,
+) -> GraphState:
+    """Insert a batch of points (host orchestration of jitted kernels).
+
+    ``new_ids`` i32[B] must be unique, != 0/1, within capacity. The batch is
+    padded to a power-of-two size so kernel shapes (and hence XLA
+    compilations) are reused across calls.
+    """
+    search_size = search_size or config.search_size
+    B = int(new_ids.shape[0])
+    if B == 0:
+        return state
+    Bp = _next_pow2(B)
+    ids = np.zeros(Bp, np.int32)
+    ids[:B] = new_ids
+    vecs = np.zeros((Bp, new_vecs.shape[1]), np.float32)
+    vecs[:B] = new_vecs
+    valid = np.zeros(Bp, bool)
+    valid[:B] = True
+    state, targets, sources, pending = _insert_core(
+        state,
+        jnp.asarray(ids),
+        jnp.asarray(vecs),
+        jnp.asarray(valid),
+        config,
+        search_size,
+        intra_k,
+    )
+    # Host loop: resolve overflowing backedge targets chunk by chunk
+    chunk = min(OVERFLOW_CHUNK, state.capacity)
+    while bool(jnp.any(pending)):
+        state, pending = _overflow_chunk(
+            state, targets, sources, pending, config, chunk, config.degree_bound
+        )
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Delete path
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config", "chunk", "expand_max"))
+def _delete_repair_chunk(
+    state: GraphState,
+    del_mask: jax.Array,  # bool[cap]
+    processed: jax.Array,  # bool[cap] — repaired already
+    config: GraphConfig,
+    chunk: int,
+    expand_max: int,
+):
+    """Repair one chunk of nodes that point at deleted nodes.
+
+    pruneDeleteNeighbour semantics (prune.go:12-95): candidates = own
+    surviving edges ∪ surviving edges of deleted neighbours (one level);
+    append when within bound else robustPrune. Deviation: at most
+    ``expand_max`` deleted neighbours are expanded per node and the merged
+    pool is clipped to the nearest 2R candidates before pruning (bounded
+    shapes); both caps exceed typical counts by a wide margin.
+    """
+    cap = state.capacity
+    R = config.degree_bound
+    adj = state.adjacency
+    safe_adj = jnp.clip(adj, 0, cap - 1)
+    edge_del = (adj != NIL) & del_mask[safe_adj]
+    needs = state.exists & ~del_mask & jnp.any(edge_del, axis=-1) & ~processed
+
+    score = jnp.where(needs, -jnp.arange(cap, dtype=jnp.float32), -jnp.inf)
+    _, sel = jax.lax.top_k(score, chunk)
+    sel_valid = needs[sel]
+    sel = jnp.where(sel_valid, sel.astype(jnp.int32), NIL)
+    sel_safe = jnp.where(sel_valid, sel, 0)
+
+    own = adj[sel_safe]  # [chunk, R]
+    own_del = (own != NIL) & del_mask[jnp.clip(own, 0, cap - 1)]
+    keep = jnp.where((own != NIL) & ~own_del, own, NIL)
+
+    # Expand up to expand_max deleted neighbours
+    del_rank = jnp.cumsum(own_del, axis=-1) - 1
+    exp_ids = jnp.full((chunk, expand_max), NIL, jnp.int32)
+    col = jnp.where(own_del & (del_rank < expand_max), del_rank, expand_max)
+    exp_ids = exp_ids.at[
+        jnp.broadcast_to(jnp.arange(chunk)[:, None], own.shape), col
+    ].max(jnp.where(own_del, own, NIL), mode="drop")
+    exp_adj = adj[jnp.clip(exp_ids, 0, cap - 1)]  # [chunk, expand_max, R]
+    exp_ok = (
+        (exp_ids != NIL)[:, :, None]
+        & (exp_adj != NIL)
+        & ~del_mask[jnp.clip(exp_adj, 0, cap - 1)]
+    )
+    exp_flat = jnp.where(exp_ok, exp_adj, NIL).reshape(chunk, expand_max * R)
+
+    cand = jnp.concatenate([keep, exp_flat], axis=-1)
+    # Drop self references (a deleted node may have pointed back at us)
+    cand = jnp.where(cand == sel_safe[:, None], NIL, cand)
+    tvec = state.vectors[sel_safe]
+    cd = gather_distance(state.vectors, jnp.clip(cand, 0, cap - 1), tvec, config.metric)
+    cd = jnp.where(cand != NIL, cd, INF)
+    cd, ci = sort_by_distance(cd, cand)
+    # Dedup (same candidate can arrive via multiple deleted neighbours)
+    from semadb_tpu.ops.topk import dedup_by_id
+
+    cd, ci = dedup_by_id(cd, ci)
+    cd, ci = sort_by_distance(cd, ci)
+    cd, ci = cd[:, : 2 * R], ci[:, : 2 * R]
+
+    n_cand = jnp.sum(ci != NIL, axis=-1)
+    pd = _pairwise_among(state.vectors, ci, config.metric)
+    pruned = robust_prune_batch(cd, ci, pd, sel_safe, config)
+    appended = ci[:, :R]
+    new_rows = jnp.where((n_cand <= R)[:, None], appended, pruned)
+
+    t_idx = jnp.where(sel_valid, sel, cap)
+    adjacency = adj.at[t_idx].set(new_rows, mode="drop")
+    processed = processed.at[jnp.where(sel_valid, sel, cap)].set(True, mode="drop")
+    state = GraphState(vectors=state.vectors, adjacency=adjacency, exists=state.exists)
+    remaining = jnp.sum(
+        state.exists
+        & ~del_mask
+        & jnp.any(
+            (adjacency != NIL) & del_mask[jnp.clip(adjacency, 0, cap - 1)], axis=-1
+        )
+        & ~processed
+    )
+    return state, processed, remaining
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _delete_finalize(state: GraphState, del_mask: jax.Array, config: GraphConfig):
+    """Clear deleted rows, then rescue disconnected stragglers by attaching
+    them to the start node (vamana.go:205-253 toSave semantics)."""
+    cap = state.capacity
+    R = config.degree_bound
+    exists = state.exists & ~del_mask
+    adjacency = jnp.where(del_mask[:, None], NIL, state.adjacency)
+
+    # has_inbound via scatter of all remaining edges
+    safe = jnp.where(
+        (adjacency != NIL) & exists[:, None], adjacency, cap
+    )
+    has_inbound = (
+        jnp.zeros(cap + 1, bool).at[safe.reshape(-1)].set(True, mode="drop")[:cap]
+    )
+    ids = jnp.arange(cap, dtype=jnp.int32)
+    to_save = exists & ~has_inbound & (ids != START_ID)
+
+    # Append stragglers to the start row (prune only if overflowing; the
+    # reference appends unconditionally, but rows are fixed-degree here)
+    start_row = adjacency[START_ID]
+    n_start = jnp.sum(start_row != NIL)
+    save_score = jnp.where(to_save, -ids.astype(jnp.float32), -jnp.inf)
+    _, save_ids = jax.lax.top_k(save_score, R)
+    save_valid = to_save[save_ids]
+    save_ids = jnp.where(save_valid, save_ids.astype(jnp.int32), NIL)
+    already = jnp.any(save_ids[:, None] == start_row[None, :], axis=-1)
+    save_ids = jnp.where(already, NIL, save_ids)
+    pool = jnp.concatenate([start_row, save_ids])  # [2R]
+    svec = state.vectors[START_ID][None, :]
+    pd_ = gather_distance(
+        state.vectors, jnp.clip(pool, 0, cap - 1)[None, :], svec, config.metric
+    )[0]
+    pd_ = jnp.where(pool != NIL, pd_, INF)
+    pd_, pool = sort_by_distance(pd_, pool)
+    n_pool = jnp.sum(pool != NIL)
+    pruned = robust_prune_batch(
+        pd_[None, :],
+        pool[None, :],
+        _pairwise_among(state.vectors, pool[None, :], config.metric),
+        jnp.array([START_ID], jnp.int32),
+        config,
+    )[0]
+    new_start = jnp.where(n_pool <= R, pool[:R], pruned)
+    adjacency = adjacency.at[START_ID].set(new_start)
+    del n_start
+    return GraphState(vectors=state.vectors, adjacency=adjacency, exists=exists)
+
+
+def delete_batch(
+    state: GraphState, del_ids: np.ndarray, config: GraphConfig
+) -> GraphState:
+    """Delete points and repair the graph (host orchestration)."""
+    if len(del_ids) == 0:
+        return state
+    cap = state.capacity
+    del_ids = jnp.asarray(del_ids, jnp.int32)
+    del_mask = jnp.zeros(cap, bool).at[del_ids].set(True)
+    processed = jnp.zeros(cap, bool)
+    chunk = min(DELETE_CHUNK, cap)
+    remaining = 1
+    while remaining:
+        state, processed, rem = _delete_repair_chunk(
+            state, del_mask, processed, config, chunk, DELETE_EXPAND_MAX
+        )
+        remaining = int(rem)
+    return _delete_finalize(state, del_mask, config)

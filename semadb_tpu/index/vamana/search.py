@@ -1,0 +1,246 @@
+"""Batched greedy beam search over the device-resident Vamana graph.
+
+The reference's greedySearch (shard/index/vamana/search.go:9-102) walks one
+query at a time: a sorted candidate array of ``searchSize`` entries, repeatedly
+expanding the closest unvisited entry, adding its neighbours, with a bitset
+deduplicating everything ever added (distset.go:120-238). Distances bottom out
+in AVX2 assembly one pair at a time.
+
+Here the whole procedure is batched over B queries under one ``lax.while_loop``:
+
+  - the candidate list is a sorted (distance, id, expanded) tile ``[B, L]``
+  - each hop expands the best unexpanded candidate of every query at once
+  - neighbour gathering is one ``adjacency[cur]`` gather; distances are one
+    batched contraction on the MXU/VPU (ops.distance.gather_distance)
+  - the list merge is a static-shape sort of ``[B, L+R]`` tiles
+  - expanded nodes are appended to a visited ring ``[B, V]`` (the reference's
+    visitedSet, used as robust-prune candidates during insertion)
+
+Dedup deviation from the reference: instead of a per-query bitset over all
+node ids (memory-prohibitive at B×cap), membership is checked against the
+current candidate list plus the visited ring. An un-expanded candidate that
+was evicted may therefore be re-admitted later — benign: it competes by
+distance exactly as before. Expanded nodes are never re-expanded.
+
+Filtered search follows search.go:27-51 exactly: seed with up to
+``searchSize`` filter members, run the normal greedy walk, and admit only
+filter members (seeds + expanded) into the result set.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from semadb_tpu.index.vamana.graph import NIL, START_ID, GraphConfig, GraphState
+from semadb_tpu.ops.distance import gather_distance, pairwise_distance
+from semadb_tpu.ops.topk import INF, sort_by_distance
+
+
+class BeamResult(NamedTuple):
+    cand_dists: jax.Array  # f32[B, L] sorted candidate list
+    cand_ids: jax.Array  # i32[B, L]
+    visited_dists: jax.Array  # f32[B, V] expanded nodes (sorted at exit)
+    visited_ids: jax.Array  # i32[B, V]
+    hops: jax.Array  # i32 scalar — hops taken (diagnostics)
+
+
+def _merge_sorted(dists, ids, exp, new_d, new_i, L):
+    """Merge new candidates into the sorted list, keep best L.
+
+    Duplicate ids cannot collide because callers mask already-present ids
+    before merging; a plain (distance, id) sort suffices.
+    """
+    md = jnp.concatenate([dists, new_d], axis=-1)
+    mi = jnp.concatenate([ids, new_i], axis=-1)
+    me = jnp.concatenate([exp, jnp.zeros_like(new_i, dtype=bool)], axis=-1)
+    order = jnp.lexsort((mi, md))
+    md = jnp.take_along_axis(md, order, axis=-1)
+    mi = jnp.take_along_axis(mi, order, axis=-1)
+    me = jnp.take_along_axis(me, order, axis=-1)
+    return md[..., :L], mi[..., :L], me[..., :L]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "search_size", "max_hops")
+)
+def beam_search(
+    state: GraphState,
+    queries: jax.Array,
+    config: GraphConfig,
+    search_size: int,
+    max_hops: int = 0,
+    seed_ids: Optional[jax.Array] = None,
+) -> BeamResult:
+    """Batched greedy search. ``queries``: f32[B, D] → BeamResult.
+
+    ``seed_ids``: optional i32[B, S] initial candidates (NIL-padded) used by
+    filtered search; the start node is always added as well
+    (search.go:53-60).
+    """
+    B = queries.shape[0]
+    L = search_size
+    R = config.degree_bound
+    # Visited ring: 2L slots (the reference visitedSet starts at 2L capacity,
+    # distset.go); hop budget 3L — the all-expanded termination normally
+    # fires well before it.
+    V = 2 * L
+    max_hops = max_hops if max_hops > 0 else 3 * L
+    cap = state.capacity
+
+    # --- initial candidate list: start node (+ optional seeds) ---
+    start_d = gather_distance(
+        state.vectors, jnp.full((B, 1), START_ID, jnp.int32), queries, config.metric
+    )  # [B,1]
+    cand_d = jnp.full((B, L), INF, jnp.float32).at[:, 0].set(start_d[:, 0])
+    cand_i = jnp.full((B, L), NIL, jnp.int32).at[:, 0].set(START_ID)
+    cand_e = jnp.zeros((B, L), dtype=bool)
+    if seed_ids is not None:
+        sd = gather_distance(
+            state.vectors, jnp.clip(seed_ids, 0, cap - 1), queries, config.metric
+        )
+        valid_seed = (seed_ids != NIL) & (seed_ids != START_ID)
+        sd = jnp.where(valid_seed, sd, INF)
+        si = jnp.where(valid_seed, seed_ids, NIL)
+        cand_d, cand_i, cand_e = _merge_sorted(cand_d, cand_i, cand_e, sd, si, L)
+
+    vis_d = jnp.full((B, V), INF, jnp.float32)
+    vis_i = jnp.full((B, V), NIL, jnp.int32)
+
+    def not_done(carry):
+        cand_d, cand_i, cand_e, vis_d, vis_i, hop = carry
+        pending = jnp.any((cand_i != NIL) & ~cand_e)
+        return jnp.logical_and(hop < max_hops, pending)
+
+    def step(carry):
+        cand_d, cand_i, cand_e, vis_d, vis_i, hop = carry
+        # Closest unexpanded candidate per query; list is sorted so the first
+        # unexpanded position is the argmax of the boolean mask.
+        unexp = (cand_i != NIL) & ~cand_e
+        has = jnp.any(unexp, axis=-1)  # [B]
+        pos = jnp.argmax(unexp, axis=-1)  # [B]
+        cur = jnp.take_along_axis(cand_i, pos[:, None], axis=-1)[:, 0]  # [B]
+        cur_d = jnp.take_along_axis(cand_d, pos[:, None], axis=-1)[:, 0]
+        # Mark expanded (only where a candidate was available)
+        onehot = jax.nn.one_hot(pos, L, dtype=bool) & has[:, None]
+        cand_e = cand_e | onehot
+
+        # Append to visited ring
+        slot = jnp.mod(hop, V)
+        new_col_i = jnp.where(has, cur, jax.lax.dynamic_slice(vis_i, (0, slot), (B, 1))[:, 0])
+        new_col_d = jnp.where(has, cur_d, jax.lax.dynamic_slice(vis_d, (0, slot), (B, 1))[:, 0])
+        vis_i = jax.lax.dynamic_update_slice(vis_i, new_col_i[:, None], (0, slot))
+        vis_d = jax.lax.dynamic_update_slice(vis_d, new_col_d[:, None], (0, slot))
+
+        # Gather neighbours and their distances
+        nbr = state.adjacency[jnp.clip(cur, 0, cap - 1)]  # [B, R]
+        nbr_ok = (nbr != NIL) & has[:, None]
+        nbr_safe = jnp.clip(nbr, 0, cap - 1)
+        nbr_ok &= state.exists[nbr_safe]
+        # Membership dedup against candidate list + visited ring
+        seen = jnp.concatenate([cand_i, vis_i], axis=-1)  # [B, L+V]
+        dup = jnp.any(nbr[:, :, None] == seen[:, None, :], axis=-1)
+        nbr_ok &= ~dup
+        nd = gather_distance(state.vectors, nbr_safe, queries, config.metric)
+        nd = jnp.where(nbr_ok, nd, INF)
+        ni = jnp.where(nbr_ok, nbr, NIL)
+
+        cand_d, cand_i, cand_e = _merge_sorted(cand_d, cand_i, cand_e, nd, ni, L)
+        return cand_d, cand_i, cand_e, vis_d, vis_i, hop + 1
+
+    cand_d, cand_i, cand_e, vis_d, vis_i, hops = jax.lax.while_loop(
+        not_done, step, (cand_d, cand_i, cand_e, vis_d, vis_i, jnp.int32(0))
+    )
+    vis_d, vis_i = sort_by_distance(vis_d, vis_i)
+    return BeamResult(cand_d, cand_i, vis_d, vis_i, hops)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "search_size", "k", "max_hops"))
+def search(
+    state: GraphState,
+    queries: jax.Array,
+    config: GraphConfig,
+    search_size: int,
+    k: int,
+    max_hops: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Unfiltered top-k search: returns (dists f32[B,k], ids i32[B,k]).
+
+    The start node is excluded from results (vamana.go Search:
+    ``elem.Point.Id() == STARTID → continue``); invalid slots carry
+    (INF, NIL).
+    """
+    res = beam_search(state, queries, config, search_size, max_hops)
+    d = jnp.where(res.cand_ids == START_ID, INF, res.cand_dists)
+    i = jnp.where(res.cand_ids == START_ID, NIL, res.cand_ids)
+    d, i = sort_by_distance(d, i)
+    return d[:, :k], i[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("config", "search_size", "k", "max_hops"))
+def search_filtered(
+    state: GraphState,
+    queries: jax.Array,
+    filter_mask: jax.Array,
+    config: GraphConfig,
+    search_size: int,
+    k: int,
+    max_hops: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Filtered top-k search (search.go:27-51 semantics).
+
+    ``filter_mask``: bool[cap] of admissible node ids. Seeds the walk with
+    the first ``search_size`` filter members (ascending id, mirroring the
+    roaring iterator order), walks the graph normally, and admits only
+    filter members — the seeds plus any expanded node passing the filter —
+    into the result set.
+    """
+    cap = state.capacity
+    mask = filter_mask & state.exists
+    # First `search_size` member ids in ascending id order
+    ids = jnp.arange(cap, dtype=jnp.int32)
+    seed_score = jnp.where(mask, -ids, -jnp.inf)
+    _, seed_ids = jax.lax.top_k(seed_score, search_size)  # smallest ids first
+    seed_ids = jnp.where(
+        jnp.take(mask, seed_ids), seed_ids.astype(jnp.int32), NIL
+    )
+    B = queries.shape[0]
+    seeds = jnp.broadcast_to(seed_ids[None, :], (B, search_size))
+
+    res = beam_search(state, queries, config, search_size, max_hops, seed_ids=seeds)
+
+    # Result pool: seeds ∪ expanded-nodes-passing-filter
+    seed_d = gather_distance(
+        state.vectors, jnp.clip(seeds, 0, cap - 1), queries, config.metric
+    )
+    seed_d = jnp.where(seeds != NIL, seed_d, INF)
+    vis_ok = (
+        (res.visited_ids != NIL)
+        & (res.visited_ids != START_ID)
+        & jnp.take(mask, jnp.clip(res.visited_ids, 0, cap - 1))
+    )
+    vd = jnp.where(vis_ok, res.visited_dists, INF)
+    vi = jnp.where(vis_ok, res.visited_ids, NIL)
+    pool_d = jnp.concatenate([seed_d, vd], axis=-1)
+    pool_i = jnp.concatenate([seeds, vi], axis=-1)
+    # Dedup (seeds may also appear in visited) then take best k
+    from semadb_tpu.ops.topk import dedup_by_id
+
+    pool_d, pool_i = dedup_by_id(pool_d, pool_i)
+    pool_d, pool_i = sort_by_distance(pool_d, pool_i)
+    return pool_d[:, :k], pool_i[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("config", "k"))
+def exact_search(
+    state: GraphState, queries: jax.Array, config: GraphConfig, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Brute-force reference search over live nodes (tests / ground truth)."""
+    d = pairwise_distance(queries, state.vectors, config.metric)
+    live = state.exists & (jnp.arange(state.capacity) != START_ID)
+    d = jnp.where(live[None, :], d, INF)
+    negv, idx = jax.lax.top_k(-d, k)
+    return -negv, idx.astype(jnp.int32)

@@ -9,8 +9,9 @@ sharding paths compile and execute without TPU hardware.
 import os
 import sys
 
-# Must be set before jax is imported anywhere. Force CPU even if the outer
-# environment points JAX at a TPU tunnel — tests must be hermetic and fast.
+# The container's sitecustomize (axon TPU tunnel) imports jax at interpreter
+# start with JAX_PLATFORMS=axon, so env vars set here are too late — but the
+# backend itself is initialized lazily, so post-import config steering works.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -19,3 +20,14 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
+
+# Persistent compilation cache: graph kernels are expensive to compile and
+# shapes repeat across tests/runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/semadb_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

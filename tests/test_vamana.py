@@ -1,0 +1,217 @@
+"""Vamana index tests.
+
+Mirrors shard/index/vamana/vamana_test.go: insert/search/recall, the BFS
+connectivity invariant (every live node reachable from the start node),
+delete repair, update-reinsert, filtered search, persistence round-trip.
+"""
+
+import numpy as np
+import pytest
+
+from semadb_tpu.index.vamana import (
+    NIL,
+    START_ID,
+    IndexVamana,
+)
+from semadb_tpu.models.schema import VectorVamanaParams
+
+RNG = np.random.default_rng(7)
+
+
+def make_index(dim=2, metric="euclidean", **kw) -> IndexVamana:
+    params = VectorVamanaParams(
+        vector_size=dim,
+        distance_metric=metric,
+        search_size=kw.pop("search_size", 36),
+        degree_bound=kw.pop("degree_bound", 32),
+        alpha=1.2,
+    )
+    return IndexVamana(params, **kw)
+
+
+def rand_points(n, dim=2):
+    """2-D random vectors like vamana_test.go randPoints (ids start at 2)."""
+    ids = np.arange(2, n + 2, dtype=np.int32)
+    vecs = RNG.random((n, dim)).astype(np.float32)
+    return ids, vecs
+
+
+def check_connectivity(idx: IndexVamana):
+    """BFS from start node must reach every live node (vamana_test.go:29-46)."""
+    adj = np.asarray(idx.state.adjacency)
+    exists = np.asarray(idx.state.exists)
+    visited = set()
+    frontier = [START_ID]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v != NIL and v not in visited:
+                    visited.add(int(v))
+                    nxt.append(int(v))
+        frontier = nxt
+    live = {int(i) for i in np.nonzero(exists)[0] if i != START_ID}
+    missing = live - visited
+    assert not missing, f"disconnected nodes: {sorted(missing)[:10]} (of {len(missing)})"
+
+
+def test_insert_and_search():
+    idx = make_index()
+    ids, vecs = rand_points(200)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert len(idx) == 200
+    check_connectivity(idx)
+    # Query near known points: nearest must be the point itself
+    d, i = idx.search_batch(vecs[:10], k=5)
+    assert i.shape == (10, 5)
+    assert list(i[:, 0]) == list(ids[:10])
+    assert np.all(d[:, 0] < 1e-5)
+
+
+def test_degree_bound_invariant():
+    idx = make_index()
+    ids, vecs = rand_points(300)
+    idx.insert_update_delete(zip(ids, vecs))
+    adj = np.asarray(idx.state.adjacency)
+    counts = np.sum(adj != NIL, axis=1)
+    assert counts.max() <= idx.config.degree_bound
+    # no self-loops, no dangling edges to nonexistent nodes
+    exists = np.asarray(idx.state.exists)
+    for u in np.nonzero(exists)[0]:
+        row = adj[u]
+        row = row[row != NIL]
+        assert u not in row, f"self-loop at {u}"
+        assert all(exists[v] for v in row), f"dangling edge from {u}"
+        assert len(set(row.tolist())) == len(row), f"duplicate edges at {u}"
+
+
+def test_recall_small():
+    dim = 16
+    n = 1000
+    idx = make_index(dim=dim, search_size=75, degree_bound=32)
+    ids = np.arange(2, n + 2, dtype=np.int32)
+    vecs = RNG.standard_normal((n, dim)).astype(np.float32)
+    idx.insert_update_delete(zip(ids, vecs))
+    check_connectivity(idx)
+
+    queries = RNG.standard_normal((32, dim)).astype(np.float32)
+    d, i = idx.search_batch(queries, k=10)
+    # Exact ground truth
+    full = ((queries[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+    gt = ids[np.argsort(full, axis=1)[:, :10]]
+    recall = np.mean([len(set(i[b]) & set(gt[b])) / 10 for b in range(32)])
+    assert recall >= 0.95, f"recall@10 too low: {recall}"
+
+
+def test_delete_and_connectivity():
+    idx = make_index()
+    ids, vecs = rand_points(150)
+    idx.insert_update_delete(zip(ids, vecs))
+    # Delete a third
+    dele = ids[::3]
+    idx.insert_update_delete((int(i), None) for i in dele)
+    assert len(idx) == 150 - len(dele)
+    check_connectivity(idx)
+    # Deleted ids are gone from results
+    d, i = idx.search_batch(vecs[::3][:5], k=10)
+    assert not (set(i.flatten().tolist()) & set(int(x) for x in dele))
+    # And not present in any edge list
+    adj = np.asarray(idx.state.adjacency)
+    assert not (set(adj.flatten().tolist()) & set(int(x) for x in dele))
+
+
+def test_update_moves_point():
+    idx = make_index()
+    ids, vecs = rand_points(100)
+    idx.insert_update_delete(zip(ids, vecs))
+    # Move point 2 to a far corner
+    target = np.array([100.0, 100.0], dtype=np.float32)
+    idx.insert_update_delete([(2, target)])
+    assert len(idx) == 100
+    check_connectivity(idx)
+    d, i = idx.search_batch(target[None, :], k=1)
+    assert i[0, 0] == 2
+    assert d[0, 0] < 1e-5
+
+
+def test_delete_then_reinsert():
+    idx = make_index()
+    ids, vecs = rand_points(100)
+    idx.insert_update_delete(zip(ids, vecs))
+    idx.insert_update_delete([(int(i), None) for i in ids[:50]])
+    idx.insert_update_delete(zip(ids[:50], vecs[:50]))
+    assert len(idx) == 100
+    check_connectivity(idx)
+    d, i = idx.search_batch(vecs[:5], k=1)
+    assert list(i[:, 0]) == list(ids[:5])
+
+
+def test_skip_nonexistent_delete():
+    idx = make_index()
+    idx.insert_update_delete([(42, None)])  # unknown id + None → skip
+    assert len(idx) == 0
+
+
+def test_reserved_ids_rejected():
+    idx = make_index()
+    with pytest.raises(ValueError):
+        idx.insert_update_delete([(0, np.zeros(2, np.float32))])
+    with pytest.raises(ValueError):
+        idx.insert_update_delete([(START_ID, np.zeros(2, np.float32))])
+
+
+def test_filtered_search():
+    idx = make_index()
+    ids, vecs = rand_points(200)
+    idx.insert_update_delete(zip(ids, vecs))
+    # Filter to even ids only
+    fmask = np.zeros(idx.state.capacity, dtype=bool)
+    even = ids[ids % 2 == 0]
+    fmask[even] = True
+    d, i = idx.search_batch(vecs[:8], k=10, filter_mask=fmask)
+    found = i[i != NIL]
+    assert len(found) > 0
+    assert np.all(found % 2 == 0)
+    # A point in the filter searching for itself should find itself
+    q_id = int(even[0])
+    qv = vecs[q_id - 2][None, :]
+    d, i = idx.search_batch(qv, k=1, filter_mask=fmask)
+    assert i[0, 0] == q_id
+
+
+def test_filter_smaller_than_search_size():
+    """Extreme selectivity: |filter| < searchSize returns exactly the
+    filtered points ordered by distance (search.go:36-40)."""
+    idx = make_index()
+    ids, vecs = rand_points(100)
+    idx.insert_update_delete(zip(ids, vecs))
+    fmask = np.zeros(idx.state.capacity, dtype=bool)
+    chosen = [2, 30, 77]
+    fmask[chosen] = True
+    q = vecs[77 - 2][None, :]
+    d, i = idx.search_batch(q, k=3, filter_mask=fmask)
+    assert set(i[0].tolist()) == set(chosen)
+    assert i[0, 0] == 77
+
+
+def test_persistence_roundtrip():
+    idx = make_index()
+    ids, vecs = rand_points(50)
+    idx.insert_update_delete(zip(ids, vecs))
+    arrays = idx.to_arrays()
+    idx2 = IndexVamana.from_arrays(idx.params, arrays)
+    assert len(idx2) == 50
+    d1, i1 = idx.search_batch(vecs[:5], k=3)
+    d2, i2 = idx2.search_batch(vecs[:5], k=3)
+    assert np.array_equal(i1, i2)
+
+
+def test_capacity_growth():
+    idx = make_index()
+    cap0 = idx.state.capacity
+    ids = np.arange(2, 400, dtype=np.int32)
+    vecs = RNG.random((len(ids), 2)).astype(np.float32)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert idx.state.capacity > cap0
+    assert len(idx) == len(ids)
+    check_connectivity(idx)

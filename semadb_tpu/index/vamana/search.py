@@ -49,23 +49,34 @@ class BeamResult(NamedTuple):
 
 
 def _merge_sorted(dists, ids, exp, new_d, new_i, L):
-    """Merge new candidates into the sorted list, keep best L.
+    """Merge new candidates into the sorted list, dedup, keep best L.
 
-    Duplicate ids cannot collide because callers mask already-present ids
-    before merging; a plain (distance, id) sort suffices.
+    Duplicate ids carry bit-identical distances (same query, same vector,
+    same kernel), so after a stable (distance, id) sort duplicates are
+    adjacent with the incumbent list entry first — marking non-first run
+    members invalid both dedups and preserves expanded flags. A second
+    sort pushes the invalidated slots to the tail.
     """
     md = jnp.concatenate([dists, new_d], axis=-1)
     mi = jnp.concatenate([ids, new_i], axis=-1)
     me = jnp.concatenate([exp, jnp.zeros_like(new_i, dtype=bool)], axis=-1)
-    order = jnp.lexsort((mi, md))
-    md = jnp.take_along_axis(md, order, axis=-1)
-    mi = jnp.take_along_axis(mi, order, axis=-1)
-    me = jnp.take_along_axis(me, order, axis=-1)
-    return md[..., :L], mi[..., :L], me[..., :L]
+    md, mi, me_i = jax.lax.sort(
+        (md, mi, me.astype(jnp.int32)), dimension=-1, num_keys=2, is_stable=True
+    )
+    dup = jnp.concatenate(
+        [jnp.zeros_like(mi[..., :1], dtype=bool), mi[..., 1:] == mi[..., :-1]], axis=-1
+    ) & (mi != -1)
+    md = jnp.where(dup, INF, md)
+    mi = jnp.where(dup, -1, mi)
+    me_i = jnp.where(dup, 0, me_i)
+    md, mi, me_i = jax.lax.sort(
+        (md, mi, me_i), dimension=-1, num_keys=2, is_stable=False
+    )
+    return md[..., :L], mi[..., :L], me_i[..., :L].astype(bool)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "search_size", "max_hops")
+    jax.jit, static_argnames=("config", "search_size", "max_hops", "expand_width")
 )
 def beam_search(
     state: GraphState,
@@ -74,21 +85,30 @@ def beam_search(
     search_size: int,
     max_hops: int = 0,
     seed_ids: Optional[jax.Array] = None,
+    expand_width: int = 8,
 ) -> BeamResult:
     """Batched greedy search. ``queries``: f32[B, D] → BeamResult.
 
     ``seed_ids``: optional i32[B, S] initial candidates (NIL-padded) used by
     filtered search; the start node is always added as well
     (search.go:53-60).
+
+    ``expand_width`` (W): candidates expanded per hop. The reference expands
+    strictly best-first one node at a time (search.go:63-98); expanding the
+    W best unexpanded candidates per hop divides the sequential hop count by
+    ~W at slightly more total distance work — the standard GPU/TPU ANN
+    trade (each hop's gather/contraction is then large enough to fill the
+    hardware). W=1 reproduces best-first exactly.
     """
     B = queries.shape[0]
     L = search_size
     R = config.degree_bound
-    # Visited ring: 2L slots (the reference visitedSet starts at 2L capacity,
-    # distset.go); hop budget 3L — the all-expanded termination normally
-    # fires well before it.
-    V = 2 * L
-    max_hops = max_hops if max_hops > 0 else 3 * L
+    W = expand_width
+    # Visited ring: ~2L slots rounded to a multiple of W so block writes
+    # never straddle the wrap point (reference visitedSet starts at 2L,
+    # distset.go).
+    V = ((2 * L + W - 1) // W) * W
+    max_hops = max_hops if max_hops > 0 else (3 * L + W - 1) // W
     cap = state.capacity
 
     # --- initial candidate list: start node (+ optional seeds) ---
@@ -110,44 +130,52 @@ def beam_search(
     vis_d = jnp.full((B, V), INF, jnp.float32)
     vis_i = jnp.full((B, V), NIL, jnp.int32)
 
+    arangeL = jnp.arange(L, dtype=jnp.int32)
+
     def not_done(carry):
         cand_d, cand_i, cand_e, vis_d, vis_i, hop = carry
-        pending = jnp.any((cand_i != NIL) & ~cand_e)
+        pending = jnp.any((cand_i != NIL) & ~cand_e & jnp.isfinite(cand_d))
         return jnp.logical_and(hop < max_hops, pending)
 
     def step(carry):
         cand_d, cand_i, cand_e, vis_d, vis_i, hop = carry
-        # Closest unexpanded candidate per query; list is sorted so the first
-        # unexpanded position is the argmax of the boolean mask.
-        unexp = (cand_i != NIL) & ~cand_e
-        has = jnp.any(unexp, axis=-1)  # [B]
-        pos = jnp.argmax(unexp, axis=-1)  # [B]
-        cur = jnp.take_along_axis(cand_i, pos[:, None], axis=-1)[:, 0]  # [B]
-        cur_d = jnp.take_along_axis(cand_d, pos[:, None], axis=-1)[:, 0]
-        # Mark expanded (only where a candidate was available)
-        onehot = jax.nn.one_hot(pos, L, dtype=bool) & has[:, None]
-        cand_e = cand_e | onehot
+        # W closest unexpanded candidates per query; the list is sorted so
+        # these are the first W set bits of the unexpanded mask.
+        unexp = (cand_i != NIL) & ~cand_e & jnp.isfinite(cand_d)
+        sel_score = jnp.where(unexp, -arangeL, jnp.int32(-(2**30)))
+        _, pos = jax.lax.top_k(sel_score, W)  # earliest positions first
+        sel_ok = jnp.take_along_axis(unexp, pos, axis=-1)  # [B, W]
+        cur = jnp.take_along_axis(cand_i, pos, axis=-1)  # [B, W]
+        cur_d = jnp.take_along_axis(cand_d, pos, axis=-1)
+        # Mark all selected expanded
+        onehot = (arangeL[None, None, :] == pos[:, :, None]) & sel_ok[:, :, None]
+        cand_e = cand_e | jnp.any(onehot, axis=1)
 
-        # Append to visited ring
-        slot = jnp.mod(hop, V)
-        new_col_i = jnp.where(has, cur, jax.lax.dynamic_slice(vis_i, (0, slot), (B, 1))[:, 0])
-        new_col_d = jnp.where(has, cur_d, jax.lax.dynamic_slice(vis_d, (0, slot), (B, 1))[:, 0])
-        vis_i = jax.lax.dynamic_update_slice(vis_i, new_col_i[:, None], (0, slot))
-        vis_d = jax.lax.dynamic_update_slice(vis_d, new_col_d[:, None], (0, slot))
+        # Append W entries to the visited ring (block write, wrap-aligned)
+        slot = jnp.mod(hop, V // W) * W
+        old_i = jax.lax.dynamic_slice(vis_i, (0, slot), (B, W))
+        old_d = jax.lax.dynamic_slice(vis_d, (0, slot), (B, W))
+        vis_i = jax.lax.dynamic_update_slice(
+            vis_i, jnp.where(sel_ok, cur, old_i), (0, slot)
+        )
+        vis_d = jax.lax.dynamic_update_slice(
+            vis_d, jnp.where(sel_ok, cur_d, old_d), (0, slot)
+        )
 
-        # Gather neighbours and their distances
-        nbr = state.adjacency[jnp.clip(cur, 0, cap - 1)]  # [B, R]
-        nbr_ok = (nbr != NIL) & has[:, None]
+        # Gather all W*R neighbours and their distances in one shot
+        nbr = state.adjacency[jnp.clip(cur, 0, cap - 1)]  # [B, W, R]
+        nbr = nbr.reshape(B, W * R)
+        nbr_ok = (nbr != NIL) & jnp.repeat(sel_ok, R, axis=-1)
         nbr_safe = jnp.clip(nbr, 0, cap - 1)
         nbr_ok &= state.exists[nbr_safe]
-        # Membership dedup against candidate list + visited ring
-        seen = jnp.concatenate([cand_i, vis_i], axis=-1)  # [B, L+V]
-        dup = jnp.any(nbr[:, :, None] == seen[:, None, :], axis=-1)
-        nbr_ok &= ~dup
         nd = gather_distance(state.vectors, nbr_safe, queries, config.metric)
         nd = jnp.where(nbr_ok, nd, INF)
         ni = jnp.where(nbr_ok, nbr, NIL)
 
+        # No explicit membership scan needed: duplicates (in-list or among
+        # the W rows) are removed by the post-sort adjacent dedup in
+        # _merge_sorted, and an evicted candidate can never re-enter because
+        # the L-th best distance is monotonically non-increasing.
         cand_d, cand_i, cand_e = _merge_sorted(cand_d, cand_i, cand_e, nd, ni, L)
         return cand_d, cand_i, cand_e, vis_d, vis_i, hop + 1
 

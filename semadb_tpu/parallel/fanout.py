@@ -1,0 +1,139 @@
+"""Scatter-gather search and batched insert over a device mesh.
+
+Reference behavior being replaced (cluster/actions.go):
+  - SearchPoints fans the query out to every shard in parallel goroutines,
+    shrinks the per-shard limit with a Poisson approximation
+    (``limit/numShards*1.42 + 10``, actions.go:291-299), merges and sorts
+    the per-shard results, truncates to the user limit.
+  - InsertPoints routes disjoint point slices to their shards.
+
+TPU-native: shard states are stacked along a leading axis sharded over the
+mesh's "shard" axis. Search runs locally per device under ``shard_map``,
+then one ``all_gather`` over ICI brings the tiny per-shard top-k lists
+everywhere and each device computes the same global top-k (replicated
+output). Inserts run fully locally per device — shards are disjoint.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from semadb_tpu.index.vamana.graph import GraphConfig, GraphState
+from semadb_tpu.index.vamana.search import search as local_search
+from semadb_tpu.ops.topk import sort_by_distance
+from semadb_tpu.parallel.mesh import SHARD_AXIS
+
+
+def poisson_shard_limit(limit: int, num_shards: int) -> int:
+    """Per-shard limit shrink (actions.go:272-299 linear Poisson approx)."""
+    if num_shards <= 1:
+        return limit
+    return min(limit, int(limit / num_shards * 1.42) + 10)
+
+
+def stack_states(states: list[GraphState], mesh) -> GraphState:
+    """Stack per-shard states along a leading mesh-sharded axis.
+
+    All shards must share capacity/dim (pad first).
+    """
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "search_size", "k", "mesh")
+)
+def sharded_search(
+    stacked: GraphState,
+    queries: jax.Array,
+    config: GraphConfig,
+    search_size: int,
+    k: int,
+    mesh,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fan-out search: returns (dists f32[B,k], node_ids i32[B,k],
+    shard_idx i32[B,k]) — node ids are shard-local, shard_idx says which
+    shard each hit came from (the host maps back to UUIDs per shard)."""
+
+    def local(st: GraphState, q: jax.Array):
+        st = jax.tree.map(lambda x: x[0], st)  # drop leading shard dim
+        d, i = local_search(st, q, config, search_size, k)
+        s = jax.lax.axis_index(SHARD_AXIS)
+        sh = jnp.full_like(i, s)
+        # Bring every shard's top-k everywhere (ICI all-gather), then merge
+        d_all = jax.lax.all_gather(d, SHARD_AXIS)  # [S, B, k]
+        i_all = jax.lax.all_gather(i, SHARD_AXIS)
+        s_all = jax.lax.all_gather(sh, SHARD_AXIS)
+        S = d_all.shape[0]
+        B = q.shape[0]
+        dm = jnp.moveaxis(d_all, 0, 1).reshape(B, S * k)
+        im = jnp.moveaxis(i_all, 0, 1).reshape(B, S * k)
+        sm = jnp.moveaxis(s_all, 0, 1).reshape(B, S * k)
+        order = jnp.lexsort((im, dm))
+        dm = jnp.take_along_axis(dm, order, axis=-1)[:, :k]
+        im = jnp.take_along_axis(im, order, axis=-1)[:, :k]
+        sm = jnp.take_along_axis(sm, order, axis=-1)[:, :k]
+        return dm, im, sm
+
+    fan = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(SHARD_AXIS), stacked), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fan(stacked, queries)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "search_size", "mesh", "intra_k")
+)
+def sharded_insert_step(
+    stacked: GraphState,
+    new_ids: jax.Array,  # i32[S, B] shard-local node ids (0 = padding)
+    new_vecs: jax.Array,  # f32[S, B, D]
+    valid: jax.Array,  # bool[S, B]
+    config: GraphConfig,
+    search_size: int,
+    mesh,
+    intra_k: int = 8,
+) -> GraphState:
+    """One batched insert step on every shard in parallel (training-step
+    analog). Each device runs search + prune + backedge phases locally; a
+    single overflow merge round is applied (sufficient for one batch whose
+    inbound fan-in per node is bounded by the batch size)."""
+    from semadb_tpu.index.vamana.build import _insert_core, _overflow_chunk
+
+    chunk = min(1024, stacked.vectors.shape[1])
+
+    def local(st: GraphState, ids, vecs, val):
+        st = jax.tree.map(lambda x: x[0], st)
+        ids, vecs, val = ids[0], vecs[0], val[0]
+        st, targets, sources, pending = _insert_core(
+            st, ids, vecs, val, config, search_size, intra_k
+        )
+        st, _pending = _overflow_chunk(
+            st, targets, sources, pending, config, chunk, config.degree_bound
+        )
+        return jax.tree.map(lambda x: x[None], st)
+
+    fan = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(SHARD_AXIS), stacked),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+        ),
+        out_specs=jax.tree.map(lambda _: P(SHARD_AXIS), stacked),
+        check_vma=False,
+    )
+    return fan(stacked, new_ids, new_vecs, valid)

@@ -1,0 +1,108 @@
+"""Sharded fan-out search/insert tests on the 8-device virtual CPU mesh.
+
+Mirrors the reference's scatter-gather cluster search semantics
+(cluster/actions.go:267-378) on a jax.sharding.Mesh.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from semadb_tpu.index.vamana import IndexVamana, init_graph
+from semadb_tpu.index.vamana.graph import GraphConfig
+from semadb_tpu.models.schema import VectorVamanaParams
+from semadb_tpu.parallel import (
+    shard_mesh,
+    sharded_insert_step,
+    sharded_search,
+    stack_states,
+)
+from semadb_tpu.parallel.fanout import poisson_shard_limit
+
+RNG = np.random.default_rng(3)
+
+
+def test_poisson_shard_limit():
+    # actions.go: targetLimit = limit/numShards*1.42 + 10
+    assert poisson_shard_limit(100, 1) == 100
+    assert poisson_shard_limit(100, 4) == min(100, int(100 / 4 * 1.42) + 10)
+
+
+def test_sharded_search_matches_union():
+    n_shards = 4
+    dim = 8
+    per_shard = 100
+    mesh = shard_mesh(n_shards)
+    params = VectorVamanaParams(
+        vector_size=dim, distance_metric="euclidean", search_size=40, degree_bound=32
+    )
+    states = []
+    all_vecs = []
+    for s in range(n_shards):
+        idx = IndexVamana(params, capacity=256)
+        ids = np.arange(2, per_shard + 2, dtype=np.int32)
+        vecs = RNG.standard_normal((per_shard, dim)).astype(np.float32)
+        idx.insert_update_delete(zip(ids, vecs))
+        states.append(idx.state)
+        all_vecs.append(vecs)
+    stacked = stack_states(states, mesh)
+
+    q = RNG.standard_normal((4, dim)).astype(np.float32)
+    k = 10
+    d, i, sh = sharded_search(
+        stacked,
+        jnp.asarray(q),
+        GraphConfig(dim=dim, metric="euclidean", degree_bound=32, search_size=40),
+        40,
+        k,
+        mesh,
+    )
+    d, i, sh = np.asarray(d), np.asarray(i), np.asarray(sh)
+    assert d.shape == (4, k)
+    # Ground truth over the union of shards
+    union = np.concatenate(all_vecs)  # [S*per_shard, dim]
+    shard_of = np.repeat(np.arange(n_shards), per_shard)
+    local_id = np.tile(np.arange(2, per_shard + 2), n_shards)
+    full = ((q[:, None, :] - union[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(full, axis=1)[:, :k]
+    for b in range(4):
+        got = set(zip(sh[b].tolist(), i[b].tolist()))
+        want = set(zip(shard_of[order[b]].tolist(), local_id[order[b]].tolist()))
+        overlap = len(got & want) / k
+        assert overlap >= 0.9, f"query {b}: fan-out overlap {overlap}"
+    # distances ascending
+    assert np.all(np.diff(d, axis=1) >= 0)
+
+
+def test_sharded_insert_step():
+    n_shards = 8
+    dim = 8
+    mesh = shard_mesh(n_shards)
+    config = GraphConfig(dim=dim, metric="euclidean", degree_bound=32, search_size=32)
+    base = init_graph(config, capacity=128)
+    states = [base] * n_shards
+    stacked = stack_states(states, mesh)
+
+    B = 16
+    ids = np.tile(np.arange(2, B + 2, dtype=np.int32)[None, :], (n_shards, 1))
+    vecs = RNG.standard_normal((n_shards, B, dim)).astype(np.float32)
+    valid = np.ones((n_shards, B), bool)
+    out = sharded_insert_step(
+        stacked,
+        jnp.asarray(ids),
+        jnp.asarray(vecs),
+        jnp.asarray(valid),
+        config,
+        32,
+        mesh,
+    )
+    exists = np.asarray(out.exists)
+    assert exists.shape == (n_shards, 128)
+    assert exists[:, 2 : B + 2].all()
+    # search the freshly inserted points
+    q = vecs[0, :4]
+    d, i, sh = sharded_search(out, jnp.asarray(q), config, 32, 3, mesh)
+    i, sh = np.asarray(i), np.asarray(sh)
+    for b in range(4):
+        assert i[b, 0] == b + 2  # nearest = the point itself (in some shard)

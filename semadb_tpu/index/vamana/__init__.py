@@ -46,6 +46,8 @@ class IndexVamana:
     """
 
     def __init__(self, params: VectorVamanaParams, capacity: int = graph.MIN_CAPACITY):
+        from semadb_tpu.vectorstore import QuantConfig, VectorStore
+
         self.params = params
         self.config = GraphConfig(
             dim=params.vector_size,
@@ -55,14 +57,20 @@ class IndexVamana:
             alpha=params.alpha,
         )
         self.state = init_graph(self.config, capacity)
+        # Quantizer (vectorstore.go:47-96): plain unless params.quantizer set
+        self.store = VectorStore(
+            QuantConfig.from_params(params.quantizer, params.vector_size, params.distance_metric)
+        )
 
     # -- persistence -------------------------------------------------------
     def to_arrays(self) -> dict:
-        return {
+        out = {
             "vectors": np.asarray(self.state.vectors),
             "adjacency": np.asarray(self.state.adjacency),
             "exists": np.asarray(self.state.exists),
         }
+        out["store"] = self.store.to_arrays()
+        return out
 
     @classmethod
     def from_arrays(cls, params: VectorVamanaParams, arrays: dict) -> "IndexVamana":
@@ -72,6 +80,8 @@ class IndexVamana:
             adjacency=jnp.asarray(arrays["adjacency"]),
             exists=jnp.asarray(arrays["exists"]),
         )
+        if "store" in arrays:
+            idx.store.load_arrays(arrays["store"])
         return idx
 
     # -- introspection -----------------------------------------------------
@@ -130,6 +140,9 @@ class IndexVamana:
             self.state = delete_batch(self.state, repair_ids, self.config)
         if updates:
             self._insert_chunked(updates)
+        # Quantizer fit trigger at the end of the write, then flush
+        # (vamana.go:255-276: vecStore.Fit() before flush).
+        self.store.maybe_fit(self.state.vectors, self.state.exists)
 
     def _insert_chunked(self, items: Sequence[Tuple[int, np.ndarray]]) -> None:
         """Insert in growing rounds.
@@ -151,6 +164,10 @@ class IndexVamana:
             self.state = insert_batch(
                 self.state, ids, vecs, self.config, self.params.search_size
             )
+            # Keep the code table current for post-fit inserts
+            # (binary.go/product.go Set encodes when already fitted)
+            if self.store.fitted:
+                self.store.encode_rows(self.state.vectors, ids)
 
     # -- reads -------------------------------------------------------------
     def search_batch(
@@ -176,11 +193,29 @@ class IndexVamana:
         if Bp != B:
             q_np = np.concatenate([q_np, np.zeros((Bp - B, q_np.shape[1]), np.float32)])
         q = jnp.asarray(q_np)
+        # Quantized search path when the store is fitted (vectorstore
+        # dispatch, vectorstore.go:23-43): distances become hamming/ADC
+        quant = None
+        qcodes = qquery = None
+        if self.store.fitted and self.store.kind != "plain":
+            quant = self.store.config
+            qcodes = self.store.state.codes
+            if qcodes.shape[0] < self.state.capacity:
+                qcodes = jnp.pad(
+                    qcodes, ((0, self.state.capacity - qcodes.shape[0]), (0, 0))
+                )
+            qquery = self.store.prepare_queries(q)
         if filter_mask is not None:
             fm = jnp.asarray(filter_mask, bool)
             if fm.shape[0] < self.state.capacity:
                 fm = jnp.pad(fm, (0, self.state.capacity - fm.shape[0]))
-            d, i = search_filtered(self.state, q, fm, self.config, search_size, k)
+            d, i = search_filtered(
+                self.state, q, fm, self.config, search_size, k,
+                quant=quant, qcodes=qcodes, qquery=qquery,
+            )
         else:
-            d, i = search_mod.search(self.state, q, self.config, search_size, k)
+            d, i = search_mod.search(
+                self.state, q, self.config, search_size, k,
+                quant=quant, qcodes=qcodes, qquery=qquery,
+            )
         return np.asarray(d)[:B], np.asarray(i)[:B]

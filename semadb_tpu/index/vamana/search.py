@@ -36,8 +36,33 @@ import jax
 import jax.numpy as jnp
 
 from semadb_tpu.index.vamana.graph import NIL, START_ID, GraphConfig, GraphState
-from semadb_tpu.ops.distance import gather_distance, pairwise_distance
+from semadb_tpu.ops.distance import (
+    gather_bit_distance,
+    gather_distance,
+    pairwise_distance,
+)
 from semadb_tpu.ops.topk import INF, sort_by_distance
+
+
+def _make_gd(state, queries, config, quant, qcodes, qquery):
+    """Distance evaluator over candidate ids: plain f32 gather, packed-bit
+    hamming/jaccard (binary quantizer), or ADC table lookup (product
+    quantizer). Mirrors vecStore.DistanceFromFloat dispatch
+    (vectorstore.go:23-43)."""
+    cap = state.capacity
+    if quant is None or quant.kind == "plain" or qcodes is None:
+        return lambda ids: gather_distance(
+            state.vectors, jnp.clip(ids, 0, cap - 1), queries, config.metric
+        )
+    if quant.kind == "binary":
+        return lambda ids: gather_bit_distance(
+            qcodes, jnp.clip(ids, 0, cap - 1), qquery, quant.bit_metric
+        )
+    from semadb_tpu.vectorstore.store import pq_gather_distance
+
+    return lambda ids: pq_gather_distance(
+        qcodes, jnp.clip(ids, 0, cap - 1), qquery, quant.num_centroids
+    )
 
 
 class BeamResult(NamedTuple):
@@ -76,7 +101,8 @@ def _merge_sorted(dists, ids, exp, new_d, new_i, L):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "search_size", "max_hops", "expand_width")
+    jax.jit,
+    static_argnames=("config", "search_size", "max_hops", "expand_width", "quant"),
 )
 def beam_search(
     state: GraphState,
@@ -86,6 +112,9 @@ def beam_search(
     max_hops: int = 0,
     seed_ids: Optional[jax.Array] = None,
     expand_width: int = 8,
+    quant=None,
+    qcodes: Optional[jax.Array] = None,
+    qquery: Optional[jax.Array] = None,
 ) -> BeamResult:
     """Batched greedy search. ``queries``: f32[B, D] → BeamResult.
 
@@ -111,17 +140,15 @@ def beam_search(
     max_hops = max_hops if max_hops > 0 else (3 * L + W - 1) // W
     cap = state.capacity
 
+    gd = _make_gd(state, queries, config, quant, qcodes, qquery)
+
     # --- initial candidate list: start node (+ optional seeds) ---
-    start_d = gather_distance(
-        state.vectors, jnp.full((B, 1), START_ID, jnp.int32), queries, config.metric
-    )  # [B,1]
+    start_d = gd(jnp.full((B, 1), START_ID, jnp.int32))  # [B,1]
     cand_d = jnp.full((B, L), INF, jnp.float32).at[:, 0].set(start_d[:, 0])
     cand_i = jnp.full((B, L), NIL, jnp.int32).at[:, 0].set(START_ID)
     cand_e = jnp.zeros((B, L), dtype=bool)
     if seed_ids is not None:
-        sd = gather_distance(
-            state.vectors, jnp.clip(seed_ids, 0, cap - 1), queries, config.metric
-        )
+        sd = gd(seed_ids)
         valid_seed = (seed_ids != NIL) & (seed_ids != START_ID)
         sd = jnp.where(valid_seed, sd, INF)
         si = jnp.where(valid_seed, seed_ids, NIL)
@@ -168,7 +195,7 @@ def beam_search(
         nbr_ok = (nbr != NIL) & jnp.repeat(sel_ok, R, axis=-1)
         nbr_safe = jnp.clip(nbr, 0, cap - 1)
         nbr_ok &= state.exists[nbr_safe]
-        nd = gather_distance(state.vectors, nbr_safe, queries, config.metric)
+        nd = gd(nbr_safe)
         nd = jnp.where(nbr_ok, nd, INF)
         ni = jnp.where(nbr_ok, nbr, NIL)
 
@@ -186,7 +213,9 @@ def beam_search(
     return BeamResult(cand_d, cand_i, vis_d, vis_i, hops)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "search_size", "k", "max_hops"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "search_size", "k", "max_hops", "quant")
+)
 def search(
     state: GraphState,
     queries: jax.Array,
@@ -194,6 +223,9 @@ def search(
     search_size: int,
     k: int,
     max_hops: int = 0,
+    quant=None,
+    qcodes: Optional[jax.Array] = None,
+    qquery: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Unfiltered top-k search: returns (dists f32[B,k], ids i32[B,k]).
 
@@ -201,14 +233,19 @@ def search(
     ``elem.Point.Id() == STARTID → continue``); invalid slots carry
     (INF, NIL).
     """
-    res = beam_search(state, queries, config, search_size, max_hops)
+    res = beam_search(
+        state, queries, config, search_size, max_hops,
+        quant=quant, qcodes=qcodes, qquery=qquery,
+    )
     d = jnp.where(res.cand_ids == START_ID, INF, res.cand_dists)
     i = jnp.where(res.cand_ids == START_ID, NIL, res.cand_ids)
     d, i = sort_by_distance(d, i)
     return d[:, :k], i[:, :k]
 
 
-@functools.partial(jax.jit, static_argnames=("config", "search_size", "k", "max_hops"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "search_size", "k", "max_hops", "quant")
+)
 def search_filtered(
     state: GraphState,
     queries: jax.Array,
@@ -217,6 +254,9 @@ def search_filtered(
     search_size: int,
     k: int,
     max_hops: int = 0,
+    quant=None,
+    qcodes: Optional[jax.Array] = None,
+    qquery: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Filtered top-k search (search.go:27-51 semantics).
 
@@ -238,12 +278,14 @@ def search_filtered(
     B = queries.shape[0]
     seeds = jnp.broadcast_to(seed_ids[None, :], (B, search_size))
 
-    res = beam_search(state, queries, config, search_size, max_hops, seed_ids=seeds)
+    res = beam_search(
+        state, queries, config, search_size, max_hops, seed_ids=seeds,
+        quant=quant, qcodes=qcodes, qquery=qquery,
+    )
 
     # Result pool: seeds ∪ expanded-nodes-passing-filter
-    seed_d = gather_distance(
-        state.vectors, jnp.clip(seeds, 0, cap - 1), queries, config.metric
-    )
+    gd = _make_gd(state, queries, config, quant, qcodes, qquery)
+    seed_d = gd(seeds)
     seed_d = jnp.where(seeds != NIL, seed_d, INF)
     vis_ok = (
         (res.visited_ids != NIL)

@@ -1,0 +1,105 @@
+"""On-device k-means (Lloyd's) with furthest-point init.
+
+Reference: utils/kmeans.go — kmeans++-style furthest-point initialisation,
+Lloyd's iterations with early stop when no label changes, empty clusters
+keep their previous centroid, euclidean distance throughout, uint8 labels
+(K ≤ 256). The reference runs one goroutine per PQ subvector
+(product.go:201-233); here the whole fit is one vmapped device program —
+assignment is a blocked [N, K] distance matmul on the MXU, the update is a
+one-hot segment-sum matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _init_furthest(data: jax.Array, k: int, seed: jax.Array) -> jax.Array:
+    """Furthest-point init (kmeans.go:49-85): first centroid random, each
+    next is the point furthest from all chosen so far."""
+    n = data.shape[0]
+    key = jax.random.PRNGKey(seed)
+    first = jax.random.randint(key, (), 0, n)
+    centroids0 = jnp.zeros((k, data.shape[1]), data.dtype).at[0].set(data[first])
+    min_d0 = jnp.full((n,), jnp.inf, jnp.float32).at[first].set(-jnp.inf)
+
+    def body(i, carry):
+        centroids, min_d = carry
+        last = centroids[i - 1]
+        d = jnp.sum((data - last[None, :]) ** 2, axis=-1)
+        min_d = jnp.minimum(min_d, d)
+        nxt = jnp.argmax(min_d)
+        centroids = centroids.at[i].set(data[nxt])
+        min_d = min_d.at[nxt].set(-jnp.inf)  # exclude from future picks
+        return centroids, min_d
+
+    centroids, _ = jax.lax.fori_loop(1, k, body, (centroids0, min_d0))
+    return centroids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iter"))
+def kmeans_fit(
+    data: jax.Array, k: int, seed: int | jax.Array = 0, max_iter: int = 100
+):
+    """Fit k-means on ``data`` f32[N, d] → (centroids f32[k, d], labels u8[N]).
+
+    Early-stops when assignments stabilise (kmeans.go:97-117 changeCount).
+    """
+    n = data.shape[0]
+    sq_data = jnp.sum(data * data, axis=-1, keepdims=True)  # [N,1]
+    centroids = _init_furthest(data, k, jnp.asarray(seed, jnp.int32))
+
+    def assign(centroids):
+        sq_c = jnp.sum(centroids * centroids, axis=-1)[None, :]
+        cross = jax.lax.dot_general(
+            data,
+            centroids,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d = sq_data - 2.0 * cross + sq_c  # [N, K]
+        return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+    def cond(carry):
+        _, _, changed, it = carry
+        return jnp.logical_and(changed, it < max_iter)
+
+    def step(carry):
+        centroids, labels, _, it = carry
+        new_labels = assign(centroids)
+        changed = jnp.any(new_labels != labels)
+        onehot = jax.nn.one_hot(new_labels, k, dtype=jnp.float32)  # [N, K]
+        sums = jax.lax.dot_general(
+            onehot,
+            data,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [K, d]
+        counts = jnp.sum(onehot, axis=0)  # [K]
+        new_centroids = jnp.where(
+            (counts > 0)[:, None], sums / jnp.maximum(counts, 1.0)[:, None], centroids
+        )
+        return new_centroids, new_labels, changed, it + 1
+
+    labels0 = jnp.full((n,), -1, jnp.int32)
+    centroids, labels, _, _ = jax.lax.while_loop(
+        cond, step, (centroids, labels0, jnp.bool_(True), jnp.int32(0))
+    )
+    return centroids, labels.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iter"))
+def kmeans_fit_subvectors(
+    data: jax.Array, k: int, seed: int | jax.Array = 0, max_iter: int = 100
+):
+    """Vmapped per-subvector fit for PQ: data f32[M, N, dsub] →
+    (centroids f32[M, k, dsub], labels u8[M, N])."""
+    m = data.shape[0]
+    seeds = jnp.arange(m, dtype=jnp.int32) + jnp.asarray(seed, jnp.int32)
+    return jax.vmap(lambda d, s: kmeans_fit(d, k, s, max_iter))(data, seeds)

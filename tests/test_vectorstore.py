@@ -1,0 +1,196 @@
+"""Vector store / quantizer tests.
+
+Mirrors shard/vectorstore/vectorstore_test.go coverage: plain/binary/product
+set+get+distance, fit triggers, and recall sanity through the flat and
+vamana indices.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from semadb_tpu.index.flat import IndexFlat
+from semadb_tpu.index.vamana import IndexVamana
+from semadb_tpu.models.quantizer import (
+    BinaryQuantizerParams,
+    ProductQuantizerParams,
+    Quantizer,
+)
+from semadb_tpu.models.schema import VectorFlatParams, VectorVamanaParams
+from semadb_tpu.vectorstore import (
+    QuantConfig,
+    VectorStore,
+    kmeans_fit,
+    pq_encode,
+    pq_fit,
+    pq_gather_distance,
+    pq_query_table,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def test_kmeans_clusters_separated_data():
+    # 4 well-separated blobs must produce 4 distinct centroids
+    centers = np.array([[0, 0], [10, 0], [0, 10], [10, 10]], np.float32)
+    data = np.concatenate(
+        [c + 0.1 * RNG.standard_normal((50, 2)).astype(np.float32) for c in centers]
+    )
+    cent, labels = kmeans_fit(jnp.asarray(data), 4, seed=0)
+    cent = np.asarray(cent)
+    labels = np.asarray(labels)
+    # every blob maps to exactly one cluster
+    for blob in range(4):
+        blob_labels = labels[blob * 50 : (blob + 1) * 50]
+        assert len(set(blob_labels.tolist())) == 1
+    # centroids near blob centers
+    d = np.abs(cent[:, None, :] - centers[None, :, :]).sum(-1).min(axis=0)
+    assert np.all(d < 1.0)
+
+
+def test_kmeans_empty_cluster_keeps_centroid():
+    data = np.zeros((10, 2), np.float32)  # degenerate: all same point
+    cent, labels = kmeans_fit(jnp.asarray(data), 4, seed=1)
+    assert np.isfinite(np.asarray(cent)).all()
+
+
+def test_binary_store_fit_and_scan():
+    dim = 64
+    cfg = QuantConfig(kind="binary", dim=dim, metric="euclidean", trigger=50)
+    store = VectorStore(cfg)
+    vectors = jnp.asarray(RNG.standard_normal((128, dim)).astype(np.float32))
+    exists = jnp.asarray(np.arange(128) < 100)
+    assert not store.fitted
+    # under trigger → no fit
+    assert not store.maybe_fit(vectors, jnp.asarray(np.arange(128) < 10))
+    assert store.maybe_fit(vectors, exists)
+    assert store.fitted
+    # threshold is the per-dim mean of live rows
+    thr = np.asarray(store.state.aux)
+    expect = np.asarray(vectors)[:100].mean(0)
+    assert np.allclose(thr, expect, atol=1e-4)
+    # hamming distance of a vector to itself is 0
+    d = np.asarray(store.scan_distances(vectors[:4], vectors, exists))
+    assert np.allclose(np.diag(d[:, :4]), 0.0)
+
+
+def test_binary_fixed_threshold():
+    cfg = QuantConfig(kind="binary", dim=8, metric="euclidean", threshold=0.0)
+    store = VectorStore(cfg)
+    assert store.fitted  # fixed threshold → fitted immediately
+
+
+def test_pq_roundtrip_distance():
+    dim, m, k = 32, 8, 16
+    vectors = RNG.standard_normal((500, dim)).astype(np.float32)
+    cb = pq_fit(jnp.asarray(vectors), jnp.ones(500, bool), m, k)
+    codes = pq_encode(jnp.asarray(vectors), cb, m, k, "euclidean")
+    assert codes.shape == (500, m)
+    table = pq_query_table(jnp.asarray(vectors[:4]), cb, m, k, "euclidean")
+    assert table.shape == (4, m, k)
+    d = np.asarray(
+        pq_gather_distance(codes, jnp.arange(4)[:, None].astype(jnp.int32), table, k)
+    )
+    # ADC distance of a point to itself should be small (quantization error)
+    mean_self = float(np.mean(d[:, 0]))
+    rand_pair = float(
+        np.mean(
+            np.asarray(
+                pq_gather_distance(
+                    codes, jnp.asarray([[100, 200, 300, 400]], jnp.int32), table[:1], k
+                )
+            )
+        )
+    )
+    assert mean_self < rand_pair * 0.5
+
+
+def test_flat_index_plain():
+    params = VectorFlatParams(vector_size=16, distance_metric="euclidean")
+    idx = IndexFlat(params)
+    vecs = RNG.standard_normal((50, 16)).astype(np.float32)
+    ids = np.arange(2, 52)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert len(idx) == 50
+    d, i = idx.search_batch(vecs[:5], k=3)
+    assert list(i[:, 0]) == list(ids[:5])
+    # delete and confirm gone
+    idx.insert_update_delete([(2, None)])
+    d, i = idx.search_batch(vecs[:1], k=3)
+    assert 2 not in i[0]
+    # filter
+    fmask = np.zeros(idx.capacity, bool)
+    fmask[[10, 20]] = True
+    d, i = idx.search_batch(vecs[:1], k=5, filter_mask=fmask)
+    assert set(i[0][i[0] != -1].tolist()) <= {10, 20}
+
+
+def test_flat_index_binary_quantized():
+    q = Quantizer(
+        type="binary",
+        binary=BinaryQuantizerParams(distance_metric="hamming", trigger_threshold=30),
+    )
+    params = VectorFlatParams(vector_size=32, distance_metric="euclidean", quantizer=q)
+    idx = IndexFlat(params)
+    vecs = RNG.standard_normal((64, 32)).astype(np.float32)
+    ids = np.arange(2, 66)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert idx.store.fitted
+    d, i = idx.search_batch(vecs[:8], k=1)
+    # hamming self-distance = 0 → the point itself must rank first
+    assert np.sum(i[:, 0] == ids[:8]) >= 7
+    assert np.allclose(d[i[:, 0] == ids[:8], 0], 0)
+
+
+def test_vamana_binary_quantized_search():
+    q = Quantizer(
+        type="binary",
+        binary=BinaryQuantizerParams(distance_metric="hamming", trigger_threshold=100),
+    )
+    params = VectorVamanaParams(
+        vector_size=32,
+        distance_metric="euclidean",
+        search_size=36,
+        degree_bound=32,
+        quantizer=q,
+    )
+    idx = IndexVamana(params)
+    ids = np.arange(2, 302, dtype=np.int32)
+    vecs = (RNG.random((300, 32)) * 2).astype(np.float32)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert idx.store.fitted
+    d, i = idx.search_batch(vecs[:16], k=5)
+    hits = np.mean([ids[b] in i[b] for b in range(16)])
+    assert hits >= 0.8, f"BQ self-recall too low: {hits}"
+    # distances are hamming → integers
+    finite = d[np.isfinite(d)]
+    assert np.allclose(finite, np.round(finite))
+
+
+def test_vamana_product_quantized_search():
+    q = Quantizer(
+        type="product",
+        product=ProductQuantizerParams(
+            num_centroids=32, num_subvectors=4, trigger_threshold=1000
+        ),
+    )
+    params = VectorVamanaParams(
+        vector_size=32,
+        distance_metric="euclidean",
+        search_size=36,
+        degree_bound=32,
+        quantizer=q,
+    )
+    # lower the trigger artificially for the test via config override
+    idx = IndexVamana(params)
+    object.__setattr__(idx.store.config, "trigger", 100) if False else None
+    import dataclasses
+
+    idx.store.config = dataclasses.replace(idx.store.config, trigger=100)
+    ids = np.arange(2, 302, dtype=np.int32)
+    vecs = (RNG.random((300, 32)) * 2).astype(np.float32)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert idx.store.fitted
+    d, i = idx.search_batch(vecs[:16], k=5)
+    hits = np.mean([ids[b] in i[b] for b in range(16)])
+    assert hits >= 0.8, f"PQ self-recall too low: {hits}"

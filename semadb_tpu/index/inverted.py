@@ -1,0 +1,201 @@
+"""Inverted index for scalar properties (integer/float/string/stringArray).
+
+Parity reference: shard/index/inverted/ — term → id-set postings stored
+under byte-sortable keys so range/prefix queries become ordered scans
+(sortable.go:9-69: sign-flipped big-endian int64, IEEE-754 flip trick for
+float64, raw utf-8 for strings), operators equals/notEquals(full scan)/
+startsWith(prefix)/gt/gte/lt/lte/inRange(range scan) → union
+(inverted.go:168-284), case folding for strings (string.go:25-51) and
+per-element array diffing with containsAll/Any algebra (array.go:28-80).
+
+These indices stay host-side: they are pointer-chasing set algebra over
+tiny postings, not MXU work. Sets are sorted uint64 numpy arrays.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Optional, Set
+
+import numpy as np
+
+from semadb_tpu.models import constants as C
+from semadb_tpu.store.diskstore import Bucket
+
+# ---------------------------------------------------------------------------
+# Byte-sortable codecs (sortable.go)
+# ---------------------------------------------------------------------------
+
+
+def int64_to_sortable(v: int) -> bytes:
+    """Big-endian with flipped sign bit: preserves order for negatives."""
+    return struct.pack(">Q", (v + (1 << 63)) & ((1 << 64) - 1))
+
+
+def sortable_to_int64(b: bytes) -> int:
+    return struct.unpack(">Q", b)[0] - (1 << 63)
+
+
+def float64_to_sortable(v: float) -> bytes:
+    """IEEE-754 trick: flip all bits for negatives, sign bit for positives."""
+    bits = struct.unpack(">Q", struct.pack(">d", v))[0]
+    if bits & (1 << 63):
+        bits = ~bits & ((1 << 64) - 1)
+    else:
+        bits |= 1 << 63
+    return struct.pack(">Q", bits)
+
+
+def sortable_to_float64(b: bytes) -> float:
+    bits = struct.unpack(">Q", b)[0]
+    if bits & (1 << 63):
+        bits &= ~(1 << 63) & ((1 << 64) - 1)
+    else:
+        bits = ~bits & ((1 << 64) - 1)
+    return struct.unpack(">d", struct.pack(">Q", bits))[0]
+
+
+def to_sortable(value, kind: str) -> bytes:
+    if kind == "integer":
+        return int64_to_sortable(int(value))
+    if kind == "float":
+        return float64_to_sortable(float(value))
+    return str(value).encode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# Postings codec: sorted uint64 ids
+# ---------------------------------------------------------------------------
+
+
+def _encode_set(ids: Set[int]) -> bytes:
+    arr = np.fromiter(sorted(ids), dtype=np.uint64, count=len(ids))
+    return arr.tobytes()
+
+
+def _decode_set(raw: Optional[bytes]) -> Set[int]:
+    if not raw:
+        return set()
+    return set(int(x) for x in np.frombuffer(raw, dtype=np.uint64))
+
+
+class IndexInverted:
+    """Generic inverted index over one property (inverted.go IndexInverted[T])."""
+
+    def __init__(self, bucket: Bucket, kind: str, case_sensitive: bool = True):
+        self.bucket = bucket
+        self.kind = kind  # "integer" | "float" | "string"
+        self.case_sensitive = case_sensitive
+
+    def _transform(self, value):
+        if self.kind == "string" and not self.case_sensitive:
+            return str(value).casefold()
+        return value
+
+    def _key(self, value) -> bytes:
+        return to_sortable(self._transform(value), self.kind)
+
+    # -- writes ------------------------------------------------------------
+    def insert(self, node_id: int, value) -> None:
+        key = self._key(value)
+        s = _decode_set(self.bucket.get(key))
+        s.add(node_id)
+        self.bucket.put(key, _encode_set(s))
+
+    def delete(self, node_id: int, value) -> None:
+        key = self._key(value)
+        s = _decode_set(self.bucket.get(key))
+        s.discard(node_id)
+        if s:
+            self.bucket.put(key, _encode_set(s))
+        else:
+            self.bucket.delete(key)
+
+    def update(self, node_id: int, old_value, new_value) -> None:
+        if self._transform(old_value) == self._transform(new_value):
+            return
+        self.delete(node_id, old_value)
+        self.insert(node_id, new_value)
+
+    # -- search ------------------------------------------------------------
+    def search(self, value, end_value, operator: str) -> Set[int]:
+        value = self._transform(value)
+        key = to_sortable(value, self.kind)
+        out: Set[int] = set()
+        if operator == C.OPERATOR_EQUALS:
+            return _decode_set(self.bucket.get(key))
+        if operator == C.OPERATOR_NOT_EQUALS:
+            for k, v in self.bucket.items():
+                if k != key:
+                    out |= _decode_set(v)
+            return out
+        if operator == C.OPERATOR_STARTS_WITH:
+            if self.kind != "string":
+                raise ValueError("startsWith only supported for string properties")
+            for _, v in self.bucket.prefix_scan(key):
+                out |= _decode_set(v)
+            return out
+        # Range operators via ordered scans
+        lo, hi = b"\x00" * 0, b"\xff" * 9
+        include_start = include_end = True
+        if operator == C.OPERATOR_GREATER_THAN:
+            lo, hi, include_start = key, None, False
+        elif operator == C.OPERATOR_GREATER_OR_EQ:
+            lo, hi = key, None
+        elif operator == C.OPERATOR_LESS_THAN:
+            lo, hi, include_end = None, key, False
+        elif operator == C.OPERATOR_LESS_OR_EQ:
+            lo, hi = None, key
+        elif operator == C.OPERATOR_IN_RANGE:
+            end_value = self._transform(end_value)
+            lo, hi = key, to_sortable(end_value, self.kind)
+        else:
+            raise ValueError(f"unknown operator {operator}")
+        for k, v in self.bucket.items():
+            if lo is not None and (k < lo or (not include_start and k == lo)):
+                continue
+            if hi is not None and (k > hi or (not include_end and k == hi)):
+                continue
+            out |= _decode_set(v)
+        return out
+
+
+class IndexInvertedArray:
+    """String-array inverted index (array.go): per-element postings with
+    containsAll/containsAny set algebra and element-level update diffing."""
+
+    def __init__(self, bucket: Bucket, case_sensitive: bool = False):
+        self.inner = IndexInverted(bucket, "string", case_sensitive)
+
+    def insert(self, node_id: int, values: Iterable[str]) -> None:
+        for v in set(values):
+            self.inner.insert(node_id, v)
+
+    def delete(self, node_id: int, values: Iterable[str]) -> None:
+        for v in set(values):
+            self.inner.delete(node_id, v)
+
+    def update(self, node_id: int, old_values, new_values) -> None:
+        t = self.inner._transform
+        old_set = {t(v) for v in (old_values or [])}
+        new_set = {t(v) for v in (new_values or [])}
+        for v in old_set - new_set:
+            self.inner.delete(node_id, v)
+        for v in new_set - old_set:
+            self.inner.insert(node_id, v)
+
+    def search(self, values: Iterable[str], operator: str) -> Set[int]:
+        sets = [self.inner.search(v, None, C.OPERATOR_EQUALS) for v in values]
+        if not sets:
+            return set()
+        if operator == C.OPERATOR_CONTAINS_ALL:
+            out = sets[0]
+            for s in sets[1:]:
+                out &= s
+            return out
+        if operator == C.OPERATOR_CONTAINS_ANY:
+            out = set()
+            for s in sets:
+                out |= s
+            return out
+        raise ValueError(f"unknown operator {operator}")

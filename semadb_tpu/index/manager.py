@@ -1,0 +1,307 @@
+"""Index manager: schema-driven dispatch of point changes + query execution.
+
+Parity reference: shard/index/manager.go, dispatch.go, search.go, utils.go.
+
+Dispatch (dispatch.go:33-110): for every schema property, diff the old/new
+msgpack documents to classify insert/update/delete/skip (utils.go:38-69),
+then route the change batch to that property's index. Bucket naming parity:
+``index/<type>/<property>``.
+
+Search (search.go:21-298): recursive query-tree execution. ``_and``/``_or``
+combine child result sets (intersection/union) and sum hybrid scores of
+duplicated results; ``_id`` resolves UUIDs directly; vector queries compute
+their filter subquery first and hand the allowed-id set to the index.
+
+Device indices (vamana/flat) live across transactions in a host-side
+registry — the analog of the reference's shared cache manager
+(cache/manager.go) holding hot indices between bbolt transactions.
+"""
+
+from __future__ import annotations
+
+import uuid as uuid_mod
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from semadb_tpu.index.flat import IndexFlat
+from semadb_tpu.index.inverted import IndexInverted, IndexInvertedArray
+from semadb_tpu.index.text import IndexText
+from semadb_tpu.index.vamana import IndexVamana
+from semadb_tpu.models import constants as C
+from semadb_tpu.models.errors import ValidationError
+from semadb_tpu.models.point import SearchResult, access_nested, decode_point_data
+from semadb_tpu.models.query import Query
+from semadb_tpu.models.schema import IndexSchema
+from semadb_tpu.shard import pointstore
+from semadb_tpu.store.diskstore import BucketManager
+
+OP_INSERT = "insert"
+OP_UPDATE = "update"
+OP_DELETE = "delete"
+OP_SKIP = "skip"
+
+
+def get_operation(prop: str, prev_data: Optional[bytes], new_data: Optional[bytes]):
+    """(prev_value, new_value, op) for one property (utils.go:38-69)."""
+    prev = access_nested(decode_point_data(prev_data), prop) if prev_data else None
+    cur = access_nested(decode_point_data(new_data), prop) if new_data else None
+    if prev is None and cur is not None:
+        return prev, cur, OP_INSERT
+    if prev is not None and cur is not None:
+        return prev, cur, OP_UPDATE
+    if prev is not None and cur is None:
+        return prev, cur, OP_DELETE
+    return prev, cur, OP_SKIP
+
+
+class IndexPointChange:
+    __slots__ = ("node_id", "previous_data", "new_data")
+
+    def __init__(self, node_id: int, previous_data: Optional[bytes], new_data: Optional[bytes]):
+        self.node_id = node_id
+        self.previous_data = previous_data
+        self.new_data = new_data
+
+
+class IndexManager:
+    def __init__(
+        self,
+        bm: BucketManager,
+        schema: IndexSchema,
+        device_registry: Dict[str, object],
+    ):
+        self.bm = bm
+        self.schema = schema
+        self.devices = device_registry  # bucket_name → IndexVamana | IndexFlat
+
+    # -- index accessors ---------------------------------------------------
+    @staticmethod
+    def bucket_name(itype: str, prop: str) -> str:
+        return f"index/{itype}/{prop}"
+
+    def _device_index(self, itype: str, prop: str, params):
+        name = self.bucket_name(itype, prop)
+        idx = self.devices.get(name)
+        if idx is None:
+            if itype == C.INDEX_TYPE_VECTOR_VAMANA:
+                idx = IndexVamana(params)
+            else:
+                idx = IndexFlat(params)
+            self.devices[name] = idx
+        return idx
+
+    # -- dispatch ----------------------------------------------------------
+    def dispatch(self, changes: List[IndexPointChange]) -> None:
+        per_property: Dict[str, List[Tuple[int, object, object, str]]] = {}
+        for ch in changes:
+            for prop, params in self.schema.items():
+                prev, cur, op = get_operation(prop, ch.previous_data, ch.new_data)
+                if op == OP_SKIP:
+                    continue
+                per_property.setdefault(prop, []).append((ch.node_id, prev, cur, op))
+
+        for prop, items in per_property.items():
+            params = self.schema.get(prop)
+            itype = params.type
+            if itype == C.INDEX_TYPE_VECTOR_VAMANA:
+                idx = self._device_index(itype, prop, params.vector_vamana)
+                idx.insert_update_delete(
+                    (nid, np.asarray(cur, np.float32) if op != OP_DELETE else None)
+                    for nid, _, cur, op in items
+                )
+            elif itype == C.INDEX_TYPE_VECTOR_FLAT:
+                idx = self._device_index(itype, prop, params.vector_flat)
+                idx.insert_update_delete(
+                    (nid, np.asarray(cur, np.float32) if op != OP_DELETE else None)
+                    for nid, _, cur, op in items
+                )
+            elif itype == C.INDEX_TYPE_TEXT:
+                t = IndexText(self.bm.get(self.bucket_name(itype, prop)), params.text.analyser)
+                for nid, prev, cur, op in items:
+                    if op == OP_INSERT:
+                        t.insert(nid, cur)
+                    elif op == OP_UPDATE:
+                        t.update(nid, cur)
+                    else:
+                        t.delete(nid)
+            elif itype in (C.INDEX_TYPE_STRING, C.INDEX_TYPE_INTEGER, C.INDEX_TYPE_FLOAT):
+                kind = {
+                    C.INDEX_TYPE_STRING: "string",
+                    C.INDEX_TYPE_INTEGER: "integer",
+                    C.INDEX_TYPE_FLOAT: "float",
+                }[itype]
+                case_sensitive = (
+                    params.string.case_sensitive if itype == C.INDEX_TYPE_STRING and params.string else True
+                )
+                inv = IndexInverted(
+                    self.bm.get(self.bucket_name(itype, prop)), kind, case_sensitive
+                )
+                for nid, prev, cur, op in items:
+                    if op == OP_INSERT:
+                        inv.insert(nid, cur)
+                    elif op == OP_UPDATE:
+                        inv.update(nid, prev, cur)
+                    else:
+                        inv.delete(nid, prev)
+            elif itype == C.INDEX_TYPE_STRING_ARRAY:
+                case_sensitive = params.string_array.case_sensitive if params.string_array else False
+                arr = IndexInvertedArray(
+                    self.bm.get(self.bucket_name(itype, prop)), case_sensitive
+                )
+                for nid, prev, cur, op in items:
+                    if op == OP_INSERT:
+                        arr.insert(nid, cur)
+                    elif op == OP_UPDATE:
+                        arr.update(nid, prev, cur)
+                    else:
+                        arr.delete(nid, prev)
+            else:
+                raise ValidationError(f"unknown index type {itype}")
+
+    # -- search ------------------------------------------------------------
+    def search(self, q: Query) -> Tuple[Set[int], List[SearchResult]]:
+        if q.property == "_and":
+            return self._search_combined(q.and_, disjunction=False)
+        if q.property == "_or":
+            return self._search_combined(q.or_, disjunction=True)
+        if q.property == "_id":
+            return self._search_by_id(q)
+
+        params = self.schema.get(q.property)
+        if params is None:
+            raise ValidationError(f"property {q.property} not found in index schema")
+        itype = params.type
+
+        if itype == C.INDEX_TYPE_VECTOR_VAMANA:
+            opts = q.vector_vamana
+            filter_set = None
+            if opts.filter is not None:
+                filter_set, _ = self.search(opts.filter)
+            idx = self._device_index(itype, q.property, params.vector_vamana)
+            return self._vector_search(
+                idx, opts.vector, opts.limit, opts.weight,
+                search_size=opts.search_size, filter_set=filter_set,
+            )
+        if itype == C.INDEX_TYPE_VECTOR_FLAT:
+            opts = q.vector_flat
+            filter_set = None
+            if opts.filter is not None:
+                filter_set, _ = self.search(opts.filter)
+            idx = self._device_index(itype, q.property, params.vector_flat)
+            return self._vector_search(
+                idx, opts.vector, opts.limit, opts.weight, filter_set=filter_set
+            )
+        if itype == C.INDEX_TYPE_TEXT:
+            filter_set = None
+            if q.text.filter is not None:
+                filter_set, _ = self.search(q.text.filter)
+            t = IndexText(
+                self.bm.get(self.bucket_name(itype, q.property)), params.text.analyser
+            )
+            return t.search(q.text, filter_set)
+        if itype in (C.INDEX_TYPE_STRING, C.INDEX_TYPE_INTEGER, C.INDEX_TYPE_FLOAT):
+            kind = {
+                C.INDEX_TYPE_STRING: "string",
+                C.INDEX_TYPE_INTEGER: "integer",
+                C.INDEX_TYPE_FLOAT: "float",
+            }[itype]
+            case_sensitive = (
+                params.string.case_sensitive if itype == C.INDEX_TYPE_STRING and params.string else True
+            )
+            inv = IndexInverted(
+                self.bm.get(self.bucket_name(itype, q.property)), kind, case_sensitive
+            )
+            o = {"string": q.string, "integer": q.integer, "float": q.float_}[kind]
+            return inv.search(o.value, o.end_value, o.operator), []
+        if itype == C.INDEX_TYPE_STRING_ARRAY:
+            case_sensitive = params.string_array.case_sensitive if params.string_array else False
+            arr = IndexInvertedArray(
+                self.bm.get(self.bucket_name(itype, q.property)), case_sensitive
+            )
+            return arr.search(q.string_array.value, q.string_array.operator), []
+        raise ValidationError(f"search not supported for type {itype}")
+
+    def _vector_search(self, idx, vector, limit, weight, search_size=0, filter_set=None):
+        """Shared vamana/flat search: hybrid score = -distance * weight
+        (vamana.go Search:...; flat.go equivalent)."""
+        q = np.asarray(vector, np.float32)[None, :]
+        filter_mask = None
+        if filter_set is not None:
+            cap = idx.state.capacity if hasattr(idx, "state") else idx.capacity
+            filter_mask = np.zeros(cap, bool)
+            ids_in = [i for i in filter_set if i < cap]
+            filter_mask[ids_in] = True
+        if isinstance(idx, IndexVamana):
+            d, i = idx.search_batch(q, k=limit, search_size=search_size, filter_mask=filter_mask)
+        else:
+            d, i = idx.search_batch(q, k=limit, filter_mask=filter_mask)
+        w = weight if weight is not None else 1.0
+        rset: Set[int] = set()
+        results: List[SearchResult] = []
+        for dist, nid in zip(d[0], i[0]):
+            if nid < 0 or not np.isfinite(dist):
+                continue
+            rset.add(int(nid))
+            results.append(
+                SearchResult(
+                    point=None,
+                    node_id=int(nid),
+                    distance=float(dist),
+                    hybrid_score=-float(dist) * w,
+                )
+            )
+        return rset, results
+
+    def _search_by_id(self, q: Query) -> Tuple[Set[int], List[SearchResult]]:
+        """searchById (search.go:171-209): direct UUID → node id lookup."""
+        bucket = self.bm.get(pointstore.POINTS_BUCKET_NAME)
+        if q.string is not None:
+            if q.string.operator != C.OPERATOR_EQUALS:
+                raise ValidationError(f"only equals operator supported for _id")
+            ids = [q.string.value]
+        elif q.string_array is not None:
+            if q.string_array.operator != C.OPERATOR_CONTAINS_ANY:
+                raise ValidationError("only containsAny operator supported for _id")
+            ids = q.string_array.value
+        else:
+            raise ValidationError("only string/stringArray queries supported for _id")
+        rset: Set[int] = set()
+        for v in ids:
+            try:
+                nid = pointstore.get_point_node_id_by_uuid(bucket, uuid_mod.UUID(v))
+                rset.add(nid)
+            except Exception:
+                continue  # missing points silently skipped (search.go:204)
+        return rset, []
+
+    def _search_combined(self, queries: List[Query], disjunction: bool):
+        """searchParallel (search.go:211-298): execute children, AND/OR the
+        sets, dedup results summing hybrid scores."""
+        outs = [self.search(sub) for sub in queries]
+        if len(outs) == 1:
+            return outs[0]
+        sets = [s for s, _ in outs]
+        final: Set[int] = set(sets[0])
+        for s in sets[1:]:
+            final = (final | s) if disjunction else (final & s)
+        merged: Dict[int, SearchResult] = {}
+        order: List[int] = []
+        for _, results in outs:
+            for r in results:
+                if not disjunction and r.node_id not in final:
+                    continue
+                if r.node_id not in merged:
+                    merged[r.node_id] = r
+                    order.append(r.node_id)
+                else:
+                    m = merged[r.node_id]
+                    m.hybrid_score += r.hybrid_score
+                    if m.distance is None and r.distance is not None:
+                        m.distance = r.distance
+                    if m.score is None and r.score is not None:
+                        m.score = r.score
+        final_results = sorted(
+            (merged[n] for n in order), key=lambda r: -r.hybrid_score
+        )
+        return final, final_results

@@ -1,0 +1,156 @@
+"""Full-text index with TF-IDF ranking.
+
+Parity reference: shard/index/text/text.go — bleve "standard" analyser
+(unicode word tokenization, lowercasing, English stop-word removal), term →
+doc-id postings plus per-doc term-frequency maps, TF-IDF scoring
+``tf * log10(N / (df + 1))`` with tf = freq/doc_length (text.go:353-372),
+containsAll → intersection / containsAny → union, filter intersection, sort
+by score descending and truncate both results and result set to the limit
+(text.go:305-396).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import struct
+from typing import Dict, Optional, Set, Tuple
+
+import msgpack
+
+from semadb_tpu.models import constants as C
+from semadb_tpu.models.point import SearchResult
+from semadb_tpu.models.query import TextOptions
+from semadb_tpu.store.diskstore import Bucket
+
+# Lucene/bleve classic English stop set (the "standard" analyser's filter)
+STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+NUM_DOCS_KEY = b"_numDocs"
+_SET_PREFIX = b"t"  # t<term>s → postings (text.go key layout)
+_DOC_PREFIX = b"d"  # d<8B docId> → {term: freq} + length
+
+
+def analyse(value: str) -> list[str]:
+    """Standard analyser: unicode word tokens, lowercased, stop words removed."""
+    return [t for t in (m.group(0).lower() for m in _TOKEN_RE.finditer(value)) if t not in STOP_WORDS]
+
+
+def _set_key(term: str) -> bytes:
+    return _SET_PREFIX + term.encode("utf-8") + b"s"
+
+
+def _doc_key(doc_id: int) -> bytes:
+    return _DOC_PREFIX + struct.pack("<Q", doc_id)
+
+
+class IndexText:
+    def __init__(self, bucket: Bucket, analyser: str = "standard"):
+        if analyser != "standard":
+            raise ValueError(f"unknown analyser {analyser}")
+        self.bucket = bucket
+
+    # -- helpers -----------------------------------------------------------
+    @property
+    def num_docs(self) -> int:
+        raw = self.bucket.get(NUM_DOCS_KEY)
+        return struct.unpack("<Q", raw)[0] if raw else 0
+
+    def _set_num_docs(self, n: int) -> None:
+        self.bucket.put(NUM_DOCS_KEY, struct.pack("<Q", max(n, 0)))
+
+    def _get_postings(self, term: str) -> Set[int]:
+        raw = self.bucket.get(_set_key(term))
+        return set(msgpack.unpackb(raw)) if raw else set()
+
+    def _put_postings(self, term: str, ids: Set[int]) -> None:
+        if ids:
+            self.bucket.put(_set_key(term), msgpack.packb(sorted(ids)))
+        else:
+            self.bucket.delete(_set_key(term))
+
+    def _get_doc(self, doc_id: int) -> Optional[Tuple[Dict[str, int], int]]:
+        raw = self.bucket.get(_doc_key(doc_id))
+        if raw is None:
+            return None
+        obj = msgpack.unpackb(raw, raw=False)
+        return obj["terms"], obj["length"]
+
+    # -- writes ------------------------------------------------------------
+    def insert(self, doc_id: int, value: str) -> None:
+        tokens = analyse(value)
+        freqs: Dict[str, int] = {}
+        for t in tokens:
+            freqs[t] = freqs.get(t, 0) + 1
+        self.bucket.put(
+            _doc_key(doc_id), msgpack.packb({"terms": freqs, "length": max(len(tokens), 1)})
+        )
+        for term in freqs:
+            ids = self._get_postings(term)
+            ids.add(doc_id)
+            self._put_postings(term, ids)
+        self._set_num_docs(self.num_docs + 1)
+
+    def delete(self, doc_id: int) -> None:
+        doc = self._get_doc(doc_id)
+        if doc is None:
+            return
+        freqs, _ = doc
+        for term in freqs:
+            ids = self._get_postings(term)
+            ids.discard(doc_id)
+            self._put_postings(term, ids)
+        self.bucket.delete(_doc_key(doc_id))
+        self._set_num_docs(self.num_docs - 1)
+
+    def update(self, doc_id: int, value: str) -> None:
+        self.delete(doc_id)
+        self.insert(doc_id, value)
+
+    # -- search ------------------------------------------------------------
+    def search(
+        self, options: TextOptions, filter_set: Optional[Set[int]] = None
+    ) -> Tuple[Set[int], list[SearchResult]]:
+        query_terms = set(analyse(options.value))
+        sets = [self._get_postings(t) for t in query_terms]
+        if not sets:
+            final: Set[int] = set()
+        elif options.operator == C.OPERATOR_CONTAINS_ALL:
+            final = sets[0].copy()
+            for s in sets[1:]:
+                final &= s
+        else:
+            final = set()
+            for s in sets:
+                final |= s
+        if filter_set is not None:
+            final &= filter_set
+        weight = options.weight if options.weight is not None else 1.0
+        n_docs = self.num_docs
+        results = []
+        df = {t: len(self._get_postings(t)) for t in query_terms}
+        for doc_id in final:
+            doc = self._get_doc(doc_id)
+            if doc is None:
+                continue
+            freqs, length = doc
+            score = 0.0
+            for term in query_terms:
+                tf = freqs.get(term, 0) / length
+                idf = math.log10(n_docs / (df[term] + 1)) if n_docs else 0.0
+                score += tf * idf
+            results.append(
+                SearchResult(
+                    point=None, node_id=doc_id, score=score, hybrid_score=score * weight
+                )
+            )
+        results.sort(key=lambda r: -r.score)
+        if len(results) > options.limit:
+            results = results[: options.limit]
+            final = {r.node_id for r in results}
+        return final, results

@@ -1,0 +1,73 @@
+"""Point store: UUID ↔ node-id mapping + msgpack point data.
+
+Parity reference: shard/pointstore/pointstore.go with the same key layout:
+``n<8B id>i`` → uuid bytes, ``n<8B id>d`` → msgpack data,
+``p<uuid 16B>i`` → node id (pointstore.go:40-53).
+"""
+
+from __future__ import annotations
+
+import struct
+import uuid as uuid_mod
+from dataclasses import dataclass
+from typing import Optional
+
+from semadb_tpu.models.errors import NotFoundError
+from semadb_tpu.models.point import Point
+from semadb_tpu.store.diskstore import Bucket
+
+POINTS_BUCKET_NAME = "points"
+
+
+def node_key(node_id: int, suffix: bytes) -> bytes:
+    return b"n" + struct.pack("<Q", node_id) + suffix
+
+
+def point_key(point_id: uuid_mod.UUID) -> bytes:
+    return b"p" + point_id.bytes + b"i"
+
+
+@dataclass
+class ShardPoint:
+    point: Point
+    node_id: int
+
+
+def set_point(bucket: Bucket, sp: ShardPoint) -> None:
+    bucket.put(node_key(sp.node_id, b"i"), sp.point.id.bytes)
+    bucket.put(node_key(sp.node_id, b"d"), sp.point.data or b"")
+    bucket.put(point_key(sp.point.id), struct.pack("<Q", sp.node_id))
+
+
+def check_point_exists(bucket: Bucket, point_id: uuid_mod.UUID) -> bool:
+    return bucket.get(point_key(point_id)) is not None
+
+
+def get_point_node_id_by_uuid(bucket: Bucket, point_id: uuid_mod.UUID) -> int:
+    raw = bucket.get(point_key(point_id))
+    if raw is None:
+        raise NotFoundError(f"point not found: {point_id}")
+    return struct.unpack("<Q", raw)[0]
+
+
+def get_point_by_uuid(bucket: Bucket, point_id: uuid_mod.UUID) -> ShardPoint:
+    node_id = get_point_node_id_by_uuid(bucket, point_id)
+    data = bucket.get(node_key(node_id, b"d")) or b""
+    return ShardPoint(point=Point(id=point_id, data=data), node_id=node_id)
+
+
+def get_point_by_node_id(
+    bucket: Bucket, node_id: int, with_data: bool = True
+) -> ShardPoint:
+    raw = bucket.get(node_key(node_id, b"i"))
+    if raw is None:
+        raise NotFoundError(f"node not found: {node_id}")
+    pid = uuid_mod.UUID(bytes=raw)
+    data = (bucket.get(node_key(node_id, b"d")) or b"") if with_data else b""
+    return ShardPoint(point=Point(id=pid, data=data), node_id=node_id)
+
+
+def delete_point(bucket: Bucket, sp: ShardPoint) -> None:
+    bucket.delete(node_key(sp.node_id, b"i"))
+    bucket.delete(node_key(sp.node_id, b"d"))
+    bucket.delete(point_key(sp.point.id))

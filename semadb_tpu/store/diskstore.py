@@ -1,0 +1,156 @@
+"""Key-value disk store abstraction: transactions over named buckets.
+
+Parity reference: diskstore/ (diskstore.go Read/Write txn closures over a
+BucketManager; bbolt.go file backend with a single writer and many readers;
+memstore.go map backend selected by empty path). The Python file backend
+snapshots all buckets to one file with an atomic rename on write-commit —
+the same "one portable file per shard" property the cluster sync relies on
+(cluster/sync.go ships whole shard files). A C++ mmap backend can slot in
+behind the same interface (store/native.py).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import msgpack
+
+
+class Bucket:
+    """Ordered byte-key bucket (diskstore.go:45-65 Bucket interface)."""
+
+    def __init__(self, data: Optional[Dict[bytes, bytes]] = None, read_only: bool = False):
+        self._data: Dict[bytes, bytes] = data if data is not None else {}
+        self._read_only = read_only
+
+    def get(self, key: bytes) -> Optional[bytes]:
+        return self._data.get(key)
+
+    def put(self, key: bytes, value: bytes) -> None:
+        if self._read_only:
+            raise RuntimeError("bucket is read-only")
+        self._data[key] = value
+
+    def delete(self, key: bytes) -> None:
+        if self._read_only:
+            raise RuntimeError("bucket is read-only")
+        self._data.pop(key, None)
+
+    def for_each(self, fn: Callable[[bytes, bytes], bool | None]) -> None:
+        """Iterate in key order; fn returning False stops early."""
+        for k in sorted(self._data):
+            if fn(k, self._data[k]) is False:
+                return
+
+    def items(self) -> Iterator[Tuple[bytes, bytes]]:
+        for k in sorted(self._data):
+            yield k, self._data[k]
+
+    def prefix_scan(self, prefix: bytes) -> Iterator[Tuple[bytes, bytes]]:
+        for k in sorted(self._data):
+            if k.startswith(prefix):
+                yield k, self._data[k]
+
+    def range_scan(self, start: bytes, end: bytes) -> Iterator[Tuple[bytes, bytes]]:
+        """Keys in [start, end] inclusive (inverted.go range semantics)."""
+        for k in sorted(self._data):
+            if start <= k <= end:
+                yield k, self._data[k]
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+
+class BucketManager:
+    """Named-bucket accessor handed to transaction closures."""
+
+    def __init__(self, buckets: Dict[str, Dict[bytes, bytes]], read_only: bool):
+        self._buckets = buckets
+        self._read_only = read_only
+
+    def get(self, name: str) -> Bucket:
+        if name not in self._buckets:
+            if self._read_only:
+                # Read-only txns get an empty throwaway bucket (bbolt returns
+                # bucket-not-found; the reference's callers treat it as empty)
+                return Bucket({}, read_only=True)
+            self._buckets[name] = {}
+        return Bucket(self._buckets[name], read_only=self._read_only)
+
+    def delete(self, name: str) -> None:
+        if self._read_only:
+            raise RuntimeError("read-only transaction")
+        self._buckets.pop(name, None)
+
+    def bucket_names(self):
+        return list(self._buckets.keys())
+
+
+class DiskStore:
+    """Single-writer transactional store over named buckets.
+
+    ``path == ""`` → pure in-memory (memstore.go); otherwise file-backed
+    with load-on-open and atomic snapshot-on-commit.
+    """
+
+    MAGIC = b"SDBT1"
+
+    def __init__(self, path: str = ""):
+        self.path = path
+        self._buckets: Dict[str, Dict[bytes, bytes]] = {}
+        self._write_lock = threading.Lock()
+        if path and os.path.exists(path):
+            self._load()
+
+    # -- persistence -------------------------------------------------------
+    def _load(self) -> None:
+        with open(self.path, "rb") as f:
+            blob = f.read()
+        if not blob:
+            return
+        if not blob.startswith(self.MAGIC):
+            raise ValueError(f"not a semadb store file: {self.path}")
+        raw = msgpack.unpackb(blob[len(self.MAGIC):], raw=True, strict_map_key=False)
+        self._buckets = {
+            name.decode() if isinstance(name, bytes) else name: dict(kv)
+            for name, kv in raw.items()
+        }
+
+    def _flush(self) -> None:
+        if not self.path:
+            return
+        blob = self.MAGIC + msgpack.packb(self._buckets, use_bin_type=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+
+    # -- transactions ------------------------------------------------------
+    def read(self, fn: Callable[[BucketManager], None]):
+        return fn(BucketManager(self._buckets, read_only=True))
+
+    def write(self, fn: Callable[[BucketManager], None]):
+        with self._write_lock:
+            out = fn(BucketManager(self._buckets, read_only=False))
+            self._flush()
+            return out
+
+    def backup_to_file(self, dest: str) -> None:
+        """bbolt.BackupToFile analog: atomic full snapshot copy."""
+        blob = self.MAGIC + msgpack.packb(self._buckets, use_bin_type=True)
+        tmp = dest + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, dest)
+
+    def close(self) -> None:
+        self._flush()
+
+
+def open_store(path: str = "") -> DiskStore:
+    """diskstore.Open parity: empty path → memory backend."""
+    return DiskStore(path)

@@ -1,0 +1,223 @@
+"""HTTP API tests through a real server socket.
+
+Mirrors httpapi/v2/handlers_test.go + v1/handlers_test.go: full CRUD+search
+through HTTP with X-User-Id/X-Plan-Id headers, auth errors, quota, invalid
+schema, nonexistent collection, msgpack bodies.
+"""
+
+import json
+import uuid
+
+import msgpack
+import pytest
+import requests
+
+from semadb_tpu.cluster.node import ClusterNode, ClusterNodeConfig
+from semadb_tpu.httpapi.server import HttpApiConfig, HttpServer
+from semadb_tpu.models.collection import UserPlan
+
+HEADERS = {"X-User-Id": "testy", "X-Plan-Id": "BASIC"}
+
+
+@pytest.fixture()
+def server(tmp_path):
+    node = ClusterNode(
+        ClusterNodeConfig(root_dir=str(tmp_path), rpc_host="127.0.0.1", rpc_port=0)
+    )
+    node.serve()
+    cfg = HttpApiConfig(
+        http_host="127.0.0.1",
+        http_port=0,
+        user_plans={"BASIC": UserPlan(name="BASIC", max_collections=2)},
+    )
+    srv = HttpServer(node, cfg)
+    srv.serve_background()
+    yield f"http://127.0.0.1:{srv.port}"
+    srv.shutdown()
+    node.close()
+
+
+def make_collection(base, cid="mycol"):
+    return requests.post(
+        f"{base}/v2/collections",
+        json={
+            "id": cid,
+            "indexSchema": {
+                "vector": {
+                    "type": "vectorVamana",
+                    "vectorVamana": {
+                        "vectorSize": 2,
+                        "distanceMetric": "euclidean",
+                        "searchSize": 36,
+                        "degreeBound": 32,
+                    },
+                },
+                "size": {"type": "integer"},
+            },
+        },
+        headers=HEADERS,
+    )
+
+
+def test_auth_required(server):
+    r = requests.get(f"{server}/v2/collections")
+    assert r.status_code == 400
+    assert "X-User-Id" in r.json()["error"]
+    r2 = requests.get(
+        f"{server}/v2/collections", headers={"X-User-Id": "u", "X-Plan-Id": "NOPE"}
+    )
+    assert r2.status_code == 400
+    assert "unknown user plan" in r2.json()["error"]
+
+
+def test_v1_ping_no_auth(server):
+    r = requests.get(f"{server}/v1/ping")
+    assert r.status_code == 200
+    assert "pong" in r.json()["message"]
+
+
+def test_collection_crud(server):
+    assert make_collection(server).status_code == 200
+    # duplicate
+    assert make_collection(server).status_code == 409
+    # invalid id
+    r = requests.post(
+        f"{server}/v2/collections",
+        json={"id": "x", "indexSchema": {}},
+        headers=HEADERS,
+    )
+    assert r.status_code == 400
+    # invalid schema
+    r = requests.post(
+        f"{server}/v2/collections",
+        json={"id": "badschema", "indexSchema": {"x": {"type": "wat"}}},
+        headers=HEADERS,
+    )
+    assert r.status_code == 400
+    # quota: max 2 collections
+    assert make_collection(server, "second").status_code == 200
+    assert make_collection(server, "third").status_code == 403
+    # list
+    r = requests.get(f"{server}/v2/collections", headers=HEADERS)
+    assert {c["id"] for c in r.json()["collections"]} == {"mycol", "second"}
+    # get
+    r = requests.get(f"{server}/v2/collections/mycol", headers=HEADERS)
+    assert r.status_code == 200
+    assert r.json()["indexSchema"]["vector"]["type"] == "vectorVamana"
+    # unknown
+    assert (
+        requests.get(f"{server}/v2/collections/ghost", headers=HEADERS).status_code
+        == 404
+    )
+    # delete
+    assert (
+        requests.delete(f"{server}/v2/collections/second", headers=HEADERS).status_code
+        == 200
+    )
+    r = requests.get(f"{server}/v2/collections", headers=HEADERS)
+    assert {c["id"] for c in r.json()["collections"]} == {"mycol"}
+
+
+def test_point_crud_and_search(server):
+    make_collection(server)
+    points = [{"vector": [float(i), float(i)], "size": i} for i in range(20)]
+    points[0]["_id"] = str(uuid.UUID(int=99))
+    r = requests.post(
+        f"{server}/v2/collections/mycol/points", json={"points": points}, headers=HEADERS
+    )
+    assert r.status_code == 200, r.text
+    assert r.json()["failedRanges"] == []
+
+    # search
+    r = requests.post(
+        f"{server}/v2/collections/mycol/points/search",
+        json={
+            "query": {
+                "property": "vector",
+                "vectorVamana": {
+                    "vector": [5.0, 5.0],
+                    "operator": "near",
+                    "searchSize": 36,
+                    "limit": 3,
+                },
+            },
+            "limit": 3,
+        },
+        headers=HEADERS,
+    )
+    assert r.status_code == 200, r.text
+    pts = r.json()["points"]
+    assert len(pts) == 3
+    assert pts[0]["size"] == 5
+    assert pts[0]["_distance"] == pytest.approx(0.0, abs=1e-5)
+    assert "_id" in pts[0] and "_hybridScore" in pts[0]
+
+    # update with explicit _id
+    r = requests.put(
+        f"{server}/v2/collections/mycol/points",
+        json={"points": [{"_id": str(uuid.UUID(int=99)), "size": 1000}]},
+        headers=HEADERS,
+    )
+    assert r.status_code == 200 and r.json()["failedPoints"] == []
+
+    # delete
+    r = requests.delete(
+        f"{server}/v2/collections/mycol/points",
+        json={"ids": [str(uuid.UUID(int=99))]},
+        headers=HEADERS,
+    )
+    assert r.status_code == 200 and r.json()["failedPoints"] == []
+
+    # invalid insert: wrong vector size
+    r = requests.post(
+        f"{server}/v2/collections/mycol/points",
+        json={"points": [{"vector": [1.0, 2.0, 3.0]}]},
+        headers=HEADERS,
+    )
+    assert r.status_code == 400
+
+
+def test_msgpack_roundtrip(server):
+    make_collection(server)
+    body = msgpack.packb(
+        {"points": [{"vector": [1.0, 1.0], "size": 7}]}, use_bin_type=True
+    )
+    r = requests.post(
+        f"{server}/v2/collections/mycol/points",
+        data=body,
+        headers={**HEADERS, "Content-Type": "application/msgpack",
+                 "Accept": "application/msgpack"},
+    )
+    assert r.status_code == 200
+    out = msgpack.unpackb(r.content, raw=False)
+    assert out["failedRanges"] == []
+
+
+def test_v1_flow(server):
+    r = requests.post(
+        f"{server}/v1/collections",
+        json={"id": "v1col", "vectorSize": 2, "distanceMetric": "euclidean"},
+        headers=HEADERS,
+    )
+    assert r.status_code == 200, r.text
+    r = requests.post(
+        f"{server}/v1/collections/v1col/points",
+        json={
+            "points": [
+                {"vector": [float(i), float(i)], "metadata": {"n": i}} for i in range(10)
+            ]
+        },
+        headers=HEADERS,
+    )
+    assert r.status_code == 200, r.text
+    r = requests.post(
+        f"{server}/v1/collections/v1col/points/search",
+        json={"vector": [4.0, 4.0], "limit": 2},
+        headers=HEADERS,
+    )
+    assert r.status_code == 200, r.text
+    pts = r.json()["points"]
+    assert pts[0]["metadata"]["n"] == 4
+    # v1 list shows v1 collections with their metric
+    r = requests.get(f"{server}/v1/collections", headers=HEADERS)
+    assert r.json()["collections"][0]["distanceMetric"] == "euclidean"

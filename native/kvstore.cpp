@@ -1,0 +1,277 @@
+// Native transactional KV store engine for semadb_tpu.
+//
+// Role parity: diskstore/bbolt.go — the reference keeps every shard in one
+// bbolt B+tree file with a single writer and many readers. This engine
+// provides the same contract as a C++ library: named buckets of ordered
+// byte keys, append-only write-ahead log for durability, in-memory ordered
+// maps for reads, log compaction, and whole-file snapshots (backups /
+// cluster shard shipping). Exposed through a C ABI consumed via ctypes
+// (store/native.py); Python's msgpack-snapshot backend remains the
+// fallback.
+//
+// File format:
+//   header:  "SDBL1\n"
+//   record:  u8 op (1=put, 2=del) | u32 blen | u32 klen | u32 vlen |
+//            bucket | key | value   (little-endian, no alignment)
+// A record is applied on replay only if fully present (torn tails from a
+// crash are ignored, matching WAL semantics).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <mutex>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+struct Store;
+
+struct Bucket {
+  std::map<std::string, std::string> data;
+};
+
+struct Store {
+  std::string path;            // empty → memory only
+  FILE* log = nullptr;         // append handle
+  std::unordered_map<std::string, Bucket> buckets;
+  std::mutex mu;               // single writer
+  uint64_t dirty_ops = 0;      // ops since last compact (compaction hint)
+};
+
+static const char MAGIC[6] = {'S', 'D', 'B', 'L', '1', '\n'};
+
+static bool read_exact(FILE* f, void* out, size_t n) {
+  return fread(out, 1, n, f) == n;
+}
+
+static void append_record(Store* s, uint8_t op, const std::string& bucket,
+                          const char* key, uint32_t klen, const char* val,
+                          uint32_t vlen) {
+  if (!s->log) return;
+  uint32_t blen = (uint32_t)bucket.size();
+  fwrite(&op, 1, 1, s->log);
+  fwrite(&blen, 4, 1, s->log);
+  fwrite(&klen, 4, 1, s->log);
+  fwrite(&vlen, 4, 1, s->log);
+  fwrite(bucket.data(), 1, blen, s->log);
+  fwrite(key, 1, klen, s->log);
+  if (vlen) fwrite(val, 1, vlen, s->log);
+  s->dirty_ops++;
+}
+
+static bool replay(Store* s, FILE* f) {
+  char magic[6];
+  if (!read_exact(f, magic, 6) || memcmp(magic, MAGIC, 6) != 0) return false;
+  std::vector<char> buf;
+  for (;;) {
+    uint8_t op;
+    uint32_t blen, klen, vlen;
+    if (!read_exact(f, &op, 1)) break;  // clean EOF
+    if (!read_exact(f, &blen, 4) || !read_exact(f, &klen, 4) ||
+        !read_exact(f, &vlen, 4))
+      break;  // torn tail
+    buf.resize((size_t)blen + klen + vlen);
+    if (!read_exact(f, buf.data(), buf.size())) break;  // torn tail
+    std::string bucket(buf.data(), blen);
+    std::string key(buf.data() + blen, klen);
+    if (op == 1) {
+      s->buckets[bucket].data[key] =
+          std::string(buf.data() + blen + klen, vlen);
+    } else if (op == 2) {
+      auto it = s->buckets.find(bucket);
+      if (it != s->buckets.end()) it->second.data.erase(key);
+    }
+  }
+  return true;
+}
+
+static int write_snapshot(Store* s, const std::string& dest) {
+  std::string tmp = dest + ".tmp";
+  FILE* f = fopen(tmp.c_str(), "wb");
+  if (!f) return -1;
+  fwrite(MAGIC, 1, 6, f);
+  for (auto& [bname, bucket] : s->buckets) {
+    for (auto& [k, v] : bucket.data) {
+      uint8_t op = 1;
+      uint32_t blen = (uint32_t)bname.size(), klen = (uint32_t)k.size(),
+               vlen = (uint32_t)v.size();
+      fwrite(&op, 1, 1, f);
+      fwrite(&blen, 4, 1, f);
+      fwrite(&klen, 4, 1, f);
+      fwrite(&vlen, 4, 1, f);
+      fwrite(bname.data(), 1, blen, f);
+      fwrite(k.data(), 1, klen, f);
+      fwrite(v.data(), 1, vlen, f);
+    }
+  }
+  fflush(f);
+  fclose(f);
+  if (rename(tmp.c_str(), dest.c_str()) != 0) return -1;
+  return 0;
+}
+
+Store* sdb_open(const char* path) {
+  Store* s = new Store();
+  s->path = path ? path : "";
+  if (!s->path.empty()) {
+    FILE* f = fopen(s->path.c_str(), "rb");
+    if (f) {
+      bool ok = replay(s, f);
+      fclose(f);
+      if (!ok) {
+        delete s;
+        return nullptr;  // not our file format
+      }
+      s->log = fopen(s->path.c_str(), "ab");
+    } else {
+      s->log = fopen(s->path.c_str(), "wb");
+      if (s->log) {
+        fwrite(MAGIC, 1, 6, s->log);
+        fflush(s->log);
+      }
+    }
+    if (!s->log) {
+      delete s;
+      return nullptr;
+    }
+  }
+  return s;
+}
+
+void sdb_close(Store* s) {
+  if (!s) return;
+  if (s->log) {
+    fflush(s->log);
+    fclose(s->log);
+  }
+  delete s;
+}
+
+int sdb_put(Store* s, const char* bucket, const char* key, uint32_t klen,
+            const char* val, uint32_t vlen) {
+  std::lock_guard<std::mutex> g(s->mu);
+  std::string b(bucket);
+  s->buckets[b].data[std::string(key, klen)] = std::string(val, vlen);
+  append_record(s, 1, b, key, klen, val, vlen);
+  return 0;
+}
+
+int sdb_delete(Store* s, const char* bucket, const char* key, uint32_t klen) {
+  std::lock_guard<std::mutex> g(s->mu);
+  std::string b(bucket);
+  auto it = s->buckets.find(b);
+  if (it != s->buckets.end()) it->second.data.erase(std::string(key, klen));
+  append_record(s, 2, b, key, klen, nullptr, 0);
+  return 0;
+}
+
+// Returns value length, or -1 if absent. Value pointer valid until the next
+// write to the same key.
+int64_t sdb_get(Store* s, const char* bucket, const char* key, uint32_t klen,
+                const char** out) {
+  std::lock_guard<std::mutex> g(s->mu);
+  auto it = s->buckets.find(bucket);
+  if (it == s->buckets.end()) return -1;
+  auto kit = it->second.data.find(std::string(key, klen));
+  if (kit == it->second.data.end()) return -1;
+  *out = kit->second.data();
+  return (int64_t)kit->second.size();
+}
+
+int sdb_commit(Store* s) {
+  std::lock_guard<std::mutex> g(s->mu);
+  if (s->log) fflush(s->log);
+  return 0;
+}
+
+int sdb_compact(Store* s) {
+  std::lock_guard<std::mutex> g(s->mu);
+  if (s->path.empty()) return 0;
+  if (s->log) {
+    fflush(s->log);
+    fclose(s->log);
+    s->log = nullptr;
+  }
+  if (write_snapshot(s, s->path) != 0) return -1;
+  s->log = fopen(s->path.c_str(), "ab");
+  s->dirty_ops = 0;
+  return s->log ? 0 : -1;
+}
+
+uint64_t sdb_dirty_ops(Store* s) { return s->dirty_ops; }
+
+int sdb_backup(Store* s, const char* dest) {
+  std::lock_guard<std::mutex> g(s->mu);
+  return write_snapshot(s, dest);
+}
+
+int sdb_delete_bucket(Store* s, const char* bucket) {
+  std::lock_guard<std::mutex> g(s->mu);
+  auto it = s->buckets.find(bucket);
+  if (it == s->buckets.end()) return 0;
+  // Log tombstones for every key, then drop the bucket
+  for (auto& [k, v] : it->second.data) {
+    append_record(s, 2, bucket, k.data(), (uint32_t)k.size(), nullptr, 0);
+  }
+  s->buckets.erase(it);
+  return 0;
+}
+
+// --- cursors (ordered iteration; snapshot-free, caller holds no writes) ---
+
+struct Cursor {
+  Store* store;
+  std::string bucket;
+  std::map<std::string, std::string>::iterator it, end;
+};
+
+Cursor* sdb_cursor(Store* s, const char* bucket, const char* start,
+                   uint32_t slen) {
+  std::lock_guard<std::mutex> g(s->mu);
+  auto bit = s->buckets.find(bucket);
+  if (bit == s->buckets.end()) return nullptr;
+  Cursor* c = new Cursor();
+  c->store = s;
+  c->bucket = bucket;
+  c->it = slen ? bit->second.data.lower_bound(std::string(start, slen))
+               : bit->second.data.begin();
+  c->end = bit->second.data.end();
+  return c;
+}
+
+int sdb_cursor_next(Cursor* c, const char** key, uint32_t* klen,
+                    const char** val, uint32_t* vlen) {
+  if (!c || c->it == c->end) return 0;
+  *key = c->it->first.data();
+  *klen = (uint32_t)c->it->first.size();
+  *val = c->it->second.data();
+  *vlen = (uint32_t)c->it->second.size();
+  ++c->it;
+  return 1;
+}
+
+void sdb_cursor_free(Cursor* c) { delete c; }
+
+uint64_t sdb_bucket_count(Store* s, const char* bucket) {
+  std::lock_guard<std::mutex> g(s->mu);
+  auto it = s->buckets.find(bucket);
+  return it == s->buckets.end() ? 0 : it->second.data.size();
+}
+
+// Bucket names enumeration: writes up to `max` names separated by '\n' into
+// out; returns total byte length required.
+uint64_t sdb_bucket_names(Store* s, char* out, uint64_t max) {
+  std::lock_guard<std::mutex> g(s->mu);
+  std::string all;
+  for (auto& [name, _] : s->buckets) {
+    all += name;
+    all += '\n';
+  }
+  if (out && max >= all.size()) memcpy(out, all.data(), all.size());
+  return all.size();
+}
+
+}  // extern "C"

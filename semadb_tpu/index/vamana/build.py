@@ -183,8 +183,9 @@ def _insert_core(
     tsafe = jnp.where(tvalid, targets, cap - 1)
 
     E = targets.shape[0]
-    order = jnp.argsort(jnp.where(tvalid, targets, jnp.int32(2**30)))
-    st = targets[order]
+    sort_key = jnp.where(tvalid, targets, jnp.int32(2**30))
+    order = jnp.argsort(sort_key)
+    st = sort_key[order]
     seg_new = jnp.concatenate([jnp.array([True]), st[1:] != st[:-1]])
     seg_start = jnp.where(seg_new, jnp.arange(E), 0)
     seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
@@ -206,7 +207,13 @@ def _insert_core(
     )
 
     state = GraphState(vectors=state.vectors, adjacency=adjacency, exists=state.exists)
-    return state, targets, sources, tvalid & ~dup_edge & ~fits
+    # Hand the overflow phase target-sorted edge arrays so it can locate each
+    # target's inbound segment with one searchsorted instead of an O(chunk*E)
+    # comparison matrix.
+    sorted_t = sort_key[order]
+    sorted_src = sources[order]
+    pending = (tvalid & ~dup_edge & ~fits)[order]
+    return state, sorted_t, sorted_src, pending
 
 
 @functools.partial(jax.jit, static_argnames=("config", "chunk", "k_in"))
@@ -228,27 +235,25 @@ def _overflow_chunk(
     """
     cap = state.capacity
     R = config.degree_bound
+    E = targets.shape[0]
 
     # Select up to `chunk` distinct pending targets (ascending id)
-    t_mask = jnp.zeros(cap + 1, bool).at[jnp.where(pending, targets, cap)].set(
-        True, mode="drop"
-    )[:cap]
+    t_mask = jnp.zeros(cap + 1, bool).at[
+        jnp.where(pending, jnp.clip(targets, 0, cap - 1), cap)
+    ].set(True, mode="drop")[:cap]
     score = jnp.where(t_mask, -jnp.arange(cap, dtype=jnp.float32), -jnp.inf)
     _, sel_t = jax.lax.top_k(score, chunk)
     sel_valid = t_mask[sel_t]
     sel_t = jnp.where(sel_valid, sel_t.astype(jnp.int32), NIL)
     sel_safe = jnp.where(sel_valid, sel_t, 0)
 
-    # Gather pending inbound sources per selected target (up to k_in each)
-    hit = (targets[None, :] == sel_t[:, None]) & pending[None, :]  # [chunk, E]
-    # rank of each hit within its row
-    hrank = jnp.cumsum(hit, axis=-1) - 1
-    inb = jnp.full((chunk, k_in), NIL, jnp.int32)
-    col = jnp.where(hit & (hrank < k_in), hrank, k_in)
-    inb = inb.at[
-        jnp.broadcast_to(jnp.arange(chunk)[:, None], hit.shape), col
-    ].max(jnp.where(hit, sources[None, :], NIL), mode="drop")
-    applied = hit & (hrank < k_in)
+    # Targets arrive sorted, so each selected target's inbound edges are one
+    # contiguous segment located by searchsorted — O(chunk * k_in) gathers
+    # instead of an O(chunk * E) comparison matrix.
+    starts = jnp.searchsorted(targets, sel_safe)  # [chunk]
+    win = jnp.clip(starts[:, None] + jnp.arange(k_in)[None, :], 0, E - 1)
+    in_seg = (targets[win] == sel_safe[:, None]) & pending[win] & sel_valid[:, None]
+    inb = jnp.where(in_seg, sources[win], NIL)  # [chunk, k_in]
 
     # Candidate pool: existing edges + inbound
     own = state.adjacency[sel_safe]  # [chunk, R]
@@ -275,8 +280,12 @@ def _overflow_chunk(
 
     t_idx = jnp.where(sel_valid, sel_t, cap)
     adjacency = state.adjacency.at[t_idx].set(new_rows, mode="drop")
-    # Clear the pending flags we just applied
-    pending = pending & ~jnp.any(applied, axis=0)
+    # Clear pending for every edge of a processed target (edges beyond the
+    # k_in window are dropped — the prune keeps only the nearest R anyway)
+    processed_t = jnp.zeros(cap + 1, bool).at[jnp.where(sel_valid, sel_t, cap)].set(
+        True, mode="drop"
+    )[:cap]
+    pending = pending & ~processed_t[jnp.clip(targets, 0, cap - 1)]
     state = GraphState(vectors=state.vectors, adjacency=adjacency, exists=state.exists)
     return state, pending
 

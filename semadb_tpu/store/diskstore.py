@@ -151,6 +151,27 @@ class DiskStore:
         self._flush()
 
 
-def open_store(path: str = "") -> DiskStore:
-    """diskstore.Open parity: empty path → memory backend."""
+def open_store(path: str = "", backend: str = "auto"):
+    """diskstore.Open parity: empty path → in-memory map backend
+    (memstore.go); file path → the native C++ append-log engine when
+    available (bbolt.go's role), falling back to the Python snapshot store.
+
+    Existing files are dispatched by magic so either backend's files open
+    correctly.
+    """
+    if backend == "python" or not path:
+        return DiskStore(path)
+    if path and os.path.exists(path):
+        with open(path, "rb") as f:
+            magic = f.read(5)
+        if magic == DiskStore.MAGIC:
+            return DiskStore(path)
+    if backend in ("auto", "native"):
+        try:
+            from semadb_tpu.store.native import NativeDiskStore
+
+            return NativeDiskStore(path)
+        except Exception:
+            if backend == "native":
+                raise
     return DiskStore(path)

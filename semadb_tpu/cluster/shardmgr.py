@@ -116,7 +116,7 @@ class ShardManager:
         with self._mu:
             for sid in list(self._shards.keys()):
                 ms = self._shards[sid]
-                if base is None or (
+                if (
                     ms.shard.collection.user_id == col.user_id
                     and ms.shard.collection.id == col.id
                 ):

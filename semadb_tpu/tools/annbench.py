@@ -1,0 +1,108 @@
+"""ann-benchmarks-style harness driving a single shard/index directly.
+
+Parity reference: internal/shardpy/shardpy.go — the reference exposes
+initShard/fit/query through a cgo c-shared bridge so ann-benchmarks can
+drive a shard from Python. Here the framework *is* Python, so the bridge is
+a plain module with the same three-phase protocol: init → fit(train) →
+query(test, k), plus batched query for TPU-shaped workloads.
+
+Usage:
+    python -m semadb_tpu.tools.annbench --n 100000 --dim 128 [--hdf5 file]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from semadb_tpu.models.schema import VectorVamanaParams
+from semadb_tpu.tools.datasets import (
+    AnnDataset,
+    compute_ground_truth,
+    load_hdf5,
+    synthetic_clustered,
+)
+
+
+class VamanaBench:
+    """init/fit/query protocol (shardpy.go:66-197 equivalent)."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "euclidean",
+        search_size: int = 75,
+        degree_bound: int = 64,
+        alpha: float = 1.2,
+        quantizer=None,
+    ):
+        from semadb_tpu.index.vamana import IndexVamana
+
+        params = VectorVamanaParams(
+            vector_size=dim,
+            distance_metric=metric,
+            search_size=search_size,
+            degree_bound=degree_bound,
+            alpha=alpha,
+            quantizer=quantizer,
+        )
+        self.index = IndexVamana(params)
+
+    def fit(self, train: np.ndarray) -> float:
+        ids = np.arange(2, len(train) + 2, dtype=np.int32)
+        t0 = time.time()
+        self.index.insert_update_delete(zip(ids, train))
+        return time.time() - t0
+
+    def query_batch(self, test: np.ndarray, k: int, batch: int = 1024):
+        out = np.empty((len(test), k), np.int32)
+        t0 = time.time()
+        for i in range(0, len(test), batch):
+            _, ids = self.index.search_batch(test[i : i + batch], k=k)
+            out[i : i + batch] = ids - 2  # node id → train index
+        return out, time.time() - t0
+
+
+def run(ds: AnnDataset, k: int = 10, batch: int = 1024, **index_kw) -> dict:
+    bench = VamanaBench(dim=ds.train.shape[1], metric=ds.metric, **index_kw)
+    build_s = bench.fit(ds.train)
+    gt = ds.neighbors[:, :k] if ds.neighbors is not None else compute_ground_truth(ds, k)
+    # warmup
+    bench.query_batch(ds.test[:batch], k, batch)
+    ids, wall = bench.query_batch(ds.test, k, batch)
+    recall = float(
+        np.mean([len(set(ids[i]) & set(gt[i])) / k for i in range(len(ds.test))])
+    )
+    return {
+        "dataset": ds.name,
+        "metric": ds.metric,
+        "n": len(ds.train),
+        "recall@10": round(recall, 4),
+        "qps": round(len(ds.test) / wall, 1),
+        "build_s": round(build_s, 1),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hdf5", default="", help="ann-benchmarks HDF5 file")
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--queries", type=int, default=1024)
+    ap.add_argument("--metric", default="euclidean")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=1024)
+    args = ap.parse_args(argv)
+    if args.hdf5:
+        ds = load_hdf5(args.hdf5)
+    else:
+        ds = synthetic_clustered(args.n, args.dim, args.queries, metric=args.metric)
+    print(json.dumps(run(ds, k=args.k, batch=args.batch)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,93 @@
+"""Dataset loading for benchmarks.
+
+Parity reference: internal/loadhdf5.go — loads ann-benchmarks HDF5 files
+(train/test/neighbors/distances datasets) with L2-normalisation for angular
+metrics (loadhdf5.go:30-71). Also provides synthetic SIFT-like generators
+for the zero-egress environment.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class AnnDataset:
+    name: str
+    metric: str  # euclidean | cosine
+    train: np.ndarray  # f32[N, D]
+    test: np.ndarray  # f32[Q, D]
+    neighbors: Optional[np.ndarray] = None  # i32[Q, K] ground truth (train indices)
+
+
+def load_hdf5(path: str, name: str = "") -> AnnDataset:
+    """Load an ann-benchmarks HDF5 file (train/test/neighbors layout).
+
+    Angular datasets are L2-normalised so cosine distance reduces to
+    ``1 - dot`` (loadhdf5.go normalisation).
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        train = np.asarray(f["train"], dtype=np.float32)
+        test = np.asarray(f["test"], dtype=np.float32)
+        neighbors = (
+            np.asarray(f["neighbors"], dtype=np.int32) if "neighbors" in f else None
+        )
+        distance = f.attrs.get("distance", b"euclidean")
+        if isinstance(distance, bytes):
+            distance = distance.decode()
+    metric = "cosine" if distance == "angular" else "euclidean"
+    if metric == "cosine":
+        train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+        test = test / np.maximum(np.linalg.norm(test, axis=1, keepdims=True), 1e-12)
+    return AnnDataset(
+        name=name or path, metric=metric, train=train, test=test, neighbors=neighbors
+    )
+
+
+def synthetic_clustered(
+    n: int,
+    dim: int,
+    n_queries: int,
+    n_clusters: int = 256,
+    metric: str = "euclidean",
+    seed: int = 42,
+) -> AnnDataset:
+    """SIFT-like synthetic data: positive, non-centered, clustered.
+
+    Real ANN datasets (SIFT, GloVe) have local cluster structure that makes
+    recall@10 well-defined; i.i.d. uniform/gaussian points at high dim are
+    near-equidistant and adversarial for any ANN index (and for the
+    reference's random-unit start node — see bench.py note).
+    """
+    rng = np.random.default_rng(seed)
+    centers = (rng.random((n_clusters, dim)) * 10.0).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    train = (centers[assign] + rng.standard_normal((n, dim))).astype(np.float32)
+    q_src = rng.integers(0, n, n_queries)
+    test = (train[q_src] + 0.3 * rng.standard_normal((n_queries, dim))).astype(
+        np.float32
+    )
+    if metric == "cosine":
+        train = train / np.linalg.norm(train, axis=1, keepdims=True)
+        test = test / np.linalg.norm(test, axis=1, keepdims=True)
+    return AnnDataset(name=f"synthetic-{n}x{dim}", metric=metric, train=train, test=test)
+
+
+def compute_ground_truth(ds: AnnDataset, k: int, block: int = 256) -> np.ndarray:
+    """Exact top-k train indices per test query (host, float64 accurate)."""
+    out = np.empty((len(ds.test), k), np.int32)
+    tr = ds.train.astype(np.float64)
+    tr_sq = (tr * tr).sum(-1)
+    for i in range(0, len(ds.test), block):
+        q = ds.test[i : i + block].astype(np.float64)
+        if ds.metric == "cosine":
+            d = 1.0 - q @ tr.T
+        else:
+            d = (q * q).sum(-1)[:, None] - 2.0 * (q @ tr.T) + tr_sq[None, :]
+        out[i : i + block] = np.argsort(d, axis=1)[:, :k]
+    return out

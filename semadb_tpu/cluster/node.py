@@ -19,6 +19,7 @@ from typing import Callable, Dict, List, Optional, Set, Tuple
 import msgpack
 
 from semadb_tpu.cluster.hashing import rendezvous_hash
+from semadb_tpu.cluster.metrics import count_point_op, observe_rpc
 from semadb_tpu.cluster.placement import ShardInfo, distribute_points
 from semadb_tpu.cluster.rpc import RPCClientPool, RPCError, RPCServer
 from semadb_tpu.cluster.shardmgr import ShardManager
@@ -225,12 +226,14 @@ class ClusterNode:
 
     # -- routing -----------------------------------------------------------
     def _call(self, dest: str, method: str, payload: dict) -> dict:
-        """Self-route or go over the wire (rpchandlers.go:49-51 pattern)."""
-        if dest == self.my_hostname:
-            return self._handlers[method](payload)
-        payload = dict(payload)
-        payload["__dest"] = dest
-        return self.rpc.call(dest, method, payload)
+        """Self-route or go over the wire (rpchandlers.go:49-51 pattern);
+        per-handler Prometheus count/duration (cluster/metrics.go)."""
+        with observe_rpc(method):
+            if dest == self.my_hostname:
+                return self._handlers[method](payload)
+            payload = dict(payload)
+            payload["__dest"] = dest
+            return self.rpc.call(dest, method, payload)
 
     def _owner(self, key: str) -> str:
         return rendezvous_hash(key, self.servers, 1)[0]
@@ -489,6 +492,7 @@ class ClusterNode:
             col.shard_ids.append(sid)
             return sid
 
+        count_point_op("insert", len(points))
         assignments = distribute_points(
             shards, points, self.cfg.max_shard_size, self.cfg.max_shard_point_count,
             create_shard,
@@ -530,6 +534,7 @@ class ClusterNode:
         if n_shards > 1 and sr.offset % n_shards == 0:
             shard_sr.offset = sr.offset // n_shards
 
+        count_point_op("search")
         results: List[SearchResult] = []
         lock = threading.Lock()
         errors: List[Exception] = []
@@ -564,6 +569,7 @@ class ClusterNode:
 
     def update_points(self, col: Collection, points: List[Point]) -> List[FailedPoint]:
         """Broadcast update to all shards (actions.go:388-436)."""
+        count_point_op("update", len(points))
         return self._broadcast_points(
             col, "UpdatePoints",
             {"points": [_point_to_wire(p) for p in points]},
@@ -574,6 +580,7 @@ class ClusterNode:
         self, col: Collection, point_ids: List[uuid_mod.UUID]
     ) -> List[FailedPoint]:
         """Broadcast delete to all shards (actions.go:476-521)."""
+        count_point_op("delete", len(point_ids))
         return self._broadcast_points(
             col, "DeletePoints",
             {"pointIds": [p.bytes for p in point_ids]},

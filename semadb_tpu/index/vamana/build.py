@@ -92,30 +92,44 @@ def robust_prune_batch(
     B, C = cand_i.shape
     R = config.degree_bound
     alpha = jnp.float32(config.alpha)
-    jidx = jnp.arange(C)
+    jidx = jnp.arange(C, dtype=jnp.int32)
 
-    def body(i, carry):
-        removed, count, adj = carry
-        cid = cand_i[:, i]
-        sel = (
-            ~removed[:, i]
-            & (cid != NIL)
-            & (cid != self_ids)
-            & (count < R)
-            & jnp.isfinite(cand_d[:, i])
-        )
+    # Self / NIL / non-finite candidates are dead from the start; the loop
+    # then jumps straight to each row's next live candidate instead of
+    # scanning every index, so iterations ≈ edges kept (≤ R), not C.
+    dead0 = (
+        (cand_i == NIL)
+        | (cand_i == self_ids[:, None])
+        | ~jnp.isfinite(cand_d)
+    )
+
+    def not_done(carry):
+        dead, count, adj = carry
+        return jnp.any(~dead & (count < R)[:, None])
+
+    def body(carry):
+        dead, count, adj = carry
+        live = ~dead & (count < R)[:, None]
+        sel = jnp.any(live, axis=-1)  # [B]
+        pos = jnp.argmax(live, axis=-1)  # first live candidate per row
+        cid = jnp.take_along_axis(cand_i, pos[:, None], axis=-1)[:, 0]
         slot = jax.nn.one_hot(count, R, dtype=bool) & sel[:, None]
         adj = jnp.where(slot, cid[:, None], adj)
         count = count + sel.astype(jnp.int32)
-        # alpha-detour prune of later candidates
-        removed = removed | (
-            sel[:, None] & (alpha * cand_pd[:, i, :] < cand_d) & (jidx[None, :] > i)
-        )
-        return removed, count, adj
+        # alpha-detour prune of later candidates (search.go:126-136)
+        pd_row = jnp.take_along_axis(
+            cand_pd, pos[:, None, None], axis=1
+        )[:, 0, :]  # [B, C]
+        pruned = (alpha * pd_row < cand_d) & (jidx[None, :] > pos[:, None])
+        dead = dead | (sel[:, None] & pruned)
+        # consume the selected candidate
+        dead = dead | (jax.nn.one_hot(pos, C, dtype=bool) & sel[:, None])
+        return dead, count, adj
 
-    removed0 = jnp.zeros((B, C), dtype=bool)
     adj0 = jnp.full((B, R), NIL, jnp.int32)
-    _, _, adj = jax.lax.fori_loop(0, C, body, (removed0, jnp.zeros(B, jnp.int32), adj0))
+    _, _, adj = jax.lax.while_loop(
+        not_done, body, (dead0, jnp.zeros(B, jnp.int32), adj0)
+    )
     return adj
 
 
@@ -480,6 +494,65 @@ def _delete_finalize(state: GraphState, del_mask: jax.Array, config: GraphConfig
     return GraphState(vectors=state.vectors, adjacency=adjacency, exists=exists)
 
 
+@functools.partial(jax.jit, static_argnames=("max_sweeps",))
+def reachable_mask(state: GraphState, max_sweeps: int = 128) -> jax.Array:
+    """BFS reachability from the start node as masked adjacency sweeps."""
+    cap = state.capacity
+
+    def cond(carry):
+        reach, changed, it = carry
+        return jnp.logical_and(changed, it < max_sweeps)
+
+    def body(carry):
+        reach, _, it = carry
+        edges = jnp.where(
+            reach[:, None] & (state.adjacency != NIL), state.adjacency, cap
+        )
+        new = (
+            jnp.zeros(cap + 1, bool).at[edges.reshape(-1)].set(True, mode="drop")[:cap]
+        )
+        new = new | reach
+        return new, jnp.any(new != reach), it + 1
+
+    reach0 = jnp.zeros(cap, bool).at[START_ID].set(True)
+    reach, _, _ = jax.lax.while_loop(cond, body, (reach0, jnp.bool_(True), 0))
+    return reach
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _attach_representatives(state: GraphState, unreach: jax.Array, config: GraphConfig):
+    """Force-attach up to R/2 unreachable nodes (nearest to start) to the
+    start row, evicting the farthest incumbents if needed. Guarantees
+    progress: each attached node makes its whole component reachable."""
+    cap = state.capacity
+    R = config.degree_bound
+    K = max(R // 2, 1)
+    svec = state.vectors[START_ID][None, :]
+    d_all = gather_distance(
+        state.vectors, jnp.arange(cap, dtype=jnp.int32)[None, :], svec, config.metric
+    )[0]
+    d_all = jnp.where(unreach, d_all, INF)
+    rep_d, reps = jax.lax.top_k(-d_all, K)
+    rep_ok = jnp.isfinite(-rep_d)
+    reps = jnp.where(rep_ok, reps.astype(jnp.int32), NIL)
+
+    start_row = state.adjacency[START_ID]
+    sd = gather_distance(
+        state.vectors, jnp.clip(start_row, 0, cap - 1)[None, :], svec, config.metric
+    )[0]
+    sd = jnp.where(start_row != NIL, sd, INF)
+    # Keep reps first (forced), then the nearest incumbents
+    pool_i = jnp.concatenate([reps, start_row])
+    pool_d = jnp.concatenate([jnp.where(rep_ok, -rep_d, INF), sd])
+    # reps get higher priority so they always survive the cut
+    prio = jnp.concatenate([jnp.full((K,), -1.0, jnp.float32), jnp.zeros_like(sd)])
+    order = jnp.lexsort((pool_d, prio))
+    pool_i = jnp.take_along_axis(pool_i, order, axis=-1)
+    new_row = pool_i[:R]
+    adjacency = state.adjacency.at[START_ID].set(new_row)
+    return GraphState(vectors=state.vectors, adjacency=adjacency, exists=state.exists)
+
+
 def delete_batch(
     state: GraphState, del_ids: np.ndarray, config: GraphConfig
 ) -> GraphState:
@@ -497,4 +570,17 @@ def delete_batch(
             state, del_mask, processed, config, chunk, DELETE_EXPAND_MAX
         )
         remaining = int(rem)
-    return _delete_finalize(state, del_mask, config)
+    state = _delete_finalize(state, del_mask, config)
+    # Component rescue: the reference's toSave only re-attaches nodes with
+    # zero inbound edges, so a mass delete can detach whole connected
+    # components (acknowledged in prune.go:115-151 comments). We go further:
+    # sweep reachability from the start node and force-attach
+    # representatives of lost components until everything is reachable.
+    ids = jnp.arange(cap, dtype=jnp.int32)
+    for _ in range(64):  # bounded; each round reconnects >= 1 component
+        reach = reachable_mask(state)
+        unreach = state.exists & ~reach & (ids != START_ID)
+        if not bool(jnp.any(unreach)):
+            break
+        state = _attach_representatives(state, unreach, config)
+    return state

@@ -1,0 +1,208 @@
+"""Concurrency stress tests.
+
+Mirrors shard/shard_vector_test.go TestShard_SearchWhileInsert /
+DeleteWhileInsert / ConcurrentCRUD — the reference runs these under the Go
+race detector; here threads hammer one shard through its public API and we
+assert invariants hold (no exceptions, consistent counts, searches always
+answer with valid points).
+"""
+
+import threading
+import uuid
+
+import numpy as np
+import pytest
+
+from semadb_tpu.models import Collection, IndexSchema, Point, SearchRequest, UserPlan
+from semadb_tpu.shard import Shard
+from semadb_tpu.store import open_store
+
+RNG = np.random.default_rng(21)
+
+
+def schema():
+    return IndexSchema.from_dict(
+        {
+            "v": {
+                "type": "vectorVamana",
+                "vectorVamana": {
+                    "vectorSize": 2,
+                    "distanceMetric": "euclidean",
+                    "searchSize": 36,
+                    "degreeBound": 32,
+                },
+            },
+            "n": {"type": "integer"},
+        }
+    )
+
+
+def make_shard():
+    return Shard(
+        open_store(""),
+        Collection(user_id="u", id="c", index_schema=schema(), user_plan=UserPlan()),
+    )
+
+
+def pts(n, offset):
+    return [
+        Point.from_map(
+            {"v": [float(offset + i), float(offset + i)], "n": offset + i},
+            uuid.UUID(int=offset + i + 1),
+        )
+        for i in range(n)
+    ]
+
+
+def search_req(x, limit=5):
+    return SearchRequest.from_dict(
+        {
+            "query": {
+                "property": "v",
+                "vectorVamana": {
+                    "vector": [x, x],
+                    "operator": "near",
+                    "searchSize": 36,
+                    "limit": limit,
+                },
+            },
+            "limit": limit,
+        }
+    )
+
+
+def run_threads(fns):
+    errors = []
+
+    def wrap(fn):
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=wrap, args=(fn,)) for fn in fns]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, f"thread errors: {errors[:3]}"
+
+
+def test_search_while_insert():
+    shard = make_shard()
+    shard.insert_points(pts(30, 0))
+
+    stop = threading.Event()
+
+    def inserter():
+        for batch in range(3):
+            shard.insert_points(pts(20, 100 + batch * 20))
+        stop.set()
+
+    def searcher():
+        while not stop.is_set():
+            res = shard.search_points(search_req(10.0))
+            assert len(res) > 0
+            for r in res:
+                assert r.point is not None and r.point.data
+
+    run_threads([inserter, searcher, searcher])
+    assert shard.point_count() == 90
+
+
+def test_delete_while_insert():
+    shard = make_shard()
+    shard.insert_points(pts(50, 0))
+
+    def deleter():
+        shard.delete_points({uuid.UUID(int=i + 1) for i in range(0, 50, 2)})
+
+    def inserter():
+        shard.insert_points(pts(30, 200))
+
+    run_threads([deleter, inserter])
+    assert shard.point_count() == 50 - 25 + 30
+
+
+def test_concurrent_crud():
+    shard = make_shard()
+    shard.insert_points(pts(40, 0))
+
+    def updater():
+        ups = [
+            Point.from_map({"n": 9000 + i}, uuid.UUID(int=i + 1)) for i in range(10)
+        ]
+        shard.update_points(ups)
+
+    def deleter():
+        shard.delete_points({uuid.UUID(int=i + 1) for i in range(30, 40)})
+
+    def inserter():
+        shard.insert_points(pts(20, 500))
+
+    def searcher():
+        for _ in range(5):
+            shard.search_points(search_req(3.0))
+
+    run_threads([updater, deleter, inserter, searcher])
+    assert shard.point_count() == 40 - 10 + 20
+    # updated points hold merged data
+    res = shard.search_points(
+        SearchRequest.from_dict(
+            {
+                "query": {
+                    "property": "n",
+                    "integer": {"value": 9000, "operator": "greaterThanOrEquals"},
+                },
+                "limit": 100,
+            }
+        )
+    )
+    assert len(res) == 10
+
+
+def test_large_insert_delete_insert_search():
+    """shard_vector_test.go LargeInsertDeleteInsertSearch — random 2-D
+    points like the reference's randPoints fixture."""
+    shard = make_shard()
+
+    def rpts(n, offset):
+        vec = RNG.random((n, 2)).astype(np.float32)
+        return [
+            Point.from_map(
+                {"v": vec[i].tolist(), "n": offset + i}, uuid.UUID(int=offset + i + 1)
+            )
+            for i in range(n)
+        ]
+
+    first = rpts(200, 0)
+    shard.insert_points(first)
+    shard.delete_points({p.id for p in first[:100]})
+    second = rpts(100, 1000)
+    shard.insert_points(second)
+    assert shard.point_count() == 200
+    # every reinserted point must be findable by its own vector
+    hits = 0
+    for p in second[:20]:
+        v = p.as_map()["v"]
+        res = shard.search_points(search_req_vec(v, limit=1))
+        if res and res[0].point.id == p.id:
+            hits += 1
+    assert hits >= 19, f"reinserted points unsearchable: {20 - hits}/20 missing"
+
+
+def search_req_vec(v, limit=5):
+    return SearchRequest.from_dict(
+        {
+            "query": {
+                "property": "v",
+                "vectorVamana": {
+                    "vector": list(v),
+                    "operator": "near",
+                    "searchSize": 36,
+                    "limit": limit,
+                },
+            },
+            "limit": limit,
+        }
+    )

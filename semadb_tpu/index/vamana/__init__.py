@@ -185,11 +185,13 @@ class IndexVamana:
         search_size = max(search_size, k)
         q_np = np.atleast_2d(np.asarray(queries, np.float32))
         B = q_np.shape[0]
-        # Pad the query batch to a power of two so compiled kernels are
-        # reused across batch sizes.
-        Bp = 1
-        while Bp < B:
-            Bp *= 2
+        # Pad the query batch to one of a few canonical sizes so compiled
+        # kernels are reused across batch sizes (every shape = a recompile).
+        for Bp in (8, 64, 256, 1024):
+            if B <= Bp:
+                break
+        else:
+            Bp = ((B + 1023) // 1024) * 1024
         if Bp != B:
             q_np = np.concatenate([q_np, np.zeros((Bp - B, q_np.shape[1]), np.float32)])
         q = jnp.asarray(q_np)

@@ -304,8 +304,15 @@ def _overflow_chunk(
     return state, pending
 
 
-def _next_pow2(n: int, lo: int = 32) -> int:
-    p = lo
+def _bucket_size(n: int) -> int:
+    """Canonical padded batch sizes. Two buckets only — every extra shape
+    costs a full recompile of the insert kernels (beam search + prune +
+    scatter), ~minutes on TPU."""
+    if n <= 64:
+        return 64
+    if n <= 512:
+        return 512
+    p = 1024
     while p < n:
         p *= 2
     return p
@@ -329,7 +336,7 @@ def insert_batch(
     B = int(new_ids.shape[0])
     if B == 0:
         return state
-    Bp = _next_pow2(B)
+    Bp = _bucket_size(B)
     ids = np.zeros(Bp, np.int32)
     ids[:B] = new_ids
     vecs = np.zeros((Bp, new_vecs.shape[1]), np.float32)

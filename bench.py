@@ -22,8 +22,8 @@ import sys
 
 N = int(os.environ.get("BENCH_N", 100_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
-N_QUERIES = int(os.environ.get("BENCH_QUERIES", 2048))
-QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 1024))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", 8192))
+QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 4096))
 BASELINE_QPS = 1537.7  # reference sift-128 v1 (README.md:196)
 
 

@@ -1,0 +1,133 @@
+"""Unit tests for inverted + text indices and byte-sortable codecs.
+
+Mirrors shard/index/inverted/*_test.go and text/text_test.go coverage.
+"""
+
+import numpy as np
+import pytest
+
+from semadb_tpu.index.inverted import (
+    IndexInverted,
+    IndexInvertedArray,
+    float64_to_sortable,
+    int64_to_sortable,
+    sortable_to_float64,
+    sortable_to_int64,
+)
+from semadb_tpu.index.text import IndexText, analyse
+from semadb_tpu.models.query import TextOptions
+from semadb_tpu.store.diskstore import Bucket
+
+
+def test_int64_sortable_order():
+    vals = [-(2**62), -5, -1, 0, 1, 5, 2**62]
+    keys = [int64_to_sortable(v) for v in vals]
+    assert keys == sorted(keys)
+    assert [sortable_to_int64(k) for k in keys] == vals
+
+
+def test_float64_sortable_order():
+    vals = [-1e300, -1.5, -0.0001, 0.0, 0.0001, 1.5, 1e300]
+    keys = [float64_to_sortable(v) for v in vals]
+    assert keys == sorted(keys)
+    assert [sortable_to_float64(k) for k in keys] == pytest.approx(vals)
+
+
+def test_inverted_integer_operators():
+    inv = IndexInverted(Bucket(), "integer")
+    for nid, v in [(1, 5), (2, 10), (3, 10), (4, -3), (5, 20)]:
+        inv.insert(nid, v)
+    assert inv.search(10, None, "equals") == {2, 3}
+    assert inv.search(10, None, "notEquals") == {1, 4, 5}
+    assert inv.search(5, None, "greaterThan") == {2, 3, 5}
+    assert inv.search(5, None, "greaterThanOrEquals") == {1, 2, 3, 5}
+    assert inv.search(10, None, "lessThan") == {1, 4}
+    assert inv.search(10, None, "lessThanOrEquals") == {1, 2, 3, 4}
+    assert inv.search(0, 15, "inRange") == {1, 2, 3}
+    inv.delete(2, 10)
+    assert inv.search(10, None, "equals") == {3}
+    inv.update(3, 10, 99)
+    assert inv.search(99, None, "equals") == {3}
+
+
+def test_inverted_string_case_folding():
+    inv = IndexInverted(Bucket(), "string", case_sensitive=False)
+    inv.insert(1, "Hello")
+    inv.insert(2, "HELLO")
+    inv.insert(3, "world")
+    assert inv.search("hello", None, "equals") == {1, 2}
+    assert inv.search("hel", None, "startsWith") == {1, 2}
+    # case-sensitive keeps them apart
+    cs = IndexInverted(Bucket(), "string", case_sensitive=True)
+    cs.insert(1, "Hello")
+    cs.insert(2, "HELLO")
+    assert cs.search("Hello", None, "equals") == {1}
+
+
+def test_inverted_array():
+    arr = IndexInvertedArray(Bucket())
+    arr.insert(1, ["a", "b"])
+    arr.insert(2, ["b", "c"])
+    arr.insert(3, ["c"])
+    assert arr.search(["b"], "containsAny") == {1, 2}
+    assert arr.search(["b", "c"], "containsAll") == {2}
+    assert arr.search(["a", "c"], "containsAny") == {1, 2, 3}
+    arr.update(1, ["a", "b"], ["c"])
+    assert arr.search(["a"], "containsAny") == set()
+    assert arr.search(["c"], "containsAny") == {1, 2, 3}
+    arr.delete(3, ["c"])
+    assert arr.search(["c"], "containsAny") == {1, 2}
+
+
+def test_analyser():
+    tokens = analyse("The QUICK brown Fox, and the lazy dog!")
+    assert "the" not in tokens and "and" not in tokens  # stop words
+    assert tokens == ["quick", "brown", "fox", "lazy", "dog"]
+
+
+def test_text_tfidf_ranking():
+    t = IndexText(Bucket())
+    t.insert(1, "gandalf the wizard")
+    t.insert(2, "gandalf gandalf gandalf speaks")
+    t.insert(3, "a hobbit of the shire")
+    t.insert(4, "orcs in moria")
+    t.insert(5, "elves of lothlorien")  # N=5, df=2 → idf > 0
+    rset, results = t.search(TextOptions(value="gandalf", operator="containsAny", limit=10))
+    assert rset == {1, 2}
+    # doc 2 has higher term frequency → higher score
+    assert results[0].node_id == 2
+    assert results[0].score > results[1].score
+
+    # containsAll
+    rset, _ = t.search(TextOptions(value="gandalf wizard", operator="containsAll", limit=10))
+    assert rset == {1}
+
+    # delete removes from postings
+    t.delete(2)
+    rset, _ = t.search(TextOptions(value="gandalf", operator="containsAny", limit=10))
+    assert rset == {1}
+
+    # update re-analyses
+    t.update(1, "bilbo baggins")
+    rset, _ = t.search(TextOptions(value="gandalf", operator="containsAny", limit=10))
+    assert rset == set()
+    rset, _ = t.search(TextOptions(value="bilbo", operator="containsAny", limit=10))
+    assert rset == {1}
+
+
+def test_text_limit_truncates_set():
+    t = IndexText(Bucket())
+    for i in range(10):
+        t.insert(i, "common term here")
+    rset, results = t.search(TextOptions(value="common", operator="containsAny", limit=3))
+    assert len(results) == 3 and len(rset) == 3
+
+
+def test_text_filter():
+    t = IndexText(Bucket())
+    t.insert(1, "alpha beta")
+    t.insert(2, "alpha gamma")
+    rset, _ = t.search(
+        TextOptions(value="alpha", operator="containsAny", limit=10), filter_set={2}
+    )
+    assert rset == {2}

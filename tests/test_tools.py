@@ -1,0 +1,122 @@
+"""Tests for internal tools: migrate, jsonschema, dumpgraph, pipeline,
+structured logging, datasets."""
+
+import json
+import logging
+import uuid
+
+import numpy as np
+import pytest
+
+from semadb_tpu.store.diskstore import DiskStore, open_store
+from semadb_tpu.tools.datasets import compute_ground_truth, synthetic_clustered
+from semadb_tpu.tools.jsonschema import ALL
+from semadb_tpu.tools.migrate import migrate_store, migrate_v1_collection
+from semadb_tpu.utils import pipeline
+from semadb_tpu.utils.logging import FieldLogger, get_logger, setup_logging
+
+
+def test_migrate_store_roundtrip(tmp_path):
+    pytest.importorskip("semadb_tpu.store.native")
+    from semadb_tpu.store.native import load_library
+
+    if load_library() is None:
+        pytest.skip("native engine not built")
+    src = DiskStore(str(tmp_path / "src"))
+    src.write(lambda bm: [bm.get("b").put(f"k{i}".encode(), b"v" * i) for i in range(10)])
+    src.close()
+    n = migrate_store(str(tmp_path / "src"), str(tmp_path / "dst"))
+    assert n == 10
+    dst = open_store(str(tmp_path / "dst"))
+    out = []
+    dst.read(lambda bm: out.append(bm.get("b").get(b"k5")))
+    assert out[0] == b"v" * 5
+    dst.close()
+
+
+def test_migrate_v1_collection():
+    v1 = {"userId": "u", "id": "c", "vectorSize": 128, "distanceMetric": "cosine"}
+    v2 = migrate_v1_collection(v1)
+    assert v2["indexSchema"]["vector"]["vectorVamana"]["vectorSize"] == 128
+    assert "vectorSize" not in v2
+    # idempotent on v2 records
+    assert migrate_v1_collection(v2) == v2
+
+
+def test_jsonschema_valid_json():
+    blob = json.dumps(ALL)
+    parsed = json.loads(blob)
+    assert "searchRequest" in parsed and "query" in parsed
+    assert parsed["query"]["properties"]["_and"]["items"] == {"$ref": "#"}
+
+
+def test_dumpgraph(tmp_path, capsys):
+    from semadb_tpu.models import Collection, IndexSchema, Point, UserPlan
+    from semadb_tpu.shard import Shard
+    from semadb_tpu.tools.dumpgraph import dump_graph
+
+    schema = IndexSchema.from_dict(
+        {
+            "v": {
+                "type": "vectorVamana",
+                "vectorVamana": {
+                    "vectorSize": 2,
+                    "distanceMetric": "euclidean",
+                    "searchSize": 36,
+                    "degreeBound": 32,
+                },
+            }
+        }
+    )
+    path = str(tmp_path / "s.sdb")
+    shard = Shard(
+        open_store(path, backend="python"),
+        Collection(user_id="u", id="c", index_schema=schema, user_plan=UserPlan()),
+    )
+    pts = [
+        Point.from_map({"v": [float(i), float(i)]}, uuid.UUID(int=i + 1))
+        for i in range(10)
+    ]
+    shard.insert_points(pts)
+    shard.close()
+    out_csv = str(tmp_path / "g.csv")
+    n = dump_graph(path, "v", out_csv)
+    assert n == 11  # 10 points + start node
+    lines = open(out_csv).read().strip().split("\n")
+    assert len(lines) == 11
+    assert all("," in l for l in lines)
+
+
+def test_pipeline_combinators():
+    src = pipeline.produce(range(10))
+    evens = pipeline.transform(src, lambda x: (x * 2, x % 2 == 1))
+    assert pipeline.collect(evens) == [0, 4, 8, 12, 16]
+    multi = pipeline.transform_multiple(range(3), lambda x: [x] * x)
+    assert pipeline.collect(multi) == [1, 2, 2]
+    merged = pipeline.collect(pipeline.merge([1, 2], [3]))
+    assert merged == [1, 2, 3]
+    err = pipeline.sink(range(3), lambda x: (_ for _ in ()).throw(ValueError("boom")))
+    assert isinstance(err, ValueError)
+    assert pipeline.sink(range(3), lambda x: None) is None
+
+
+def test_structured_logger(caplog):
+    log = get_logger("testcomp").with_fields(shard="s1")
+    with caplog.at_level(logging.DEBUG):
+        log.info("hello", n=42)
+        with log.timed("stage done"):
+            pass
+    assert any("hello" in r.message for r in caplog.records)
+    rec = [r for r in caplog.records if r.message == "hello"][0]
+    assert rec.fields == {"shard": "s1", "n": 42}
+    timed = [r for r in caplog.records if r.message == "stage done"][0]
+    assert "duration_ms" in timed.fields
+
+
+def test_synthetic_dataset_gt():
+    ds = synthetic_clustered(500, 8, 16, n_clusters=16, seed=1)
+    gt = compute_ground_truth(ds, k=5)
+    assert gt.shape == (16, 5)
+    # GT really is the nearest: check one query by hand
+    d = ((ds.test[0][None, :] - ds.train) ** 2).sum(-1)
+    assert gt[0, 0] == int(np.argmin(d))

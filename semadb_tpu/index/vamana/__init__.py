@@ -61,6 +61,10 @@ class IndexVamana:
         self.store = VectorStore(
             QuantConfig.from_params(params.quantizer, params.vector_size, params.distance_metric)
         )
+        # Entry seeds: a small spread of live nodes used as extra search
+        # entry points alongside the start node — cuts the initial descent
+        # hops (the start node is a random unit vector, far from the data).
+        self._entry_seeds: Optional[np.ndarray] = None
 
     # -- persistence -------------------------------------------------------
     def to_arrays(self) -> dict:
@@ -143,6 +147,7 @@ class IndexVamana:
         # Quantizer fit trigger at the end of the write, then flush
         # (vamana.go:255-276: vecStore.Fit() before flush).
         self.store.maybe_fit(self.state.vectors, self.state.exists)
+        self._entry_seeds = None  # recompute lazily after any write
 
     def _insert_chunked(self, items: Sequence[Tuple[int, np.ndarray]]) -> None:
         """Insert in growing rounds.
@@ -216,8 +221,28 @@ class IndexVamana:
                 quant=quant, qcodes=qcodes, qquery=qquery,
             )
         else:
+            seeds = self._get_entry_seeds()
+            seed_arr = None
+            if seeds is not None:
+                seed_arr = jnp.broadcast_to(
+                    jnp.asarray(seeds, jnp.int32)[None, :], (Bp, len(seeds))
+                )
             d, i = search_mod.search(
                 self.state, q, self.config, search_size, k,
-                quant=quant, qcodes=qcodes, qquery=qquery,
+                quant=quant, qcodes=qcodes, qquery=qquery, seed_ids=seed_arr,
             )
         return np.asarray(d)[:B], np.asarray(i)[:B]
+
+    N_ENTRY_SEEDS = 16
+
+    def _get_entry_seeds(self) -> Optional[np.ndarray]:
+        if self._entry_seeds is None:
+            live = np.nonzero(np.asarray(self.state.exists))[0]
+            live = live[live != START_ID]
+            if len(live) == 0:
+                return None
+            sel = live[
+                np.linspace(0, len(live) - 1, min(self.N_ENTRY_SEEDS, len(live))).astype(int)
+            ]
+            self._entry_seeds = sel.astype(np.int32)
+        return self._entry_seeds

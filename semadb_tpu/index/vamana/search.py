@@ -73,14 +73,20 @@ class BeamResult(NamedTuple):
     hops: jax.Array  # i32 scalar — hops taken (diagnostics)
 
 
-def _merge_sorted(dists, ids, exp, new_d, new_i, L):
+def _merge_sorted(dists, ids, exp, new_d, new_i, L, compact: bool = True):
     """Merge new candidates into the sorted list, dedup, keep best L.
 
     Duplicate ids carry bit-identical distances (same query, same vector,
     same kernel), so after a stable (distance, id) sort duplicates are
     adjacent with the incumbent list entry first — marking non-first run
-    members invalid both dedups and preserves expanded flags. A second
-    sort pushes the invalidated slots to the tail.
+    members invalid both dedups and preserves expanded flags.
+
+    ``compact=True`` runs a second sort pushing invalidated slots to the
+    tail (exact list semantics, used by the build path whose visited sets
+    feed robustPrune). ``compact=False`` leaves the (id=NIL, d=INF) holes
+    in place — ordering among live entries is still by distance, selection
+    skips holes, and re-encountered duplicates only cost a few wasted list
+    slots per hop; ~35% fewer sort passes on the search hot path.
     """
     md = jnp.concatenate([dists, new_d], axis=-1)
     mi = jnp.concatenate([ids, new_i], axis=-1)
@@ -94,15 +100,18 @@ def _merge_sorted(dists, ids, exp, new_d, new_i, L):
     md = jnp.where(dup, INF, md)
     mi = jnp.where(dup, -1, mi)
     me_i = jnp.where(dup, 0, me_i)
-    md, mi, me_i = jax.lax.sort(
-        (md, mi, me_i), dimension=-1, num_keys=2, is_stable=False
-    )
+    if compact:
+        md, mi, me_i = jax.lax.sort(
+            (md, mi, me_i), dimension=-1, num_keys=2, is_stable=False
+        )
     return md[..., :L], mi[..., :L], me_i[..., :L].astype(bool)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "search_size", "max_hops", "expand_width", "quant"),
+    static_argnames=(
+        "config", "search_size", "max_hops", "expand_width", "quant", "track_visited"
+    ),
 )
 def beam_search(
     state: GraphState,
@@ -115,6 +124,7 @@ def beam_search(
     quant=None,
     qcodes: Optional[jax.Array] = None,
     qquery: Optional[jax.Array] = None,
+    track_visited: bool = True,
 ) -> BeamResult:
     """Batched greedy search. ``queries``: f32[B, D] → BeamResult.
 
@@ -178,16 +188,17 @@ def beam_search(
         onehot = (arangeL[None, None, :] == pos[:, :, None]) & sel_ok[:, :, None]
         cand_e = cand_e | jnp.any(onehot, axis=1)
 
-        # Append W entries to the visited ring (block write, wrap-aligned)
-        slot = jnp.mod(hop, V // W) * W
-        old_i = jax.lax.dynamic_slice(vis_i, (0, slot), (B, W))
-        old_d = jax.lax.dynamic_slice(vis_d, (0, slot), (B, W))
-        vis_i = jax.lax.dynamic_update_slice(
-            vis_i, jnp.where(sel_ok, cur, old_i), (0, slot)
-        )
-        vis_d = jax.lax.dynamic_update_slice(
-            vis_d, jnp.where(sel_ok, cur_d, old_d), (0, slot)
-        )
+        if track_visited:
+            # Append W entries to the visited ring (block write, wrap-aligned)
+            slot = jnp.mod(hop, V // W) * W
+            old_i = jax.lax.dynamic_slice(vis_i, (0, slot), (B, W))
+            old_d = jax.lax.dynamic_slice(vis_d, (0, slot), (B, W))
+            vis_i = jax.lax.dynamic_update_slice(
+                vis_i, jnp.where(sel_ok, cur, old_i), (0, slot)
+            )
+            vis_d = jax.lax.dynamic_update_slice(
+                vis_d, jnp.where(sel_ok, cur_d, old_d), (0, slot)
+            )
 
         # Gather all W*R neighbours and their distances in one shot
         nbr = state.adjacency[jnp.clip(cur, 0, cap - 1)]  # [B, W, R]
@@ -203,7 +214,9 @@ def beam_search(
         # the W rows) are removed by the post-sort adjacent dedup in
         # _merge_sorted, and an evicted candidate can never re-enter because
         # the L-th best distance is monotonically non-increasing.
-        cand_d, cand_i, cand_e = _merge_sorted(cand_d, cand_i, cand_e, nd, ni, L)
+        cand_d, cand_i, cand_e = _merge_sorted(
+            cand_d, cand_i, cand_e, nd, ni, L, compact=track_visited
+        )
         return cand_d, cand_i, cand_e, vis_d, vis_i, hop + 1
 
     cand_d, cand_i, cand_e, vis_d, vis_i, hops = jax.lax.while_loop(
@@ -226,6 +239,7 @@ def search(
     quant=None,
     qcodes: Optional[jax.Array] = None,
     qquery: Optional[jax.Array] = None,
+    seed_ids: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Unfiltered top-k search: returns (dists f32[B,k], ids i32[B,k]).
 
@@ -234,8 +248,9 @@ def search(
     (INF, NIL).
     """
     res = beam_search(
-        state, queries, config, search_size, max_hops,
-        quant=quant, qcodes=qcodes, qquery=qquery,
+        state, queries, config, search_size, max_hops, seed_ids=seed_ids,
+        expand_width=2, quant=quant, qcodes=qcodes, qquery=qquery,
+        track_visited=False,
     )
     d = jnp.where(res.cand_ids == START_ID, INF, res.cand_dists)
     i = jnp.where(res.cand_ids == START_ID, NIL, res.cand_ids)
@@ -280,7 +295,8 @@ def search_filtered(
 
     res = beam_search(
         state, queries, config, search_size, max_hops, seed_ids=seeds,
-        quant=quant, qcodes=qcodes, qquery=qquery,
+        expand_width=2, quant=quant, qcodes=qcodes, qquery=qquery,
+        track_visited=True,
     )
 
     # Result pool: seeds ∪ expanded-nodes-passing-filter

@@ -24,7 +24,12 @@ N = int(os.environ.get("BENCH_N", 100_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 8192))
 QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 4096))
-BASELINE_QPS = 1537.7  # reference sift-128 v1 (README.md:196)
+MODE = os.environ.get("BENCH_MODE", "plain")  # plain | bq | pq
+# Reference baselines (BASELINE.md): sift-128 v1 = 1537.7 QPS;
+# BQ/PQ variants compared against their closest published counterparts
+# (mnist-784 v2-BQ 2369.7, sift-128 v2-PQ 967.4).
+BASELINES = {"plain": 1537.7, "bq": 2369.7, "pq": 967.4}
+BASELINE_QPS = BASELINES.get(MODE, 1537.7)
 
 
 def main() -> None:
@@ -37,12 +42,33 @@ def main() -> None:
     from semadb_tpu.tools.annbench import run
     from semadb_tpu.tools.datasets import synthetic_clustered
 
+    quantizer = None
+    if MODE == "bq":
+        from semadb_tpu.models.quantizer import BinaryQuantizerParams, Quantizer
+
+        quantizer = Quantizer(
+            type="binary",
+            binary=BinaryQuantizerParams(
+                distance_metric="hamming", trigger_threshold=10000
+            ),
+        )
+    elif MODE == "pq":
+        from semadb_tpu.models.quantizer import ProductQuantizerParams, Quantizer
+
+        quantizer = Quantizer(
+            type="product",
+            product=ProductQuantizerParams(
+                num_centroids=256, num_subvectors=8, trigger_threshold=10000
+            ),
+        )
+
     ds = synthetic_clustered(N, DIM, N_QUERIES)
-    out = run(ds, k=10, batch=QUERY_BATCH)
+    out = run(ds, k=10, batch=QUERY_BATCH, quantizer=quantizer)
+    suffix = "" if MODE == "plain" else f"_{MODE}"
     print(
         json.dumps(
             {
-                "metric": f"sift{N//1000}k_d{DIM}_vamana_qps",
+                "metric": f"sift{N//1000}k_d{DIM}_vamana{suffix}_qps",
                 "value": out["qps"],
                 "unit": "qps",
                 "vs_baseline": round(out["qps"] / BASELINE_QPS, 2),

@@ -252,8 +252,22 @@ def search(
         expand_width=2, quant=quant, qcodes=qcodes, qquery=qquery,
         track_visited=False,
     )
-    d = jnp.where(res.cand_ids == START_ID, INF, res.cand_dists)
-    i = jnp.where(res.cand_ids == START_ID, NIL, res.cand_ids)
+    d = res.cand_dists
+    i = res.cand_ids
+    if quant is not None and quant.kind != "plain":
+        # Full-precision rerank of the candidate list: the graph was walked
+        # on quantized distances (hamming/ADC — the memory-bandwidth win),
+        # but the final top-k ordering uses the raw vectors. One [B, L, D]
+        # gather per batch; the reference returns quantized distances
+        # directly and eats the recall loss (binary.go/product.go
+        # DistanceFromFloat).
+        cap = state.capacity
+        rr = gather_distance(
+            state.vectors, jnp.clip(i, 0, cap - 1), queries, config.metric
+        )
+        d = jnp.where(i != NIL, rr, INF)
+    d = jnp.where(i == START_ID, INF, d)
+    i = jnp.where(i == START_ID, NIL, i)
     d, i = sort_by_distance(d, i)
     return d[:, :k], i[:, :k]
 

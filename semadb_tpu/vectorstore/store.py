@@ -327,7 +327,18 @@ class VectorStore:
             return jnp.where(mask[None, :], d, INF)
         if self.config.kind == BINARY:
             qc = bq_encode(queries, self.state.aux, self.config.dim)
-            d = pairwise_bit_distance(qc, self.state.codes, self.config.bit_metric)
+            from semadb_tpu.ops.pallas.hamming import (
+                pairwise_bit_distance_pallas,
+                supports_pallas,
+            )
+
+            if supports_pallas():
+                # Blocked Pallas kernel: no [B, N, W] HBM intermediate
+                d = pairwise_bit_distance_pallas(
+                    qc, self.state.codes, self.config.bit_metric
+                )
+            else:
+                d = pairwise_bit_distance(qc, self.state.codes, self.config.bit_metric)
             return jnp.where(mask[None, :], d, INF)
         table = pq_query_table(
             queries, self.state.aux,

@@ -49,9 +49,16 @@ class IndexVamana:
         from semadb_tpu.vectorstore import QuantConfig, VectorStore
 
         self.params = params
+        # Bit metrics (hamming/jaccard) use euclidean as the internal float
+        # metric for graph construction: on 0/1 vectors squared euclidean
+        # equals hamming exactly; search distances come from the forced
+        # binary store (vectorstore.go:56-67).
+        internal_metric = params.distance_metric
+        if internal_metric in (C.DISTANCE_HAMMING, C.DISTANCE_JACCARD):
+            internal_metric = C.DISTANCE_EUCLIDEAN
         self.config = GraphConfig(
             dim=params.vector_size,
-            metric=params.distance_metric,
+            metric=internal_metric,
             degree_bound=params.degree_bound,
             search_size=params.search_size,
             alpha=params.alpha,

@@ -254,7 +254,7 @@ def search(
     )
     d = res.cand_dists
     i = res.cand_ids
-    if quant is not None and quant.kind != "plain":
+    if quant is not None and quant.kind != "plain" and not quant.user_bit_metric:
         # Full-precision rerank of the candidate list: the graph was walked
         # on quantized distances (hamming/ADC — the memory-bandwidth win),
         # but the final top-k ordering uses the raw vectors. One [B, L, D]

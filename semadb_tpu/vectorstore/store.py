@@ -59,6 +59,10 @@ class QuantConfig:
     # product
     num_subvectors: int = 8
     num_centroids: int = 256
+    # True when the *user's* index metric is hamming/jaccard (the store is a
+    # forced binary wrapper, vectorstore.go:56-67) — search must NOT rerank
+    # with a float metric in that case.
+    user_bit_metric: bool = False
 
     @property
     def subvector_len(self) -> int:
@@ -66,6 +70,18 @@ class QuantConfig:
 
     @classmethod
     def from_params(cls, q: Optional[Quantizer], dim: int, metric: str) -> "QuantConfig":
+        # Hamming/jaccard as user metrics: overwrite with a fixed-threshold
+        # binary store — users send float 0/1 vectors which are binarised
+        # (vectorstore.go:56-67, threshold 0.5).
+        if metric in (C.DISTANCE_HAMMING, C.DISTANCE_JACCARD):
+            return cls(
+                kind=BINARY,
+                dim=dim,
+                metric=C.DISTANCE_EUCLIDEAN,  # internal float metric for build
+                bit_metric=metric,
+                threshold=0.5,
+                user_bit_metric=True,
+            )
         if q is None or q.type == C.QUANTIZER_NONE:
             return cls(kind=PLAIN, dim=dim, metric=metric)
         if q.type == C.QUANTIZER_BINARY:

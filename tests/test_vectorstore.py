@@ -197,3 +197,32 @@ def test_vamana_product_quantized_search():
     d, i = idx.search_batch(vecs[:16], k=5)
     hits = np.mean([ids[b] in i[b] for b in range(16)])
     assert hits >= 0.8, f"PQ self-recall too low: {hits}"
+
+
+def test_user_hamming_metric():
+    """hamming as the user-facing metric: float 0/1 vectors auto-binarised
+    via a forced threshold-0.5 binary store (vectorstore.go:56-67)."""
+    params = VectorVamanaParams(
+        vector_size=64, distance_metric="hamming", search_size=36, degree_bound=32
+    )
+    idx = IndexVamana(params)
+    assert idx.store.fitted and idx.store.config.user_bit_metric
+    vecs = RNG.integers(0, 2, (200, 64)).astype(np.float32)
+    ids = np.arange(2, 202, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    d, i = idx.search_batch(vecs[:8], k=3)
+    # self-distance = hamming 0, and distances are integral bit counts
+    assert np.sum(i[:, 0] == ids[:8]) >= 7
+    finite = d[np.isfinite(d)]
+    assert np.allclose(finite, np.round(finite))
+
+
+def test_user_jaccard_metric_flat():
+    params = VectorFlatParams(vector_size=32, distance_metric="jaccard")
+    idx = IndexFlat(params)
+    vecs = RNG.integers(0, 2, (50, 32)).astype(np.float32)
+    ids = np.arange(2, 52)
+    idx.insert_update_delete(zip(ids, vecs))
+    d, i = idx.search_batch(vecs[:5], k=1)
+    assert list(i[:, 0]) == list(ids[:5])
+    assert np.allclose(d[:, 0], 0.0)  # jaccard self-distance

@@ -57,22 +57,32 @@ class VamanaBench:
         self.index.insert_update_delete(zip(ids, train))
         return time.time() - t0
 
-    def query_batch(self, test: np.ndarray, k: int, batch: int = 1024):
+    def query_batch(
+        self, test: np.ndarray, k: int, batch: int = 1024, search_size: int = 0
+    ):
         out = np.empty((len(test), k), np.int32)
         t0 = time.time()
         for i in range(0, len(test), batch):
-            _, ids = self.index.search_batch(test[i : i + batch], k=k)
+            _, ids = self.index.search_batch(
+                test[i : i + batch], k=k, search_size=search_size
+            )
             out[i : i + batch] = ids - 2  # node id → train index
         return out, time.time() - t0
 
 
-def run(ds: AnnDataset, k: int = 10, batch: int = 1024, **index_kw) -> dict:
+def run(
+    ds: AnnDataset, k: int = 10, batch: int = 1024, query_search_size: int = 0,
+    **index_kw,
+) -> dict:
+    """``query_search_size``: search-time L operating point (ann-benchmarks
+    picks the point on the recall/QPS pareto; build-time L stays at the
+    index hyperparameter)."""
     bench = VamanaBench(dim=ds.train.shape[1], metric=ds.metric, **index_kw)
     build_s = bench.fit(ds.train)
     gt = ds.neighbors[:, :k] if ds.neighbors is not None else compute_ground_truth(ds, k)
     # warmup
-    bench.query_batch(ds.test[:batch], k, batch)
-    ids, wall = bench.query_batch(ds.test, k, batch)
+    bench.query_batch(ds.test[:batch], k, batch, query_search_size)
+    ids, wall = bench.query_batch(ds.test, k, batch, query_search_size)
     recall = float(
         np.mean([len(set(ids[i]) & set(gt[i])) / k for i in range(len(ds.test))])
     )

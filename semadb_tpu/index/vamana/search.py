@@ -205,7 +205,10 @@ def beam_search(
         nbr = nbr.reshape(B, W * R)
         nbr_ok = (nbr != NIL) & jnp.repeat(sel_ok, R, axis=-1)
         nbr_safe = jnp.clip(nbr, 0, cap - 1)
-        nbr_ok &= state.exists[nbr_safe]
+        # No exists-mask gather: the graph maintains the invariant that no
+        # edge points at a non-existent node (delete repair removes them;
+        # tested in test_vamana.test_degree_bound_invariant /
+        # test_delete_and_connectivity), so NIL-masking suffices.
         nd = gd(nbr_safe)
         nd = jnp.where(nbr_ok, nd, INF)
         ni = jnp.where(nbr_ok, nbr, NIL)

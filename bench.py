@@ -28,7 +28,11 @@ MODE = os.environ.get("BENCH_MODE", "plain")  # plain | bq | pq
 # Search-time operating point on the recall/QPS pareto (build stays at the
 # reference's searchSize 75). L=40 holds recall >= 0.999 on this dataset —
 # the same recall the reference's published 1537.7 QPS point delivers.
-SEARCH_L = int(os.environ.get("BENCH_SEARCH_SIZE", 40))
+# Quantized modes keep L=75: the full-precision rerank can only recover
+# neighbours that made the candidate list, so the list should be as wide
+# as the reference's design point.
+_default_l = 40 if MODE == "plain" else 75
+SEARCH_L = int(os.environ.get("BENCH_SEARCH_SIZE", _default_l))
 # Reference baselines (BASELINE.md): sift-128 v1 = 1537.7 QPS;
 # BQ/PQ variants compared against their closest published counterparts
 # (mnist-784 v2-BQ 2369.7, sift-128 v2-PQ 967.4).

@@ -250,25 +250,30 @@ def search(
     ``elem.Point.Id() == STARTID → continue``); invalid slots carry
     (INF, NIL).
     """
+    rerank = quant is not None and quant.kind != "plain" and not quant.user_bit_metric
     res = beam_search(
         state, queries, config, search_size, max_hops, seed_ids=seed_ids,
         expand_width=2, quant=quant, qcodes=qcodes, qquery=qquery,
-        track_visited=False,
+        track_visited=rerank,  # visited ring widens the rerank pool
     )
     d = res.cand_dists
     i = res.cand_ids
-    if quant is not None and quant.kind != "plain" and not quant.user_bit_metric:
-        # Full-precision rerank of the candidate list: the graph was walked
-        # on quantized distances (hamming/ADC — the memory-bandwidth win),
-        # but the final top-k ordering uses the raw vectors. One [B, L, D]
-        # gather per batch; the reference returns quantized distances
-        # directly and eats the recall loss (binary.go/product.go
-        # DistanceFromFloat).
+    if rerank:
+        # Full-precision rerank: the graph was walked on quantized
+        # distances (hamming/ADC — the memory-bandwidth win), but the final
+        # top-k ordering uses raw vectors over the candidate list PLUS the
+        # visited ring (~3L pool) — one small gather per batch. The
+        # reference returns quantized distances directly and eats the
+        # recall loss (binary.go/product.go DistanceFromFloat).
+        from semadb_tpu.ops.topk import dedup_by_id
+
         cap = state.capacity
+        i = jnp.concatenate([i, res.visited_ids], axis=-1)
         rr = gather_distance(
             state.vectors, jnp.clip(i, 0, cap - 1), queries, config.metric
         )
         d = jnp.where(i != NIL, rr, INF)
+        d, i = dedup_by_id(d, i)
     d = jnp.where(i == START_ID, INF, d)
     i = jnp.where(i == START_ID, NIL, i)
     d, i = sort_by_distance(d, i)

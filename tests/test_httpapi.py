@@ -221,3 +221,83 @@ def test_v1_flow(server):
     # v1 list shows v1 collections with their metric
     r = requests.get(f"{server}/v1/collections", headers=HEADERS)
     assert r.json()["collections"][0]["distanceMetric"] == "euclidean"
+
+
+def test_haversine_e2e(server):
+    """Geo search over [lat, lon] degrees through HTTP (ROADMAP item: e2e
+    coverage for the haversine metric, unit-tested in ops only before).
+
+    Mirrors the reference's haversine support (distance/distance.go:16-67,
+    models/index.go vector size 2 check) end to end: flat exact search and
+    vamana graph search must both rank Paris nearest to London with a
+    great-circle distance in meters.
+    """
+    cities = {
+        "london": [51.5074, -0.1278],
+        "paris": [48.8566, 2.3522],
+        "berlin": [52.52, 13.405],
+        "madrid": [40.4168, -3.7038],
+        "newyork": [40.7128, -74.0060],
+        "tokyo": [35.6762, 139.6503],
+    }
+    r = requests.post(
+        f"{server}/v2/collections",
+        json={
+            "id": "geo",
+            "indexSchema": {
+                "loc": {
+                    "type": "vectorFlat",
+                    "vectorFlat": {"vectorSize": 2, "distanceMetric": "haversine"},
+                },
+                "locGraph": {
+                    "type": "vectorVamana",
+                    "vectorVamana": {
+                        "vectorSize": 2,
+                        "distanceMetric": "haversine",
+                        "searchSize": 36,
+                        "degreeBound": 32,
+                    },
+                },
+                "name": {"type": "string", "string": {"caseSensitive": False}},
+            },
+        },
+        headers=HEADERS,
+    )
+    assert r.status_code == 200, r.text
+    pts = [{"loc": v, "locGraph": v, "name": k} for k, v in cities.items()]
+    r = requests.post(
+        f"{server}/v2/collections/geo/points", json={"points": pts}, headers=HEADERS
+    )
+    assert r.status_code == 200, r.text
+
+    # haversine vector size != 2 is rejected at schema level
+    bad = requests.post(
+        f"{server}/v2/collections",
+        json={
+            "id": "geobad",
+            "indexSchema": {
+                "loc": {
+                    "type": "vectorFlat",
+                    "vectorFlat": {"vectorSize": 3, "distanceMetric": "haversine"},
+                }
+            },
+        },
+        headers=HEADERS,
+    )
+    assert bad.status_code == 400
+
+    for prop, opts_key in (("loc", "vectorFlat"), ("locGraph", "vectorVamana")):
+        opts = {"vector": cities["london"], "operator": "near", "limit": 3}
+        if opts_key == "vectorVamana":
+            opts["searchSize"] = 36
+        r = requests.post(
+            f"{server}/v2/collections/geo/points/search",
+            json={"query": {"property": prop, opts_key: opts}, "limit": 3},
+            headers=HEADERS,
+        )
+        assert r.status_code == 200, r.text
+        got = r.json()["points"]
+        assert [p["name"] for p in got] == ["london", "paris", "berlin"], prop
+        assert got[0]["_distance"] == pytest.approx(0.0, abs=1.0)
+        # London–Paris great-circle distance is ~344 km
+        assert 330_000 < got[1]["_distance"] < 360_000, prop

@@ -338,6 +338,14 @@ def search_filtered(
     from semadb_tpu.ops.topk import dedup_by_id
 
     pool_d, pool_i = dedup_by_id(pool_d, pool_i)
+    if quant is not None and quant.kind != "plain" and not quant.user_bit_metric:
+        # Full-precision rerank, same as the unfiltered path: the walk and
+        # the filter-pool scoring used quantized distances; final ordering
+        # uses raw vectors over the (seed ∪ visited) pool.
+        rr = gather_distance(
+            state.vectors, jnp.clip(pool_i, 0, cap - 1), queries, config.metric
+        )
+        pool_d = jnp.where(pool_i != NIL, rr, INF)
     pool_d, pool_i = sort_by_distance(pool_d, pool_i)
     return pool_d[:, :k], pool_i[:, :k]
 

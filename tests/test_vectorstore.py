@@ -226,3 +226,48 @@ def test_user_jaccard_metric_flat():
     d, i = idx.search_batch(vecs[:5], k=1)
     assert list(i[:, 0]) == list(ids[:5])
     assert np.allclose(d[:, 0], 0.0)  # jaccard self-distance
+
+
+def test_vamana_quantized_filtered_rerank():
+    """Filtered quantized search reranks in full precision, matching the
+    unfiltered path: returned distances are true euclidean, and the
+    planted self-point comes back at distance ~0 even though the graph
+    walk used hamming codes."""
+    q = Quantizer(
+        type="binary",
+        binary=BinaryQuantizerParams(distance_metric="hamming", trigger_threshold=100),
+    )
+    params = VectorVamanaParams(
+        vector_size=32,
+        distance_metric="euclidean",
+        search_size=36,
+        degree_bound=32,
+        quantizer=q,
+    )
+    idx = IndexVamana(params)
+    ids = np.arange(2, 302, dtype=np.int32)
+    vecs = (RNG.random((300, 32)) * 2).astype(np.float32)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert idx.store.fitted
+    # admit only even node ids
+    fmask = np.zeros(512, dtype=bool)
+    fmask[ids[ids % 2 == 0]] = True
+    queries = vecs[ids % 2 == 0][:8]
+    qids = ids[ids % 2 == 0][:8]
+    d, i = idx.search_batch(queries, k=5, filter_mask=fmask)
+    assert np.all((i == -1) | (i % 2 == 0)), "filter violated"
+    hits = 0
+    for b in range(8):
+        self_pos = np.where(i[b] == qids[b])[0]
+        if len(self_pos):
+            hits += 1
+            assert d[b, self_pos[0]] == pytest.approx(0.0, abs=1e-4)
+    assert hits >= 6, f"filtered BQ self-recall too low: {hits}/8"
+    # distances are exact euclidean, not hamming integers
+    vec_by_id = {int(n): vecs[n - 2] for n in ids}
+    for b in range(8):
+        for pos in range(5):
+            if i[b, pos] == -1:
+                continue
+            ref = np.sum((queries[b] - vec_by_id[int(i[b, pos])]) ** 2)
+            assert d[b, pos] == pytest.approx(ref, rel=1e-3, abs=1e-3)

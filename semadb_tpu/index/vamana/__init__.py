@@ -126,11 +126,14 @@ class IndexVamana:
         updates: list[tuple[int, np.ndarray]] = []
         deletes: list[int] = []
         max_id = 0
+        # One bulk host copy of the existence bitmap: classifying per point
+        # via device scalar reads costs ~0.3ms each (dominates large builds).
+        exists_np = np.asarray(self.state.exists)
         for node_id, vec in changes:
             if node_id in (0, START_ID):
                 raise ValueError(f"cannot modify point with reserved id: {node_id}")
             max_id = max(max_id, node_id)
-            known = self.exists_id(node_id)
+            known = 0 <= node_id < exists_np.shape[0] and bool(exists_np[node_id])
             if not known and vec is None:
                 continue
             if not known:
@@ -166,11 +169,14 @@ class IndexVamana:
         schedule for Vamana-family indices.
         """
         i = 0
+        # Track the live count on host: len(self) is a device readback
+        # (~35ms each through the TPU tunnel) and inserts only grow it.
+        live = max(len(self), 32)
         while i < len(items):
-            live = max(len(self), 32)
             step = min(INSERT_CHUNK, max(32, live))
             chunk = items[i : i + step]
             i += step
+            live += len(chunk)
             ids = np.array([c[0] for c in chunk], dtype=np.int32)
             vecs = np.stack([np.asarray(c[1], dtype=np.float32) for c in chunk])
             self.state = insert_batch(

@@ -47,6 +47,12 @@ from semadb_tpu.ops.topk import INF, sort_by_distance
 # Chunk sizes for fixed-shape repair kernels (host loops over chunks)
 OVERFLOW_CHUNK = 1024
 DELETE_CHUNK = 256
+
+# Build counters for the bench/profiling harness (the reference logs
+# per-stage durations at debug level, vamana.go:255). No device syncs here:
+# through a remote-tunnel TPU every host↔device roundtrip costs ~30-45ms,
+# so the build path is designed to enqueue work without ever reading back.
+BUILD_TIMERS = {"batches": 0}
 # Per-node cap on expanded deleted neighbours during delete repair
 DELETE_EXPAND_MAX = 8
 
@@ -230,8 +236,7 @@ def _insert_core(
     return state, sorted_t, sorted_src, pending
 
 
-@functools.partial(jax.jit, static_argnames=("config", "chunk", "k_in"))
-def _overflow_chunk(
+def _overflow_body(
     state: GraphState,
     targets: jax.Array,  # i32[E] backedge targets
     sources: jax.Array,  # i32[E]
@@ -304,6 +309,66 @@ def _overflow_chunk(
     return state, pending
 
 
+@functools.partial(jax.jit, static_argnames=("config", "chunk", "k_in"))
+def _overflow_chunk(
+    state: GraphState,
+    targets: jax.Array,
+    sources: jax.Array,
+    pending: jax.Array,
+    config: GraphConfig,
+    chunk: int,
+    k_in: int,
+):
+    """One overflow round as a standalone kernel (used by the sharded
+    insert step in parallel/fanout.py)."""
+    return _overflow_body(state, targets, sources, pending, config, chunk, k_in)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "search_size", "intra_k", "chunk")
+)
+def _insert_step(
+    state: GraphState,
+    new_ids: jax.Array,
+    new_vecs: jax.Array,
+    valid: jax.Array,
+    config: GraphConfig,
+    search_size: int,
+    intra_k: int,
+    chunk: int,
+):
+    """Full insert step: search + prune + backedges + ALL overflow rounds.
+
+    The overflow resolution loops on device (``lax.while_loop``) instead of
+    the host: with the TPU behind a network tunnel, each host-side
+    ``while pending: ...`` iteration costs a ~35ms roundtrip, which used to
+    dominate build time. One dispatch per batch, no host readbacks.
+    """
+    state, targets, sources, pending = _insert_core(
+        state, new_ids, new_vecs, valid, config, search_size, intra_k
+    )
+    k_in = config.degree_bound
+
+    def cond(carry):
+        _, pending = carry
+        return jnp.any(pending)
+
+    def body(carry):
+        adjacency, pending = carry
+        st = GraphState(
+            vectors=state.vectors, adjacency=adjacency, exists=state.exists
+        )
+        st, pending = _overflow_body(
+            st, targets, sources, pending, config, chunk, k_in
+        )
+        return st.adjacency, pending
+
+    adjacency, _ = jax.lax.while_loop(cond, body, (state.adjacency, pending))
+    return GraphState(
+        vectors=state.vectors, adjacency=adjacency, exists=state.exists
+    )
+
+
 def _bucket_size(n: int) -> int:
     """Canonical padded batch sizes. Two buckets only — every extra shape
     costs a full recompile of the insert kernels (beam search + prune +
@@ -343,7 +408,8 @@ def insert_batch(
     vecs[:B] = new_vecs
     valid = np.zeros(Bp, bool)
     valid[:B] = True
-    state, targets, sources, pending = _insert_core(
+    chunk = min(OVERFLOW_CHUNK, state.capacity)
+    state = _insert_step(
         state,
         jnp.asarray(ids),
         jnp.asarray(vecs),
@@ -351,13 +417,9 @@ def insert_batch(
         config,
         search_size,
         intra_k,
+        chunk,
     )
-    # Host loop: resolve overflowing backedge targets chunk by chunk
-    chunk = min(OVERFLOW_CHUNK, state.capacity)
-    while bool(jnp.any(pending)):
-        state, pending = _overflow_chunk(
-            state, targets, sources, pending, config, chunk, config.degree_bound
-        )
+    BUILD_TIMERS["batches"] += 1
     return state
 
 
@@ -560,34 +622,67 @@ def _attach_representatives(state: GraphState, unreach: jax.Array, config: Graph
     return GraphState(vectors=state.vectors, adjacency=adjacency, exists=state.exists)
 
 
-def delete_batch(
-    state: GraphState, del_ids: np.ndarray, config: GraphConfig
+@functools.partial(jax.jit, static_argnames=("config", "chunk", "expand_max"))
+def _delete_step(
+    state: GraphState,
+    del_mask: jax.Array,
+    config: GraphConfig,
+    chunk: int,
+    expand_max: int,
 ) -> GraphState:
-    """Delete points and repair the graph (host orchestration)."""
-    if len(del_ids) == 0:
-        return state
+    """Full delete step on device: repair all affected nodes (while_loop
+    over fixed-size chunks), clear rows + straggler rescue, then reconnect
+    lost components until the whole graph is reachable. One dispatch, no
+    host readbacks (each costs ~35ms through the TPU tunnel)."""
     cap = state.capacity
-    del_ids = jnp.asarray(del_ids, jnp.int32)
-    del_mask = jnp.zeros(cap, bool).at[del_ids].set(True)
-    processed = jnp.zeros(cap, bool)
-    chunk = min(DELETE_CHUNK, cap)
-    remaining = 1
-    while remaining:
-        state, processed, rem = _delete_repair_chunk(
-            state, del_mask, processed, config, chunk, DELETE_EXPAND_MAX
+
+    def rep_cond(carry):
+        _, _, remaining = carry
+        return remaining > 0
+
+    def rep_body(carry):
+        st, processed, _ = carry
+        st, processed, rem = _delete_repair_chunk(
+            st, del_mask, processed, config, chunk, expand_max
         )
-        remaining = int(rem)
+        return st, processed, rem
+
+    state, _, _ = jax.lax.while_loop(
+        rep_cond, rep_body, (state, jnp.zeros(cap, bool), jnp.int32(1))
+    )
     state = _delete_finalize(state, del_mask, config)
+
     # Component rescue: the reference's toSave only re-attaches nodes with
     # zero inbound edges, so a mass delete can detach whole connected
     # components (acknowledged in prune.go:115-151 comments). We go further:
     # sweep reachability from the start node and force-attach
     # representatives of lost components until everything is reachable.
     ids = jnp.arange(cap, dtype=jnp.int32)
-    for _ in range(64):  # bounded; each round reconnects >= 1 component
-        reach = reachable_mask(state)
-        unreach = state.exists & ~reach & (ids != START_ID)
-        if not bool(jnp.any(unreach)):
-            break
-        state = _attach_representatives(state, unreach, config)
+
+    def unreach_of(st):
+        return st.exists & ~reachable_mask(st) & (ids != START_ID)
+
+    def resc_cond(carry):
+        _, unreach = carry
+        return jnp.any(unreach)
+
+    def resc_body(carry):
+        st, unreach = carry
+        st = _attach_representatives(st, unreach, config)
+        return st, unreach_of(st)
+
+    state, _ = jax.lax.while_loop(resc_cond, resc_body, (state, unreach_of(state)))
     return state
+
+
+def delete_batch(
+    state: GraphState, del_ids: np.ndarray, config: GraphConfig
+) -> GraphState:
+    """Delete points and repair the graph."""
+    if len(del_ids) == 0:
+        return state
+    cap = state.capacity
+    del_ids = jnp.asarray(del_ids, jnp.int32)
+    del_mask = jnp.zeros(cap, bool).at[del_ids].set(True)
+    chunk = min(DELETE_CHUNK, cap)
+    return _delete_step(state, del_mask, config, chunk, DELETE_EXPAND_MAX)

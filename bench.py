@@ -40,8 +40,32 @@ BASELINES = {"plain": 1537.7, "bq": 2369.7, "pq": 967.4}
 BASELINE_QPS = BASELINES.get(MODE, 1537.7)
 
 
+def _preflight() -> None:
+    """The tunnelled TPU backend intermittently fails its first transfer
+    with FAILED_PRECONDITION right after another process released the
+    claim; probe in a subprocess (backend state is process-wide) and wait
+    until the device answers before initialising JAX here."""
+    import subprocess
+
+    probe = "import jax; jax.numpy.zeros(8).block_until_ready(); print('ok')"
+    for attempt in range(6):
+        r = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, timeout=300
+        )
+        if r.returncode == 0:
+            return
+        print(
+            f"# tpu preflight attempt {attempt + 1} failed, retrying in 60s",
+            file=sys.stderr,
+        )
+        import time
+
+        time.sleep(60)
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _preflight()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/semadb_jax_cache")

@@ -188,6 +188,60 @@ class IndexVamana:
                 self.store.encode_rows(self.state.vectors, ids)
 
     # -- reads -------------------------------------------------------------
+    def search_batch_async(
+        self,
+        queries,
+        k: int,
+        search_size: int = 0,
+    ):
+        """Dispatch a search without synchronising: returns device arrays
+        (dists f32[B,k], ids i32[B,k]).
+
+        Serving-throughput entry point: the caller can enqueue many batches
+        (overlapping query upload with compute — on a tunnelled TPU the
+        upload alone costs tens of ms) and materialise results at the end.
+        ``queries`` may be a numpy array (padded + uploaded here) or an
+        already device-resident f32[B, D] array used as-is.
+        """
+        search_size = search_size or self.params.search_size
+        search_size = max(search_size, k)
+        if isinstance(queries, jnp.ndarray) and queries.ndim == 2:
+            q = queries
+            Bp = q.shape[0]
+        else:
+            q_np = np.atleast_2d(np.asarray(queries, np.float32))
+            B = q_np.shape[0]
+            for Bp in (8, 64, 256, 1024):
+                if B <= Bp:
+                    break
+            else:
+                Bp = ((B + 1023) // 1024) * 1024
+            if Bp != B:
+                q_np = np.concatenate(
+                    [q_np, np.zeros((Bp - B, q_np.shape[1]), np.float32)]
+                )
+            q = jnp.asarray(q_np)
+        quant = None
+        qcodes = qquery = None
+        if self.store.fitted and self.store.kind != "plain":
+            quant = self.store.config
+            qcodes = self.store.state.codes
+            if qcodes.shape[0] < self.state.capacity:
+                qcodes = jnp.pad(
+                    qcodes, ((0, self.state.capacity - qcodes.shape[0]), (0, 0))
+                )
+            qquery = self.store.prepare_queries(q)
+        seeds = self._get_entry_seeds()
+        seed_arr = None
+        if seeds is not None:
+            seed_arr = jnp.broadcast_to(
+                jnp.asarray(seeds, jnp.int32)[None, :], (Bp, len(seeds))
+            )
+        return search_mod.search(
+            self.state, q, self.config, search_size, k,
+            quant=quant, qcodes=qcodes, qquery=qquery, seed_ids=seed_arr,
+        )
+
     def search_batch(
         self,
         queries: np.ndarray,
@@ -213,19 +267,19 @@ class IndexVamana:
         if Bp != B:
             q_np = np.concatenate([q_np, np.zeros((Bp - B, q_np.shape[1]), np.float32)])
         q = jnp.asarray(q_np)
-        # Quantized search path when the store is fitted (vectorstore
-        # dispatch, vectorstore.go:23-43): distances become hamming/ADC
-        quant = None
-        qcodes = qquery = None
-        if self.store.fitted and self.store.kind != "plain":
-            quant = self.store.config
-            qcodes = self.store.state.codes
-            if qcodes.shape[0] < self.state.capacity:
-                qcodes = jnp.pad(
-                    qcodes, ((0, self.state.capacity - qcodes.shape[0]), (0, 0))
-                )
-            qquery = self.store.prepare_queries(q)
         if filter_mask is not None:
+            # Quantized search path when the store is fitted (vectorstore
+            # dispatch, vectorstore.go:23-43): distances become hamming/ADC
+            quant = None
+            qcodes = qquery = None
+            if self.store.fitted and self.store.kind != "plain":
+                quant = self.store.config
+                qcodes = self.store.state.codes
+                if qcodes.shape[0] < self.state.capacity:
+                    qcodes = jnp.pad(
+                        qcodes, ((0, self.state.capacity - qcodes.shape[0]), (0, 0))
+                    )
+                qquery = self.store.prepare_queries(q)
             fm = jnp.asarray(filter_mask, bool)
             if fm.shape[0] < self.state.capacity:
                 fm = jnp.pad(fm, (0, self.state.capacity - fm.shape[0]))
@@ -234,16 +288,7 @@ class IndexVamana:
                 quant=quant, qcodes=qcodes, qquery=qquery,
             )
         else:
-            seeds = self._get_entry_seeds()
-            seed_arr = None
-            if seeds is not None:
-                seed_arr = jnp.broadcast_to(
-                    jnp.asarray(seeds, jnp.int32)[None, :], (Bp, len(seeds))
-                )
-            d, i = search_mod.search(
-                self.state, q, self.config, search_size, k,
-                quant=quant, qcodes=qcodes, qquery=qquery, seed_ids=seed_arr,
-            )
+            d, i = self.search_batch_async(q, k, search_size)
         return np.asarray(d)[:B], np.asarray(i)[:B]
 
     N_ENTRY_SEEDS = 16

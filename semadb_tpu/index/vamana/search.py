@@ -91,8 +91,15 @@ def _merge_sorted(dists, ids, exp, new_d, new_i, L, compact: bool = True):
     md = jnp.concatenate([dists, new_d], axis=-1)
     mi = jnp.concatenate([ids, new_i], axis=-1)
     me = jnp.concatenate([exp, jnp.zeros_like(new_i, dtype=bool)], axis=-1)
+    # Search path (compact=False) sorts on distance alone: duplicates carry
+    # bit-identical distances so they still land adjacent unless a distinct
+    # id ties exactly; a missed dedup then costs one wasted slot and the
+    # final output dedups anyway. The build path keeps the (distance, id)
+    # 2-key sort — its visited lists feed robustPrune, where a surviving
+    # zero-distance duplicate could create a duplicate edge.
+    nk = 2 if compact else 1
     md, mi, me_i = jax.lax.sort(
-        (md, mi, me.astype(jnp.int32)), dimension=-1, num_keys=2, is_stable=True
+        (md, mi, me.astype(jnp.int32)), dimension=-1, num_keys=nk, is_stable=True
     )
     dup = jnp.concatenate(
         [jnp.zeros_like(mi[..., :1], dtype=bool), mi[..., 1:] == mi[..., :-1]], axis=-1

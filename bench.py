@@ -22,8 +22,8 @@ import sys
 
 N = int(os.environ.get("BENCH_N", 100_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
-N_QUERIES = int(os.environ.get("BENCH_QUERIES", 8192))
-QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 4096))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", 32768))
+QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 8192))
 MODE = os.environ.get("BENCH_MODE", "plain")  # plain | bq | pq
 # Search-time operating point on the recall/QPS pareto (build stays at the
 # reference's searchSize 75). L=40 holds recall >= 0.999 on this dataset —

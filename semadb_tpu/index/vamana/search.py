@@ -91,15 +91,14 @@ def _merge_sorted(dists, ids, exp, new_d, new_i, L, compact: bool = True):
     md = jnp.concatenate([dists, new_d], axis=-1)
     mi = jnp.concatenate([ids, new_i], axis=-1)
     me = jnp.concatenate([exp, jnp.zeros_like(new_i, dtype=bool)], axis=-1)
-    # Search path (compact=False) sorts on distance alone: duplicates carry
-    # bit-identical distances so they still land adjacent unless a distinct
-    # id ties exactly; a missed dedup then costs one wasted slot and the
-    # final output dedups anyway. The build path keeps the (distance, id)
-    # 2-key sort — its visited lists feed robustPrune, where a surviving
-    # zero-distance duplicate could create a duplicate edge.
-    nk = 2 if compact else 1
+    # The id tiebreak key is load-bearing for dedup: duplicates of an id
+    # carry bit-identical distances, but integer-valued quantized distances
+    # (hamming/ADC) tie constantly across DIFFERENT ids — with a
+    # distance-only sort duplicates stop landing adjacent, dedup misses,
+    # and the beam floods with copies of one near node (recall 0.48→0.16
+    # measured). The 2-key sort costs ~2%.
     md, mi, me_i = jax.lax.sort(
-        (md, mi, me.astype(jnp.int32)), dimension=-1, num_keys=nk, is_stable=True
+        (md, mi, me.astype(jnp.int32)), dimension=-1, num_keys=2, is_stable=True
     )
     dup = jnp.concatenate(
         [jnp.zeros_like(mi[..., :1], dtype=bool), mi[..., 1:] == mi[..., :-1]], axis=-1
@@ -117,7 +116,8 @@ def _merge_sorted(dists, ids, exp, new_d, new_i, L, compact: bool = True):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "search_size", "max_hops", "expand_width", "quant", "track_visited"
+        "config", "search_size", "max_hops", "expand_width", "quant",
+        "track_visited", "compact_merge",
     ),
 )
 def beam_search(
@@ -132,8 +132,17 @@ def beam_search(
     qcodes: Optional[jax.Array] = None,
     qquery: Optional[jax.Array] = None,
     track_visited: bool = True,
+    compact_merge: Optional[bool] = None,
 ) -> BeamResult:
     """Batched greedy search. ``queries``: f32[B, D] → BeamResult.
+
+    ``compact_merge`` (default: follow ``track_visited``): whether the
+    candidate-list merge compacts dedup holes with a second 2-key sort.
+    Plain-f32 searches skip it safely (~35% fewer sort passes; f32
+    distance ties are rare so holes are few). Quantized searches MUST
+    compact: integer-valued distances tie constantly, dedup punches many
+    holes per hop, and without compaction the effective beam narrows
+    (BQ recall 0.48 → 0.41 measured).
 
     ``seed_ids``: optional i32[B, S] initial candidates (NIL-padded) used by
     filtered search; the start node is always added as well
@@ -150,6 +159,7 @@ def beam_search(
     L = search_size
     R = config.degree_bound
     W = expand_width
+    compact = track_visited if compact_merge is None else compact_merge
     # Visited ring: ~2L slots rounded to a multiple of W so block writes
     # never straddle the wrap point (reference visitedSet starts at 2L,
     # distset.go).
@@ -225,7 +235,7 @@ def beam_search(
         # _merge_sorted, and an evicted candidate can never re-enter because
         # the L-th best distance is monotonically non-increasing.
         cand_d, cand_i, cand_e = _merge_sorted(
-            cand_d, cand_i, cand_e, nd, ni, L, compact=track_visited
+            cand_d, cand_i, cand_e, nd, ni, L, compact=compact
         )
         return cand_d, cand_i, cand_e, vis_d, vis_i, hop + 1
 

@@ -23,20 +23,23 @@ import sys
 N = int(os.environ.get("BENCH_N", 100_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 32768))
-QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 8192))
-MODE = os.environ.get("BENCH_MODE", "plain")  # plain | bq | pq
+MODE = os.environ.get("BENCH_MODE", "ivf")  # ivf | plain | bq | pq
+# IVF's slab gather works best at 4096-query batches (larger batches blow
+# up the gathered intermediate); the graph walk prefers 8192.
+QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 4096 if MODE == "ivf" else 8192))
 # Search-time operating point on the recall/QPS pareto (build stays at the
 # reference's searchSize 75). L=40 holds recall >= 0.999 on this dataset —
 # the same recall the reference's published 1537.7 QPS point delivers.
 # Quantized modes keep L=75: the full-precision rerank can only recover
 # neighbours that made the candidate list, so the list should be as wide
 # as the reference's design point.
-_default_l = 40 if MODE == "plain" else 75
+# IVF probes auto-scale with cluster count (L is unused there).
+_default_l = 0 if MODE == "ivf" else (40 if MODE == "plain" else 75)
 SEARCH_L = int(os.environ.get("BENCH_SEARCH_SIZE", _default_l))
 # Reference baselines (BASELINE.md): sift-128 v1 = 1537.7 QPS;
 # BQ/PQ variants compared against their closest published counterparts
 # (mnist-784 v2-BQ 2369.7, sift-128 v2-PQ 967.4).
-BASELINES = {"plain": 1537.7, "bq": 2369.7, "pq": 967.4}
+BASELINES = {"ivf": 1537.7, "plain": 1537.7, "bq": 2369.7, "pq": 967.4}
 BASELINE_QPS = BASELINES.get(MODE, 1537.7)
 
 
@@ -95,14 +98,16 @@ def main() -> None:
         )
 
     ds = synthetic_clustered(N, DIM, N_QUERIES)
+    engine = "ivf" if MODE == "ivf" else "vamana"
     out = run(
-        ds, k=10, batch=QUERY_BATCH, query_search_size=SEARCH_L, quantizer=quantizer
+        ds, k=10, batch=QUERY_BATCH, query_search_size=SEARCH_L,
+        quantizer=quantizer, engine=engine,
     )
-    suffix = "" if MODE == "plain" else f"_{MODE}"
+    name = {"ivf": "ivf", "plain": "vamana", "bq": "vamana_bq", "pq": "vamana_pq"}[MODE]
     print(
         json.dumps(
             {
-                "metric": f"sift{N//1000}k_d{DIM}_vamana{suffix}_qps",
+                "metric": f"sift{N//1000}k_d{DIM}_{name}_qps",
                 "value": out["qps"],
                 "unit": "qps",
                 "vs_baseline": round(out["qps"] / BASELINE_QPS, 2),

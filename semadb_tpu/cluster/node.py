@@ -640,6 +640,14 @@ def _search_request_to_dict(sr: SearchRequest) -> dict:
                 **({"filter": q_to_dict(o.filter)} if o.filter else {}),
                 **({"weight": o.weight} if o.weight is not None else {}),
             }
+        if q.vector_ivf is not None:
+            o = q.vector_ivf
+            out["vectorIVF"] = {
+                "vector": list(o.vector), "operator": o.operator, "limit": o.limit,
+                **({"numProbes": o.num_probes} if o.num_probes else {}),
+                **({"filter": q_to_dict(o.filter)} if o.filter else {}),
+                **({"weight": o.weight} if o.weight is not None else {}),
+            }
         if q.text is not None:
             o = q.text
             out["text"] = {

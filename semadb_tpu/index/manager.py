@@ -26,6 +26,7 @@ import numpy as np
 
 from semadb_tpu.index.flat import IndexFlat
 from semadb_tpu.index.inverted import IndexInverted, IndexInvertedArray
+from semadb_tpu.index.ivf import IndexIVF
 from semadb_tpu.index.text import IndexText
 from semadb_tpu.index.vamana import IndexVamana
 from semadb_tpu.models import constants as C
@@ -86,6 +87,8 @@ class IndexManager:
         if idx is None:
             if itype == C.INDEX_TYPE_VECTOR_VAMANA:
                 idx = IndexVamana(params)
+            elif itype == C.INDEX_TYPE_VECTOR_IVF:
+                idx = IndexIVF(params)
             else:
                 idx = IndexFlat(params)
             self.devices[name] = idx
@@ -112,6 +115,12 @@ class IndexManager:
                 )
             elif itype == C.INDEX_TYPE_VECTOR_FLAT:
                 idx = self._device_index(itype, prop, params.vector_flat)
+                idx.insert_update_delete(
+                    (nid, np.asarray(cur, np.float32) if op != OP_DELETE else None)
+                    for nid, _, cur, op in items
+                )
+            elif itype == C.INDEX_TYPE_VECTOR_IVF:
+                idx = self._device_index(itype, prop, params.vector_ivf)
                 idx.insert_update_delete(
                     (nid, np.asarray(cur, np.float32) if op != OP_DELETE else None)
                     for nid, _, cur, op in items
@@ -192,6 +201,16 @@ class IndexManager:
             return self._vector_search(
                 idx, opts.vector, opts.limit, opts.weight, filter_set=filter_set
             )
+        if itype == C.INDEX_TYPE_VECTOR_IVF:
+            opts = q.vector_ivf
+            filter_set = None
+            if opts.filter is not None:
+                filter_set, _ = self.search(opts.filter)
+            idx = self._device_index(itype, q.property, params.vector_ivf)
+            return self._vector_search(
+                idx, opts.vector, opts.limit, opts.weight,
+                num_probes=opts.num_probes, filter_set=filter_set,
+            )
         if itype == C.INDEX_TYPE_TEXT:
             filter_set = None
             if q.text.filter is not None:
@@ -222,8 +241,10 @@ class IndexManager:
             return arr.search(q.string_array.value, q.string_array.operator), []
         raise ValidationError(f"search not supported for type {itype}")
 
-    def _vector_search(self, idx, vector, limit, weight, search_size=0, filter_set=None):
-        """Shared vamana/flat search: hybrid score = -distance * weight
+    def _vector_search(
+        self, idx, vector, limit, weight, search_size=0, num_probes=0, filter_set=None
+    ):
+        """Shared vamana/flat/ivf search: hybrid score = -distance * weight
         (vamana.go Search:...; flat.go equivalent)."""
         q = np.asarray(vector, np.float32)[None, :]
         filter_mask = None
@@ -234,6 +255,8 @@ class IndexManager:
             filter_mask[ids_in] = True
         if isinstance(idx, IndexVamana):
             d, i = idx.search_batch(q, k=limit, search_size=search_size, filter_mask=filter_mask)
+        elif isinstance(idx, IndexIVF):
+            d, i = idx.search_batch(q, k=limit, num_probes=num_probes, filter_mask=filter_mask)
         else:
             d, i = idx.search_batch(q, k=limit, filter_mask=filter_mask)
         w = weight if weight is not None else 1.0

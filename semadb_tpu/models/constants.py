@@ -25,6 +25,7 @@ DISTANCE_METRICS = frozenset(
 # Index types (reference: models/constants.go:18-26)
 INDEX_TYPE_VECTOR_FLAT = "vectorFlat"
 INDEX_TYPE_VECTOR_VAMANA = "vectorVamana"
+INDEX_TYPE_VECTOR_IVF = "vectorIVF"
 INDEX_TYPE_TEXT = "text"
 INDEX_TYPE_STRING = "string"
 INDEX_TYPE_INTEGER = "integer"
@@ -35,6 +36,7 @@ INDEX_TYPES = frozenset(
     {
         INDEX_TYPE_VECTOR_FLAT,
         INDEX_TYPE_VECTOR_VAMANA,
+        INDEX_TYPE_VECTOR_IVF,
         INDEX_TYPE_TEXT,
         INDEX_TYPE_STRING,
         INDEX_TYPE_INTEGER,

@@ -236,6 +236,48 @@ class StringArrayOptions:
 
 
 @dataclass
+class VectorIVFOptions:
+    """Query options for the TPU-native vectorIVF index (no reference
+    counterpart). ``numProbes`` overrides the index's probe count."""
+
+    vector: list
+    operator: str = C.OPERATOR_NEAR
+    num_probes: int = 0
+    limit: int = 10
+    filter: Optional["Query"] = None
+    weight: Optional[float] = None
+
+    def validate(self) -> None:
+        if not (1 <= len(self.vector) <= 4096):
+            raise ValidationError(
+                f"query vector length must be between 1 and 4096, got {len(self.vector)}"
+            )
+        if self.operator != C.OPERATOR_NEAR:
+            raise ValidationError(
+                f"invalid operator {self.operator} for vector query, expected {C.OPERATOR_NEAR}"
+            )
+        if self.num_probes and not (1 <= self.num_probes <= 1024):
+            raise ValidationError(
+                f"invalid numProbes {self.num_probes} for vector query, expected 1-1024"
+            )
+        if not (1 <= self.limit <= 75):
+            raise ValidationError(f"invalid limit {self.limit} for vector query, expected 1-75")
+        if self.filter is not None:
+            self.filter.validate()
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "VectorIVFOptions":
+        return cls(
+            vector=list(d["vector"]),
+            operator=d.get("operator", C.OPERATOR_NEAR),
+            num_probes=int(d.get("numProbes", 0)),
+            limit=int(d.get("limit", 10)),
+            filter=Query.from_dict(d["filter"]) if d.get("filter") else None,
+            weight=d.get("weight"),
+        )
+
+
+@dataclass
 class Query:
     """Recursive query AST node (models/search.go Query).
 
@@ -246,6 +288,7 @@ class Query:
     property: str
     vector_flat: Optional[VectorFlatOptions] = None
     vector_vamana: Optional[VectorVamanaOptions] = None
+    vector_ivf: Optional[VectorIVFOptions] = None
     text: Optional[TextOptions] = None
     string: Optional[StringOptions] = None
     integer: Optional[IntegerOptions] = None
@@ -260,6 +303,7 @@ class Query:
         for opts in (
             self.vector_flat,
             self.vector_vamana,
+            self.vector_ivf,
             self.text,
             self.string,
             self.integer,
@@ -346,6 +390,19 @@ class Query:
                 )
             if self.vector_vamana.filter is not None:
                 self.vector_vamana.filter.validate_schema(schema)
+        elif t == C.INDEX_TYPE_VECTOR_IVF:
+            if self.vector_ivf is None:
+                raise ValidationError(
+                    f"vectorIVF query options not provided for property {self.property}"
+                )
+            if len(self.vector_ivf.vector) != value.vector_ivf.vector_size:
+                raise ValidationError(
+                    f"vectorIVF query vector length mismatch for property {self.property},"
+                    f" expected {value.vector_ivf.vector_size}"
+                    f" got {len(self.vector_ivf.vector)}"
+                )
+            if self.vector_ivf.filter is not None:
+                self.vector_ivf.filter.validate_schema(schema)
         elif t == C.INDEX_TYPE_TEXT:
             if self.text is None:
                 raise ValidationError(
@@ -384,6 +441,7 @@ class Query:
             vector_vamana=(
                 VectorVamanaOptions.from_dict(d["vectorVamana"]) if d.get("vectorVamana") else None
             ),
+            vector_ivf=VectorIVFOptions.from_dict(d["vectorIVF"]) if d.get("vectorIVF") else None,
             text=TextOptions.from_dict(d["text"]) if d.get("text") else None,
             string=StringOptions.from_dict(d["string"]) if d.get("string") else None,
             integer=IntegerOptions.from_dict(d["integer"]) if d.get("integer") else None,

@@ -116,6 +116,61 @@ class VectorVamanaParams:
 
 
 @dataclass
+class VectorIVFParams:
+    """TPU-native IVF (clustered) index parameters — no reference
+    counterpart (index/ivf.py rationale). ``numClusters``/``numProbes``
+    default to size-derived values (N/24 clusters, C/170 probes);
+    ``slabSize`` is the padded per-cluster slot count."""
+
+    vector_size: int
+    distance_metric: str
+    num_probes: int = 0  # 0 = auto
+    slab_size: int = 0  # 0 = default (64)
+    quantizer: Optional[Quantizer] = None
+
+    def validate(self) -> None:
+        if not (1 <= self.vector_size <= 4096):
+            raise ValidationError(
+                f"vector size must be between 1 and 4096, got {self.vector_size}"
+            )
+        if self.distance_metric not in (
+            C.DISTANCE_EUCLIDEAN, C.DISTANCE_DOT, C.DISTANCE_COSINE
+        ):
+            raise ValidationError(
+                "vectorIVF supports euclidean/dot/cosine metrics,"
+                f" got {self.distance_metric}"
+            )
+        if self.num_probes and not (1 <= self.num_probes <= 1024):
+            raise ValidationError(
+                f"numProbes must be between 1 and 1024, got {self.num_probes}"
+            )
+        if self.slab_size and not (8 <= self.slab_size <= 1024):
+            raise ValidationError(
+                f"slabSize must be between 8 and 1024, got {self.slab_size}"
+            )
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "VectorIVFParams":
+        return cls(
+            vector_size=int(d["vectorSize"]),
+            distance_metric=d["distanceMetric"],
+            num_probes=int(d.get("numProbes", 0)),
+            slab_size=int(d.get("slabSize", 0)),
+            quantizer=Quantizer.from_dict(d.get("quantizer")),
+        )
+
+    def to_dict(self) -> dict:
+        out: dict = {"vectorSize": self.vector_size, "distanceMetric": self.distance_metric}
+        if self.num_probes:
+            out["numProbes"] = self.num_probes
+        if self.slab_size:
+            out["slabSize"] = self.slab_size
+        if self.quantizer is not None:
+            out["quantizer"] = self.quantizer.to_dict()
+        return out
+
+
+@dataclass
 class TextParams:
     """Reference: models/index.go IndexTextParameters."""
 
@@ -157,6 +212,7 @@ class IndexSchemaValue:
     type: str
     vector_flat: Optional[VectorFlatParams] = None
     vector_vamana: Optional[VectorVamanaParams] = None
+    vector_ivf: Optional["VectorIVFParams"] = None
     text: Optional[TextParams] = None
     string: Optional[StringParams] = None
     string_array: Optional[StringParams] = None
@@ -167,6 +223,7 @@ class IndexSchemaValue:
         required = {
             C.INDEX_TYPE_VECTOR_FLAT: ("vectorFlat", self.vector_flat),
             C.INDEX_TYPE_VECTOR_VAMANA: ("vectorVamana", self.vector_vamana),
+            C.INDEX_TYPE_VECTOR_IVF: ("vectorIVF", self.vector_ivf),
             C.INDEX_TYPE_TEXT: ("text", self.text),
             C.INDEX_TYPE_STRING: ("string", self.string),
             C.INDEX_TYPE_STRING_ARRAY: ("stringArray", self.string_array),
@@ -185,6 +242,7 @@ class IndexSchemaValue:
             vector_vamana=(
                 VectorVamanaParams.from_dict(d["vectorVamana"]) if d.get("vectorVamana") else None
             ),
+            vector_ivf=VectorIVFParams.from_dict(d["vectorIVF"]) if d.get("vectorIVF") else None,
             text=TextParams.from_dict(d["text"]) if d.get("text") else None,
             string=StringParams.from_dict(d["string"]) if d.get("string") else None,
             string_array=StringParams.from_dict(d["stringArray"]) if d.get("stringArray") else None,
@@ -196,6 +254,8 @@ class IndexSchemaValue:
             out["vectorFlat"] = self.vector_flat.to_dict()
         if self.vector_vamana is not None:
             out["vectorVamana"] = self.vector_vamana.to_dict()
+        if self.vector_ivf is not None:
+            out["vectorIVF"] = self.vector_ivf.to_dict()
         if self.text is not None:
             out["text"] = self.text.to_dict()
         if self.string is not None:
@@ -278,12 +338,16 @@ class IndexSchema:
             k = parts[-1]
             v = m[k]
             t = schema.type
-            if t in (C.INDEX_TYPE_VECTOR_FLAT, C.INDEX_TYPE_VECTOR_VAMANA):
+            if t in (C.INDEX_TYPE_VECTOR_FLAT, C.INDEX_TYPE_VECTOR_VAMANA, C.INDEX_TYPE_VECTOR_IVF):
                 try:
                     vec = _convert_to_vector(v)
                 except ValidationError as e:
                     raise ValidationError(f"expected a vector for property {k}: {e}") from e
-                params = schema.vector_flat if t == C.INDEX_TYPE_VECTOR_FLAT else schema.vector_vamana
+                params = {
+                    C.INDEX_TYPE_VECTOR_FLAT: schema.vector_flat,
+                    C.INDEX_TYPE_VECTOR_VAMANA: schema.vector_vamana,
+                    C.INDEX_TYPE_VECTOR_IVF: schema.vector_ivf,
+                }[t]
                 if len(vec) != params.vector_size:
                     raise ValidationError(
                         f"expected vector of size {params.vector_size} for property {k},"

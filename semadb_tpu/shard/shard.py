@@ -52,7 +52,7 @@ class Shard:
 
         def reader(bm):
             for prop, params in self.collection.index_schema.items():
-                if params.type not in (C.INDEX_TYPE_VECTOR_VAMANA, C.INDEX_TYPE_VECTOR_FLAT):
+                if params.type not in (C.INDEX_TYPE_VECTOR_VAMANA, C.INDEX_TYPE_VECTOR_FLAT, C.INDEX_TYPE_VECTOR_IVF):
                     continue
                 name = IndexManager.bucket_name(params.type, prop)
                 bucket = bm.get(name)
@@ -63,6 +63,12 @@ class Shard:
                 if params.type == C.INDEX_TYPE_VECTOR_VAMANA:
                     self.device_indices[name] = IndexVamana.from_arrays(
                         params.vector_vamana, arrays
+                    )
+                elif params.type == C.INDEX_TYPE_VECTOR_IVF:
+                    from semadb_tpu.index.ivf import IndexIVF
+
+                    self.device_indices[name] = IndexIVF.from_arrays(
+                        params.vector_ivf, arrays
                     )
                 else:
                     self.device_indices[name] = IndexFlat.from_arrays(

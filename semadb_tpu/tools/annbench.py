@@ -38,7 +38,16 @@ class VamanaBench:
         degree_bound: int = 64,
         alpha: float = 1.2,
         quantizer=None,
+        engine: str = "vamana",
     ):
+        if engine == "ivf":
+            from semadb_tpu.index.ivf import IndexIVF
+            from semadb_tpu.models.schema import VectorIVFParams
+
+            self.index = IndexIVF(
+                VectorIVFParams(vector_size=dim, distance_metric=metric)
+            )
+            return
         from semadb_tpu.index.vamana import IndexVamana
 
         params = VectorVamanaParams(

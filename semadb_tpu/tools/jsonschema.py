@@ -47,7 +47,7 @@ INDEX_SCHEMA = {
         "properties": {
             "type": {
                 "enum": [
-                    "vectorFlat", "vectorVamana", "text", "string",
+                    "vectorFlat", "vectorVamana", "vectorIVF", "text", "string",
                     "integer", "float", "stringArray",
                 ]
             },
@@ -72,6 +72,17 @@ INDEX_SCHEMA = {
                     "searchSize": {"type": "integer", "minimum": 25, "maximum": 75},
                     "degreeBound": {"type": "integer", "minimum": 32, "maximum": 64},
                     "alpha": {"type": "number", "minimum": 1.1, "maximum": 1.5},
+                    "quantizer": QUANTIZER,
+                },
+                "required": ["vectorSize", "distanceMetric"],
+            },
+            "vectorIVF": {
+                "type": "object",
+                "properties": {
+                    "vectorSize": {"type": "integer", "minimum": 1, "maximum": 4096},
+                    "distanceMetric": {"enum": ["euclidean", "cosine", "dot"]},
+                    "numProbes": {"type": "integer", "minimum": 1, "maximum": 1024},
+                    "slabSize": {"type": "integer", "minimum": 8, "maximum": 1024},
                     "quantizer": QUANTIZER,
                 },
                 "required": ["vectorSize", "distanceMetric"],
@@ -114,6 +125,18 @@ QUERY: dict = {
             "properties": {
                 "vector": VECTOR,
                 "operator": {"enum": ["near"]},
+                "limit": {"type": "integer", "minimum": 1, "maximum": 75},
+                "filter": {"$ref": "#"},
+                "weight": {"type": "number"},
+            },
+            "required": ["vector", "operator", "limit"],
+        },
+        "vectorIVF": {
+            "type": "object",
+            "properties": {
+                "vector": VECTOR,
+                "operator": {"enum": ["near"]},
+                "numProbes": {"type": "integer", "minimum": 1, "maximum": 1024},
                 "limit": {"type": "integer", "minimum": 1, "maximum": 75},
                 "filter": {"$ref": "#"},
                 "weight": {"type": "number"},

@@ -103,3 +103,39 @@ def kmeans_fit_subvectors(
     m = data.shape[0]
     seeds = jnp.arange(m, dtype=jnp.int32) + jnp.asarray(seed, jnp.int32)
     return jax.vmap(lambda d, s: kmeans_fit(d, k, s, max_iter))(data, seeds)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def kmeans_fit_large(
+    data: jax.Array, k: int, seed: int | jax.Array = 0, iters: int = 15
+):
+    """Large-K k-means for IVF coarse quantization → (centroids f32[k, d],
+    labels i32[N]).
+
+    Differs from :func:`kmeans_fit` where that one mirrors the reference's
+    PQ fit (utils/kmeans.go, K ≤ 256, uint8 labels): sampled init instead
+    of the sequential furthest-point loop (k iterations of which are too
+    slow at k ≈ thousands), segment-sum centroid update instead of a
+    one-hot matmul (the [N, K] one-hot would materialise gigabytes), and a
+    fixed iteration count under ``lax.scan`` so the whole fit is a single
+    dispatch.
+    """
+    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
+    idx = jax.random.choice(key, data.shape[0], (k,), replace=False)
+    cents = data[idx]
+    sq_data = jnp.sum(data * data, axis=-1, keepdims=True)
+    ones = jnp.ones((data.shape[0],), jnp.float32)
+
+    def assign(c):
+        sq_c = jnp.sum(c * c, axis=-1)[None, :]
+        return jnp.argmin(sq_data - 2.0 * (data @ c.T) + sq_c, axis=-1)
+
+    def step(c, _):
+        lab = assign(c)
+        sums = jax.ops.segment_sum(data, lab, num_segments=k)
+        cnt = jax.ops.segment_sum(ones, lab, num_segments=k)
+        c = jnp.where((cnt > 0)[:, None], sums / jnp.maximum(cnt, 1.0)[:, None], c)
+        return c, None
+
+    cents, _ = jax.lax.scan(step, cents, None, length=iters)
+    return cents, assign(cents).astype(jnp.int32)

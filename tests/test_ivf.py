@@ -1,0 +1,254 @@
+"""IVF index tests: recall vs exact scan, CRUD, refit, filters,
+persistence round-trip, shard + HTTP integration.
+
+The IVF engine has no reference counterpart (SemaDB ships flat + vamana);
+these tests hold it to the same contracts as the other vector indices.
+"""
+
+import uuid
+
+import numpy as np
+import pytest
+
+from semadb_tpu.index.ivf import IndexIVF
+from semadb_tpu.models.schema import IndexSchema, VectorIVFParams
+
+RNG = np.random.default_rng(11)
+
+
+def make_index(dim=16, metric="euclidean", **kw) -> IndexIVF:
+    return IndexIVF(VectorIVFParams(vector_size=dim, distance_metric=metric, **kw))
+
+
+def clustered(n, dim=16, k=20):
+    cents = RNG.standard_normal((k, dim)).astype(np.float32) * 5
+    lab = RNG.integers(0, k, n)
+    return (cents[lab] + RNG.standard_normal((n, dim)).astype(np.float32)).astype(
+        np.float32
+    )
+
+
+def exact_top(vecs, ids, q, k):
+    d = np.sum((vecs - q[None, :]) ** 2, axis=-1)
+    order = np.argsort(d)[:k]
+    return ids[order]
+
+
+def test_prefit_exact():
+    """Below the fit threshold everything lives in the overflow pool and
+    search is an exact scan."""
+    idx = make_index()
+    vecs = clustered(100)
+    ids = np.arange(2, 102, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert len(idx) == 100
+    d, i = idx.search_batch(vecs[:5], k=3)
+    assert list(i[:, 0]) == list(ids[:5])
+    assert d[0, 0] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_fit_and_recall():
+    idx = make_index()
+    vecs = clustered(3000)
+    ids = np.arange(2, 3002, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert idx._n_at_fit > 0, "refit should have triggered"
+    queries = vecs[:32]
+    d, i = idx.search_batch(queries, k=10)
+    hits = 0
+    for b in range(32):
+        gt = set(exact_top(vecs, ids, queries[b], 10))
+        hits += len(gt & set(i[b])) / 10
+    assert hits / 32 >= 0.95, f"recall too low: {hits/32}"
+    # distances are exact f32 squared euclidean
+    self_pos = np.where(i[0] == ids[0])[0]
+    assert len(self_pos) and d[0, self_pos[0]] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_crud_delete_update():
+    idx = make_index()
+    vecs = clustered(1000)
+    ids = np.arange(2, 1002, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    # delete the nearest neighbour of query 0 — it must vanish from results
+    q = vecs[0]
+    idx.insert_update_delete([(2, None)])
+    assert len(idx) == 999
+    d, i = idx.search_batch(q[None, :], k=5)
+    assert 2 not in i[0]
+    # update: move point 3 on top of the query
+    idx.insert_update_delete([(3, q)])
+    d, i = idx.search_batch(q[None, :], k=1)
+    assert i[0, 0] == 3 and d[0, 0] == pytest.approx(0.0, abs=1e-4)
+    # reinsert 2 far away
+    idx.insert_update_delete([(2, np.full(16, 99.0, np.float32))])
+    assert len(idx) == 1000
+
+
+def test_filtered_search():
+    idx = make_index()
+    vecs = clustered(2000)
+    ids = np.arange(2, 2002, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    fmask = np.zeros(4096, bool)
+    fmask[ids[ids % 2 == 0]] = True
+    q = vecs[ids % 2 == 0][:8]
+    d, i = idx.search_batch(q, k=5, filter_mask=fmask)
+    assert np.all((i == -1) | (i % 2 == 0))
+    qids = ids[ids % 2 == 0][:8]
+    self_hits = sum(qids[b] in i[b] for b in range(8))
+    assert self_hits >= 7
+
+
+def test_dot_and_cosine_metrics():
+    for metric in ("dot", "cosine"):
+        idx = make_index(metric=metric)
+        vecs = clustered(800)
+        if metric == "cosine":
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        ids = np.arange(2, 802, dtype=np.int32)
+        idx.insert_update_delete(zip(ids, vecs))
+        d, i = idx.search_batch(vecs[:4], k=3)
+        if metric == "cosine":
+            assert np.all(i[:, 0] == ids[:4])
+            assert d[0, 0] == pytest.approx(0.0, abs=1e-3)  # 1 - dot(self)
+        else:
+            # -dot ordering: self need not be top-1, but distances = -dot
+            ref = -np.sum(vecs[int(i[0, 0]) - 2] * vecs[0])
+            assert d[0, 0] == pytest.approx(ref, rel=1e-3, abs=1e-3)
+
+
+def test_persistence_roundtrip():
+    idx = make_index()
+    vecs = clustered(1500)
+    ids = np.arange(2, 1502, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    arrays = idx.to_arrays()
+    idx2 = IndexIVF.from_arrays(idx.params, arrays)
+    assert len(idx2) == len(idx)
+    q = vecs[:4]
+    d1, i1 = idx.search_batch(q, k=5)
+    d2, i2 = idx2.search_batch(q, k=5)
+    np.testing.assert_array_equal(i1, i2)
+    # and the restored index still accepts writes
+    idx2.insert_update_delete([(5000, vecs[0])])
+    d, i = idx2.search_batch(vecs[0][None, :], k=2)
+    assert 5000 in i[0]
+
+
+def test_schema_validation():
+    schema = IndexSchema.from_dict(
+        {
+            "emb": {
+                "type": "vectorIVF",
+                "vectorIVF": {"vectorSize": 16, "distanceMetric": "euclidean"},
+            }
+        }
+    )
+    schema.validate()
+    with pytest.raises(Exception):
+        IndexSchema.from_dict(
+            {
+                "emb": {
+                    "type": "vectorIVF",
+                    "vectorIVF": {"vectorSize": 2, "distanceMetric": "haversine"},
+                }
+            }
+        ).validate()
+    pm = {"emb": [0.0] * 16}
+    schema.check_compatible_map(pm)
+    with pytest.raises(Exception):
+        schema.check_compatible_map({"emb": [0.0] * 3})
+
+
+def test_shard_and_http_integration(tmp_path):
+    """vectorIVF through the full stack: shard CRUD + HTTP v2 search."""
+    import requests
+
+    from semadb_tpu.cluster.node import ClusterNode, ClusterNodeConfig
+    from semadb_tpu.httpapi.server import HttpApiConfig, HttpServer
+    from semadb_tpu.models.collection import UserPlan
+
+    node = ClusterNode(
+        ClusterNodeConfig(root_dir=str(tmp_path), rpc_host="127.0.0.1", rpc_port=0)
+    )
+    node.serve()
+    cfg = HttpApiConfig(
+        http_host="127.0.0.1",
+        http_port=0,
+        user_plans={"BASIC": UserPlan(name="BASIC", max_collections=2)},
+    )
+    srv = HttpServer(node, cfg)
+    srv.serve_background()
+    base = f"http://127.0.0.1:{srv.port}"
+    H = {"X-User-Id": "ivfu", "X-Plan-Id": "BASIC"}
+    try:
+        r = requests.post(
+            f"{base}/v2/collections",
+            json={
+                "id": "ivfcol",
+                "indexSchema": {
+                    "emb": {
+                        "type": "vectorIVF",
+                        "vectorIVF": {"vectorSize": 8, "distanceMetric": "euclidean"},
+                    },
+                    "tag": {"type": "string", "string": {"caseSensitive": False}},
+                },
+            },
+            headers=H,
+        )
+        assert r.status_code == 200, r.text
+        vecs = clustered(300, dim=8)
+        pts = [
+            {"emb": vecs[j].tolist(), "tag": "even" if j % 2 == 0 else "odd"}
+            for j in range(300)
+        ]
+        pts[7]["_id"] = str(uuid.UUID(int=7))
+        r = requests.post(
+            f"{base}/v2/collections/ivfcol/points", json={"points": pts}, headers=H
+        )
+        assert r.status_code == 200, r.text
+        r = requests.post(
+            f"{base}/v2/collections/ivfcol/points/search",
+            json={
+                "query": {
+                    "property": "emb",
+                    "vectorIVF": {
+                        "vector": vecs[7].tolist(),
+                        "operator": "near",
+                        "limit": 3,
+                    },
+                },
+                "limit": 3,
+            },
+            headers=H,
+        )
+        assert r.status_code == 200, r.text
+        got = r.json()["points"]
+        assert got[0]["_id"] == str(uuid.UUID(int=7))
+        assert got[0]["_distance"] == pytest.approx(0.0, abs=1e-4)
+        # filtered
+        r = requests.post(
+            f"{base}/v2/collections/ivfcol/points/search",
+            json={
+                "query": {
+                    "property": "emb",
+                    "vectorIVF": {
+                        "vector": vecs[8].tolist(),
+                        "operator": "near",
+                        "limit": 3,
+                        "filter": {
+                            "property": "tag",
+                            "string": {"value": "odd", "operator": "equals"},
+                        },
+                    },
+                },
+                "limit": 3,
+            },
+            headers=H,
+        )
+        assert r.status_code == 200, r.text
+        assert all(p["tag"] == "odd" for p in r.json()["points"])
+    finally:
+        srv.shutdown()
+        node.close()

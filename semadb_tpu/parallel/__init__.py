@@ -9,7 +9,9 @@ top-k on ICI.
 
 from semadb_tpu.parallel.fanout import (  # noqa: F401
     sharded_insert_step,
+    sharded_ivf_search,
     sharded_search,
+    stack_ivf_states,
     stack_states,
 )
 from semadb_tpu.parallel.mesh import shard_mesh  # noqa: F401

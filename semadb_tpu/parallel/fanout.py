@@ -47,6 +47,25 @@ def stack_states(states: list[GraphState], mesh) -> GraphState:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
 
 
+def _allgather_topk(d, i, extra, k):
+    """Bring every shard's local top-k everywhere over ICI and merge to the
+    replicated global top-k (the device-side analog of actions.go:352-378).
+    ``extra``: shard-index array shaped like ``i``."""
+    d_all = jax.lax.all_gather(d, SHARD_AXIS)  # [S, B, k]
+    i_all = jax.lax.all_gather(i, SHARD_AXIS)
+    s_all = jax.lax.all_gather(extra, SHARD_AXIS)
+    S = d_all.shape[0]
+    B = d.shape[0]
+    dm = jnp.moveaxis(d_all, 0, 1).reshape(B, S * k)
+    im = jnp.moveaxis(i_all, 0, 1).reshape(B, S * k)
+    sm = jnp.moveaxis(s_all, 0, 1).reshape(B, S * k)
+    order = jnp.lexsort((im, dm))
+    dm = jnp.take_along_axis(dm, order, axis=-1)[:, :k]
+    im = jnp.take_along_axis(im, order, axis=-1)[:, :k]
+    sm = jnp.take_along_axis(sm, order, axis=-1)[:, :k]
+    return dm, im, sm
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "search_size", "k", "mesh")
 )
@@ -65,22 +84,8 @@ def sharded_search(
     def local(st: GraphState, q: jax.Array):
         st = jax.tree.map(lambda x: x[0], st)  # drop leading shard dim
         d, i = local_search(st, q, config, search_size, k)
-        s = jax.lax.axis_index(SHARD_AXIS)
-        sh = jnp.full_like(i, s)
-        # Bring every shard's top-k everywhere (ICI all-gather), then merge
-        d_all = jax.lax.all_gather(d, SHARD_AXIS)  # [S, B, k]
-        i_all = jax.lax.all_gather(i, SHARD_AXIS)
-        s_all = jax.lax.all_gather(sh, SHARD_AXIS)
-        S = d_all.shape[0]
-        B = q.shape[0]
-        dm = jnp.moveaxis(d_all, 0, 1).reshape(B, S * k)
-        im = jnp.moveaxis(i_all, 0, 1).reshape(B, S * k)
-        sm = jnp.moveaxis(s_all, 0, 1).reshape(B, S * k)
-        order = jnp.lexsort((im, dm))
-        dm = jnp.take_along_axis(dm, order, axis=-1)[:, :k]
-        im = jnp.take_along_axis(im, order, axis=-1)[:, :k]
-        sm = jnp.take_along_axis(sm, order, axis=-1)[:, :k]
-        return dm, im, sm
+        sh = jnp.full_like(i, jax.lax.axis_index(SHARD_AXIS))
+        return _allgather_topk(d, i, sh, k)
 
     fan = jax.shard_map(
         local,
@@ -137,3 +142,62 @@ def sharded_insert_step(
         check_vma=False,
     )
     return fan(stacked, new_ids, new_vecs, valid)
+
+
+def stack_ivf_states(indices, mesh) -> dict:
+    """Stack per-shard IndexIVF device arrays along a mesh-sharded axis.
+
+    All shards must share cluster count / slab size / capacity (pad the
+    smaller ones first). Returns the dict consumed by
+    :func:`sharded_ivf_search`.
+    """
+    def one(idx):
+        return {
+            "centroids": idx.centroids,
+            "cent_sq": idx._sq(idx.centroids),
+            "slabs": idx.slabs,
+            "slab_sq": idx._sq(idx.slabs),
+            "slab_ids": idx.slab_ids,
+            "ovf_vecs": idx.ovf_vecs,
+            "ovf_sq": idx._sq(idx.ovf_vecs),
+            "ovf_ids": idx.ovf_ids,
+            "vectors": idx.vectors,
+        }
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[one(i) for i in indices])
+    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "mesh", "metric"))
+def sharded_ivf_search(
+    stacked: dict,
+    queries: jax.Array,
+    p: int,
+    k: int,
+    mesh,
+    metric: str = "euclidean",
+):
+    """IVF fan-out search over the mesh: each device probes its own
+    clusters, then one ICI all-gather merges the per-shard top-k. Returns
+    (dists f32[B,k], local node ids i32[B,k], shard idx i32[B,k])."""
+    from semadb_tpu.index.ivf import _ivf_query
+
+    def local(st: dict, q: jax.Array):
+        st = jax.tree.map(lambda x: x[0], st)
+        d, i = _ivf_query(
+            st["centroids"], st["cent_sq"], st["slabs"], st["slab_sq"],
+            st["slab_ids"], st["ovf_vecs"], st["ovf_sq"], st["ovf_ids"],
+            q, st["vectors"], None, p, k, 1, metric,
+        )
+        sh = jnp.full_like(i, jax.lax.axis_index(SHARD_AXIS))
+        return _allgather_topk(d, i, sh, k)
+
+    fan = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(SHARD_AXIS), stacked), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fan(stacked, queries)

@@ -106,3 +106,39 @@ def test_sharded_insert_step():
     i, sh = np.asarray(i), np.asarray(sh)
     for b in range(4):
         assert i[b, 0] == b + 2  # nearest = the point itself (in some shard)
+
+
+def test_sharded_ivf_search_matches_union():
+    """IVF fan-out over the virtual mesh returns the union's exact top-k."""
+    import numpy as np
+
+    from semadb_tpu.index.ivf import IndexIVF
+    from semadb_tpu.models.schema import VectorIVFParams
+    from semadb_tpu.parallel import shard_mesh, sharded_ivf_search, stack_ivf_states
+
+    mesh = shard_mesh(4)
+    rng = np.random.default_rng(5)
+    params = VectorIVFParams(vector_size=8, distance_metric="euclidean")
+    indices, all_vecs = [], []
+    for s in range(4):
+        idx = IndexIVF(params)
+        vecs = rng.standard_normal((600, 8)).astype(np.float32)
+        ids = np.arange(2, 602, dtype=np.int32)
+        idx.insert_update_delete(zip(ids, vecs))
+        assert idx._n_at_fit > 0
+        indices.append(idx)
+        all_vecs.append(vecs)
+    # pad to common shapes (cluster counts match here: same N per shard)
+    stacked = stack_ivf_states(indices, mesh)
+    q = all_vecs[2][:5]
+    d, i, sh = sharded_ivf_search(stacked, jnp.asarray(q), 16, 5, mesh)
+    d, i, sh = np.asarray(d), np.asarray(i), np.asarray(sh)
+    # global exact top-1 must be the planted self point on shard 2
+    assert list(sh[:, 0]) == [2] * 5
+    assert list(i[:, 0]) == [2, 3, 4, 5, 6]
+    assert np.allclose(d[:, 0], 0, atol=1e-4)
+    # distances ascending and consistent with exact union scan for top-3
+    union = np.concatenate(all_vecs)
+    for b in range(5):
+        exact = np.sort(np.sum((union - q[b]) ** 2, -1))[:3]
+        np.testing.assert_allclose(d[b, :3], exact, rtol=1e-3, atol=1e-3)

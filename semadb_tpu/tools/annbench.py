@@ -122,12 +122,13 @@ def main(argv=None) -> int:
     ap.add_argument("--metric", default="euclidean")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--engine", default="vamana", choices=["vamana", "ivf"])
     args = ap.parse_args(argv)
     if args.hdf5:
         ds = load_hdf5(args.hdf5)
     else:
         ds = synthetic_clustered(args.n, args.dim, args.queries, metric=args.metric)
-    print(json.dumps(run(ds, k=args.k, batch=args.batch)))
+    print(json.dumps(run(ds, k=args.k, batch=args.batch, engine=args.engine)))
     return 0
 
 

@@ -55,8 +55,11 @@ RERANK_POOL = 64
 
 
 def _npow2(x: int, lo: int, hi: int) -> int:
+    """Nearest power of two in [lo, hi] (geometric rounding): the cluster
+    count drives the [B, C] probe-selection top_k, whose cost doubles per
+    step, so round down unless x is past the geometric midpoint."""
     p = lo
-    while p < x and p < hi:
+    while p * 1.414 < x and p < hi:
         p *= 2
     return p
 

@@ -236,8 +236,16 @@ class IndexIVF:
         D = data_np.shape[1]
         Cn = _npow2(max(n // TARGET_CLUSTER_SIZE, 1), 16, 65536)
         S = self.slab
-        cents, lab = kmeans_fit_large(jnp.asarray(data_np), Cn, iters=KMEANS_ITERS)
-        lab = np.asarray(lab)
+        # Pad the fit input to a power-of-two row count by tiling real
+        # points (duplicates only nudge centroid means): every distinct
+        # shape would otherwise recompile the kmeans kernel, and an
+        # incremental write workload refits at ever-growing counts.
+        n_pad = MIN_FIT
+        while n_pad < n:
+            n_pad *= 2
+        fit_data = np.resize(data_np, (n_pad, D)) if n_pad != n else data_np
+        cents, lab = kmeans_fit_large(jnp.asarray(fit_data), Cn, iters=KMEANS_ITERS)
+        lab = np.asarray(lab)[:n]
 
         order = np.argsort(lab, kind="stable")
         lab_sorted = lab[order]

@@ -402,10 +402,17 @@ class IndexIVF:
             self._sq_cache["ovf"] = self._sq(self.ovf_vecs)
         p = self._num_probes(num_probes)
         if filter_mask is not None:
-            # A selective filter empties probed clusters; probe wider the
-            # same way vamana's filtered search seeds wider.
+            fm_np = np.asarray(filter_mask, bool)
+            # Selective filters: when fewer filter members exist than the
+            # probed candidate budget, an exact masked scan over the
+            # per-node vectors is both cheaper and exact — probing could
+            # miss members whose clusters aren't selected (vamana solves
+            # this by seeding with filter members, search.go:27-51).
+            if int(fm_np.sum()) <= p * self.slab:
+                return self._masked_exact(q, k, fm_np)
+            # Broad filter: probe wider instead.
             p = min(4 * p, self.centroids.shape[0])
-            fm = jnp.asarray(filter_mask, bool)
+            fm = jnp.asarray(fm_np)
             if fm.shape[0] < self.capacity:
                 fm = jnp.pad(fm, (0, self.capacity - fm.shape[0]))
         else:
@@ -416,6 +423,32 @@ class IndexIVF:
             self.slabs, self._sq_cache["slab"], self.slab_ids,
             self.ovf_vecs, self._sq_cache["ovf"], self.ovf_ids,
             q, self.vectors, fm, p, k, pchunk, self.metric,
+        )
+
+    def _masked_exact(self, q: jax.Array, k: int, fm_np: np.ndarray):
+        """Exact top-k over filter members only (dense masked scan).
+
+        Live membership is implied: a node id is in ``self._loc`` iff it
+        is live, and dead slots' vectors rows are stale — so the mask is
+        intersected with the live-id set host-side."""
+        live = self._sq_cache.get("live")
+        if live is None or live.shape[0] != self.capacity:
+            live = np.zeros(self.capacity, bool)
+            ids = np.fromiter(self._loc.keys(), np.int64, len(self._loc))
+            if len(ids):
+                live[ids[ids < self.capacity]] = True
+            self._sq_cache["live"] = live
+        fm = np.zeros(self.capacity, bool)
+        n = min(len(fm_np), self.capacity)
+        fm[:n] = fm_np[:n]
+        fm &= live
+        mask = jnp.asarray(fm)
+        d = pairwise_distance(q, self.vectors, self.metric)
+        d = jnp.where(mask[None, :], d, jnp.inf)
+        nv, idx = jax.lax.top_k(-d, min(k, self.capacity))
+        out_d = -nv
+        return jnp.where(jnp.isfinite(out_d), out_d, jnp.inf), jnp.where(
+            jnp.isfinite(out_d), idx.astype(jnp.int32), NIL
         )
 
     def search_batch(

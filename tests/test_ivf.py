@@ -252,3 +252,32 @@ def test_shard_and_http_integration(tmp_path):
     finally:
         srv.shutdown()
         node.close()
+
+
+def test_highly_selective_filter_exact():
+    """A filter much smaller than the probe budget must return ALL its
+    nearest members even when their clusters would never be probed
+    (routed to the exact masked scan)."""
+    idx = make_index()
+    vecs = clustered(3000)
+    ids = np.arange(2, 3002, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert idx._n_at_fit > 0
+    # 12 members scattered across the id space
+    members = ids[::250]
+    fmask = np.zeros(4096, bool)
+    fmask[members] = True
+    q = RNG.standard_normal((4, 16)).astype(np.float32)
+    d, i = idx.search_batch(q, k=5, filter_mask=fmask)
+    member_set = set(int(m) for m in members)
+    for b in range(4):
+        got = [x for x in i[b] if x != -1]
+        assert set(got) <= member_set
+        # must equal the exact top-5 among members
+        mv = vecs[members - 2]
+        exact = members[np.argsort(np.sum((mv - q[b]) ** 2, -1))[:5]]
+        assert got == [int(x) for x in exact]
+    # deleted members never resurface through the masked scan
+    idx.insert_update_delete([(int(members[0]), None)])
+    d, i = idx.search_batch(q, k=5, filter_mask=fmask)
+    assert int(members[0]) not in set(i.flatten().tolist())

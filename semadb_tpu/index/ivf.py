@@ -490,7 +490,15 @@ class IndexIVF:
         # Rebuild host mirrors
         slab_ids = np.asarray(arrays["slab_ids"])
         slabs = np.asarray(arrays["slabs"])
-        idx._fill = np.sum(slab_ids != NIL, axis=1).astype(np.int32)
+        # _fill is a never-decremented high-water mark (deletes blank slots
+        # in place), so it must be rebuilt as last-occupied-slot + 1 — a
+        # plain count of live slots would under-shoot past holes and the
+        # next insert would clobber a live point's slab row.
+        S = slab_ids.shape[1]
+        has = slab_ids != NIL
+        idx._fill = np.where(
+            has.any(axis=1), S - np.argmax(has[:, ::-1], axis=1), 0
+        ).astype(np.int32)
         for c, s in zip(*np.nonzero(slab_ids != NIL)):
             nid = int(slab_ids[c, s])
             idx._loc[nid] = ("s", int(c), int(s))

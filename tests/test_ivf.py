@@ -136,6 +136,51 @@ def test_persistence_roundtrip():
     assert 5000 in i[0]
 
 
+def test_persistence_roundtrip_after_delete_keeps_live_points():
+    """_fill must be restored as a high-water mark, not a live-slot count:
+    deletes blank slab slots in place, so a count would under-shoot past
+    holes and the next insert would overwrite a live point's slab row."""
+    idx = make_index()
+    vecs = clustered(1500)
+    ids = np.arange(2, 1502, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert idx._n_at_fit > 0
+    # Delete points that sit in slab slots *below* their cluster's HWM
+    slab_ids = np.asarray(idx.slab_ids)
+    victims = []
+    for c in range(slab_ids.shape[0]):
+        live = np.nonzero(slab_ids[c] != -1)[0]
+        if len(live) >= 2:
+            victims.append(int(slab_ids[c, live[0]]))  # lowest slot, hole below HWM
+        if len(victims) >= 8:
+            break
+    assert victims, "test setup: need clusters with >=2 slab members"
+    idx.insert_update_delete([(v, None) for v in victims])
+
+    idx2 = IndexIVF.from_arrays(idx.params, idx.to_arrays())
+    np.testing.assert_array_equal(idx2._fill, idx._fill)
+
+    # Insert new points into the reloaded index: no live point may vanish
+    new_ids = np.arange(5000, 5064, dtype=np.int32)
+    new_vecs = clustered(64)
+    idx2.insert_update_delete(zip(new_ids, new_vecs))
+    survivors = [int(i) for i in ids if int(i) not in victims]
+    assert len(idx2) == len(survivors) + len(new_ids)
+    # Every survivor must still be findable by exact-match search
+    surv_set = set(survivors)
+    sample = survivors[:: max(1, len(survivors) // 50)]
+    svecs = np.stack([vecs[s - 2] for s in sample])
+    d, i = idx2.search_batch(svecs, k=1)
+    for row, nid in zip(i, sample):
+        assert row[0] == nid, f"live point {nid} vanished after reload+insert"
+    # And the slab ids referenced by _loc must agree with the device arrays
+    slab_ids2 = np.asarray(idx2.slab_ids)
+    for nid, loc in idx2._loc.items():
+        if loc[0] == "s":
+            assert slab_ids2[loc[1], loc[2]] == nid
+    assert surv_set <= set(idx2._loc.keys())
+
+
 def test_schema_validation():
     schema = IndexSchema.from_dict(
         {

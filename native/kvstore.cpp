@@ -18,10 +18,13 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <fcntl.h>
 #include <map>
 #include <mutex>
 #include <string>
+#include <unistd.h>
 #include <unordered_map>
 #include <vector>
 
@@ -88,6 +91,19 @@ static bool replay(Store* s, FILE* f) {
   return true;
 }
 
+// fsync the directory containing `path` so a just-renamed file survives a
+// crash (rename alone only orders the data, not the directory entry).
+static void sync_parent_dir(const std::string& path) {
+  size_t slash = path.find_last_of('/');
+  std::string dir = slash == std::string::npos ? "." : path.substr(0, slash);
+  if (dir.empty()) dir = "/";
+  int fd = open(dir.c_str(), O_RDONLY | O_DIRECTORY);
+  if (fd >= 0) {
+    fsync(fd);
+    close(fd);
+  }
+}
+
 static int write_snapshot(Store* s, const std::string& dest) {
   std::string tmp = dest + ".tmp";
   FILE* f = fopen(tmp.c_str(), "wb");
@@ -107,9 +123,13 @@ static int write_snapshot(Store* s, const std::string& dest) {
       fwrite(v.data(), 1, vlen, f);
     }
   }
+  // Durability order: data → disk, then rename, then directory entry →
+  // disk. Matches bbolt's fsync-on-commit guarantee for snapshots.
   fflush(f);
+  fsync(fileno(f));
   fclose(f);
   if (rename(tmp.c_str(), dest.c_str()) != 0) return -1;
+  sync_parent_dir(dest);
   return 0;
 }
 
@@ -145,6 +165,7 @@ void sdb_close(Store* s) {
   if (!s) return;
   if (s->log) {
     fflush(s->log);
+    fsync(fileno(s->log));
     fclose(s->log);
   }
   delete s;
@@ -168,22 +189,36 @@ int sdb_delete(Store* s, const char* bucket, const char* key, uint32_t klen) {
   return 0;
 }
 
-// Returns value length, or -1 if absent. Value pointer valid until the next
-// write to the same key.
+// Returns value length, or -1 if absent. The value is COPIED into a
+// malloc'd buffer under the store mutex (readers never observe a torn
+// value from a concurrent writer — the zero-copy variant handed out a
+// pointer that the caller dereferenced unlocked, a data race). The caller
+// must release it with sdb_free.
 int64_t sdb_get(Store* s, const char* bucket, const char* key, uint32_t klen,
-                const char** out) {
+                char** out) {
   std::lock_guard<std::mutex> g(s->mu);
   auto it = s->buckets.find(bucket);
   if (it == s->buckets.end()) return -1;
   auto kit = it->second.data.find(std::string(key, klen));
   if (kit == it->second.data.end()) return -1;
-  *out = kit->second.data();
-  return (int64_t)kit->second.size();
+  const std::string& v = kit->second;
+  char* buf = (char*)malloc(v.size() ? v.size() : 1);
+  if (!buf) return -1;
+  memcpy(buf, v.data(), v.size());
+  *out = buf;
+  return (int64_t)v.size();
 }
+
+void sdb_free(void* p) { free(p); }
 
 int sdb_commit(Store* s) {
   std::lock_guard<std::mutex> g(s->mu);
-  if (s->log) fflush(s->log);
+  if (s->log) {
+    // bbolt fsyncs on every commit (the reference's durability floor);
+    // fflush alone only reaches the OS page cache.
+    fflush(s->log);
+    fsync(fileno(s->log));
+  }
   return 0;
 }
 
@@ -220,12 +255,23 @@ int sdb_delete_bucket(Store* s, const char* bucket) {
   return 0;
 }
 
-// --- cursors (ordered iteration; snapshot-free, caller holds no writes) ---
+// --- cursors (ordered iteration, safe against concurrent writes) ---
+//
+// The cursor never holds a live std::map iterator across calls: each
+// sdb_cursor_next re-seeks from the last returned key under the store
+// mutex and copies the entry into cursor-owned buffers. Concurrent
+// puts/deletes (even of the entry the cursor last returned) can therefore
+// never invalidate it — the iteration sees a key at most once, in order,
+// and tolerates the map changing between steps (the per-step analog of
+// bbolt's snapshot isolation; full MVCC is not needed because Python-side
+// transactions serialize writers).
 
 struct Cursor {
   Store* store;
   std::string bucket;
-  std::map<std::string, std::string>::iterator it, end;
+  std::string next_from;  // seek lower_bound(next_from) on the next call
+  bool exclusive = false; // true once a key has been returned
+  std::string cur_k, cur_v;  // cursor-owned copies handed to the caller
 };
 
 Cursor* sdb_cursor(Store* s, const char* bucket, const char* start,
@@ -236,20 +282,31 @@ Cursor* sdb_cursor(Store* s, const char* bucket, const char* start,
   Cursor* c = new Cursor();
   c->store = s;
   c->bucket = bucket;
-  c->it = slen ? bit->second.data.lower_bound(std::string(start, slen))
-               : bit->second.data.begin();
-  c->end = bit->second.data.end();
+  c->next_from = std::string(start, slen);
   return c;
 }
 
+// Returned pointers reference cursor-owned memory, valid until the next
+// call on the SAME cursor (the caller copies immediately).
 int sdb_cursor_next(Cursor* c, const char** key, uint32_t* klen,
                     const char** val, uint32_t* vlen) {
-  if (!c || c->it == c->end) return 0;
-  *key = c->it->first.data();
-  *klen = (uint32_t)c->it->first.size();
-  *val = c->it->second.data();
-  *vlen = (uint32_t)c->it->second.size();
-  ++c->it;
+  if (!c) return 0;
+  Store* s = c->store;
+  std::lock_guard<std::mutex> g(s->mu);
+  auto bit = s->buckets.find(c->bucket);
+  if (bit == s->buckets.end()) return 0;  // bucket dropped mid-scan
+  auto& data = bit->second.data;
+  auto it = c->exclusive ? data.upper_bound(c->next_from)
+                         : data.lower_bound(c->next_from);
+  if (it == data.end()) return 0;
+  c->cur_k = it->first;
+  c->cur_v = it->second;
+  c->next_from = c->cur_k;
+  c->exclusive = true;
+  *key = c->cur_k.data();
+  *klen = (uint32_t)c->cur_k.size();
+  *val = c->cur_v.data();
+  *vlen = (uint32_t)c->cur_v.size();
   return 1;
 }
 

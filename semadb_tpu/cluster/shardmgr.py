@@ -28,6 +28,7 @@ class ManagedShard:
     lock: threading.RLock = field(default_factory=threading.RLock)
     timer: Optional[threading.Timer] = None
     last_used: float = 0.0
+    in_use: int = 0  # requests holding this shard; guarded by ShardManager._mu
 
 
 class ShardManager:
@@ -60,7 +61,13 @@ class ShardManager:
 
     def do_with_shard(self, col: Collection, shard_id: str, fn: Callable[[Shard], object]):
         """shardmgr.go DoWithShard: load if needed, run under the shard lock,
-        reset the cleanup timer."""
+        reset the cleanup timer.
+
+        The in_use count (incremented under _mu while we still hold the
+        entry) closes the race where a fired-but-blocked cleanup timer
+        survives cancel(), wins ms.lock after we release _mu, and closes
+        the shard under our feet: _cleanup re-checks in_use under _mu and
+        skips entries acquired since the timer fired."""
         with self._mu:
             ms = self._shards.get(shard_id)
             if ms is None:
@@ -68,13 +75,15 @@ class ShardManager:
                 self._shards[shard_id] = ms
             if ms.timer is not None:
                 ms.timer.cancel()
+            ms.in_use += 1
         try:
             with ms.lock:
                 ms.last_used = time.monotonic()
                 return fn(ms.shard)
         finally:
             with self._mu:
-                if shard_id in self._shards:
+                ms.in_use -= 1
+                if self._shards.get(shard_id) is ms:
                     t = threading.Timer(
                         self.shard_timeout, self._cleanup, args=(col, shard_id)
                     )
@@ -86,9 +95,11 @@ class ShardManager:
         """Idle unload + backup hook (shardmgr.go cleanupRoutine + backup on
         unload gated by plan, shardmgr.go:134-138)."""
         with self._mu:
-            ms = self._shards.pop(shard_id, None)
-        if ms is None:
-            return
+            ms = self._shards.get(shard_id)
+            if ms is None or ms.in_use > 0:
+                return  # busy: the active request re-arms the timer on exit
+            self._shards.pop(shard_id)
+        # ms is now unreachable from the dict: no new request can acquire it.
         with ms.lock:
             if self.backup_fn is not None:
                 try:

@@ -590,9 +590,13 @@ def reachable_mask(state: GraphState, max_sweeps: int = 128) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _attach_representatives(state: GraphState, unreach: jax.Array, config: GraphConfig):
-    """Force-attach up to R/2 unreachable nodes (nearest to start) to the
-    start row, evicting the farthest incumbents if needed. Guarantees
-    progress: each attached node makes its whole component reachable."""
+    """Force-attach up to R/2 unreachable nodes (nearest to start), chained:
+    rep0 goes into the start row (evicting the farthest incumbent only if
+    full) and each further rep is written into the previous rep's last
+    adjacency slot. The chain means one rescue pass attaches K components
+    while consuming a single start-row slot, so eviction pressure — the
+    source of rescue oscillation when more components exist than the start
+    row holds — stays at one incumbent per pass."""
     cap = state.capacity
     R = config.degree_bound
     K = max(R // 2, 1)
@@ -605,20 +609,29 @@ def _attach_representatives(state: GraphState, unreach: jax.Array, config: Graph
     rep_ok = jnp.isfinite(-rep_d)
     reps = jnp.where(rep_ok, reps.astype(jnp.int32), NIL)
 
-    start_row = state.adjacency[START_ID]
+    # Chain: adjacency[rep_i, R-1] = rep_{i+1} (overwrites rep_i's last
+    # out-edge; any node that loses reachability through it is caught by
+    # the next rescue pass, bounded by the caller's iteration cap).
+    nxt = jnp.concatenate([reps[1:], jnp.array([NIL], jnp.int32)])
+    chain_ok = rep_ok & (nxt != NIL)
+    rows = jnp.where(chain_ok, reps, cap)  # cap = dropped by scatter
+    adjacency = state.adjacency.at[rows, R - 1].set(
+        jnp.where(chain_ok, nxt, NIL), mode="drop"
+    )
+
+    start_row = adjacency[START_ID]
     sd = gather_distance(
         state.vectors, jnp.clip(start_row, 0, cap - 1)[None, :], svec, config.metric
     )[0]
     sd = jnp.where(start_row != NIL, sd, INF)
-    # Keep reps first (forced), then the nearest incumbents
-    pool_i = jnp.concatenate([reps, start_row])
-    pool_d = jnp.concatenate([jnp.where(rep_ok, -rep_d, INF), sd])
-    # reps get higher priority so they always survive the cut
-    prio = jnp.concatenate([jnp.full((K,), -1.0, jnp.float32), jnp.zeros_like(sd)])
+    # Pool = forced rep0 + incumbents; rep0 always survives the cut
+    pool_i = jnp.concatenate([reps[:1], start_row])
+    pool_d = jnp.concatenate([jnp.where(rep_ok[:1], -rep_d[:1], INF), sd])
+    prio = jnp.concatenate([jnp.full((1,), -1.0, jnp.float32), jnp.zeros_like(sd)])
     order = jnp.lexsort((pool_d, prio))
     pool_i = jnp.take_along_axis(pool_i, order, axis=-1)
     new_row = pool_i[:R]
-    adjacency = state.adjacency.at[START_ID].set(new_row)
+    adjacency = adjacency.at[START_ID].set(new_row)
     return GraphState(vectors=state.vectors, adjacency=adjacency, exists=state.exists)
 
 
@@ -662,17 +675,26 @@ def _delete_step(
     def unreach_of(st):
         return st.exists & ~reachable_mask(st) & (ids != START_ID)
 
+    # Iteration-bounded (like reachable_mask's max_sweeps): each pass
+    # attaches a K-chain of components through one start-row slot, so
+    # MAX_RESCUES passes cover MAX_RESCUES*K components; beyond that we
+    # stop rather than risk an unbounded device loop (eviction could in
+    # principle oscillate) and surface the residue to the caller.
+    MAX_RESCUES = 128
+
     def resc_cond(carry):
-        _, unreach = carry
-        return jnp.any(unreach)
+        _, unreach, it = carry
+        return jnp.any(unreach) & (it < MAX_RESCUES)
 
     def resc_body(carry):
-        st, unreach = carry
+        st, unreach, it = carry
         st = _attach_representatives(st, unreach, config)
-        return st, unreach_of(st)
+        return st, unreach_of(st), it + 1
 
-    state, _ = jax.lax.while_loop(resc_cond, resc_body, (state, unreach_of(state)))
-    return state
+    state, unreach, _ = jax.lax.while_loop(
+        resc_cond, resc_body, (state, unreach_of(state), jnp.int32(0))
+    )
+    return state, jnp.sum(unreach)
 
 
 def delete_batch(
@@ -685,4 +707,23 @@ def delete_batch(
     del_ids = jnp.asarray(del_ids, jnp.int32)
     del_mask = jnp.zeros(cap, bool).at[del_ids].set(True)
     chunk = min(DELETE_CHUNK, cap)
-    return _delete_step(state, del_mask, config, chunk, DELETE_EXPAND_MAX)
+    state, unrescued = _delete_step(state, del_mask, config, chunk, DELETE_EXPAND_MAX)
+    # Only sync the residue scalar when someone will see the warning — a
+    # host readback costs ~35ms through the TPU tunnel.
+    import logging as _pylogging
+
+    log = _logger()
+    if log._logger.isEnabledFor(_pylogging.WARNING) and int(unrescued) > 0:
+        log.warn(
+            "delete repair hit the rescue iteration cap; some nodes remain "
+            "unreachable until the next write",
+            unreachable=int(unrescued),
+        )
+    return state
+
+
+@functools.lru_cache(maxsize=1)
+def _logger():
+    from semadb_tpu.utils.logging import get_logger
+
+    return get_logger("vamana")

@@ -58,8 +58,10 @@ def load_library():
         lib.sdb_get.restype = ctypes.c_int64
         lib.sdb_get.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint32,
-            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_void_p),
         ]
+        lib.sdb_free.restype = None
+        lib.sdb_free.argtypes = [ctypes.c_void_p]
         lib.sdb_commit.argtypes = [ctypes.c_void_p]
         lib.sdb_compact.restype = ctypes.c_int
         lib.sdb_compact.argtypes = [ctypes.c_void_p]
@@ -101,11 +103,16 @@ class NativeBucket:
         self._read_only = read_only
 
     def get(self, key: bytes) -> Optional[bytes]:
-        out = ctypes.c_char_p()
+        # sdb_get copies the value under the store mutex into a malloc'd
+        # buffer we own (and must free) — safe vs concurrent writers.
+        out = ctypes.c_void_p()
         n = self._s.lib.sdb_get(self._s.handle, self._name, key, len(key), ctypes.byref(out))
         if n < 0:
             return None
-        return ctypes.string_at(out, n)
+        try:
+            return ctypes.string_at(out, n)
+        finally:
+            self._s.lib.sdb_free(out)
 
     def put(self, key: bytes, value: bytes) -> None:
         if self._read_only:

@@ -270,3 +270,43 @@ def test_two_node_network(tmp_path):
     finally:
         node_a.close()
         node_b.close()
+
+
+def test_shardmgr_cleanup_race_with_inflight_request(tmp_path):
+    """A cleanup timer that fired but lost the race to a new request must
+    not close the shard under it: _cleanup re-checks in_use under the
+    manager lock (shardmgr.go's RLock-vs-cleanup discipline)."""
+    import threading
+    import time as _time
+
+    from semadb_tpu.cluster.shardmgr import ShardManager
+    from semadb_tpu.models import Collection, IndexSchema, UserPlan
+
+    col = Collection(
+        user_id="u", id="c",
+        index_schema=IndexSchema.from_dict({}), user_plan=UserPlan(),
+    )
+    mgr = ShardManager(str(tmp_path), shard_timeout=0.01)
+    mgr.do_with_shard(col, "s1", lambda sh: sh.point_count())
+    # Let the timer fire while we immediately re-enter; repeat to catch the
+    # interleaving where the blocked cleanup wins ms.lock after our cancel.
+    errors = []
+
+    def hammer():
+        try:
+            for _ in range(60):
+                def use(sh):
+                    n = sh.point_count()
+                    _time.sleep(0.004)
+                    return n
+                mgr.do_with_shard(col, "s1", use)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    mgr.unload_all()

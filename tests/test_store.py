@@ -188,3 +188,59 @@ def test_shard_on_native_store(tmp_path):
     )
     assert res[0].point.id == pts[5].id
     shard2.close()
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native engine not built")
+def test_native_concurrent_readers_vs_writer(tmp_path):
+    """Readers (get + ordered scans) racing a writer must never crash or
+    observe torn values: sdb_get copies under the store mutex and cursors
+    re-seek per step instead of holding live map iterators (the reference's
+    bbolt gives readers snapshot isolation; this is the engine's analog).
+    Notably deletes of the key a cursor just returned must be safe."""
+    import threading
+
+    s = NativeDiskStore(str(tmp_path / "race.db"))
+    s.write(lambda bm: [bm.get("b").put(f"k{i:05d}".encode(), b"v" * 64) for i in range(500)])
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            j = i % 500
+            def fn(bm, j=j, i=i):
+                b = bm.get("b")
+                if i % 3 == 2:
+                    b.delete(f"k{j:05d}".encode())
+                else:
+                    b.put(f"k{j:05d}".encode(), bytes([i % 251]) * 64)
+            s.write(fn)
+            i += 1
+
+    def reader():
+        try:
+            while not stop.is_set():
+                def fn(bm):
+                    b = bm.get("b")
+                    for k, v in b.prefix_scan(b"k0"):
+                        # values are always a uniform 64-byte run — a torn
+                        # read would mix bytes from two writes
+                        assert len(v) == 64 and len(set(v)) == 1, (k, v)
+                    b.get(b"k00250")
+                s.read(fn)
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(3)
+    ]
+    for t in threads:
+        t.start()
+    import time
+
+    time.sleep(1.5)
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    s.close()

@@ -215,3 +215,31 @@ def test_capacity_growth():
     assert idx.state.capacity > cap0
     assert len(idx) == len(ids)
     check_connectivity(idx)
+
+
+def test_mass_delete_many_components_terminates():
+    """A mass delete can fragment the survivors into more mutually-
+    unreachable components than the start row holds. The rescue loop must
+    terminate (it is iteration-capped and chains representatives) and the
+    survivors must stay reachable (no oscillating evictions)."""
+    dim = 4
+    # Tight, well-separated micro-clusters: survivors of different clusters
+    # have essentially no edges between them after the mass delete.
+    n_clusters = 80  # > degree_bound (32): more components than start row slots
+    per = 6
+    cents = RNG.standard_normal((n_clusters, dim)).astype(np.float32) * 100
+    vecs = np.repeat(cents, per, axis=0) + 0.01 * RNG.standard_normal(
+        (n_clusters * per, dim)
+    ).astype(np.float32)
+    ids = np.arange(2, len(vecs) + 2, dtype=np.int32)
+    idx = make_index(dim=dim, degree_bound=32, search_size=40)
+    idx.insert_update_delete(zip(ids, vecs))
+    # Keep exactly one point per cluster -> up to 80 singleton components
+    keep = ids[::per]
+    dele = sorted(set(ids.tolist()) - set(keep.tolist()))
+    idx.insert_update_delete((int(i), None) for i in dele)
+    assert len(idx) == len(keep)
+    check_connectivity(idx)
+    # Every survivor is findable by exact-match search
+    d, i = idx.search_batch(vecs[::per], k=1, search_size=64)
+    assert list(i[:, 0]) == list(keep)

@@ -81,7 +81,7 @@ class IndexManager:
     def bucket_name(itype: str, prop: str) -> str:
         return f"index/{itype}/{prop}"
 
-    def _device_index(self, itype: str, prop: str, params):
+    def _device_index(self, itype: str, prop: str, params, register: bool = False):
         name = self.bucket_name(itype, prop)
         idx = self.devices.get(name)
         if idx is None:
@@ -91,11 +91,20 @@ class IndexManager:
                 idx = IndexIVF(params)
             else:
                 idx = IndexFlat(params)
-            self.devices[name] = idx
+            # Only the write path registers new indices: a search racing a
+            # scrap-and-reload must not shadow the reloaded index with an
+            # empty one (scrap semantics, cache/manager.go:207-235).
+            if register:
+                self.devices[name] = idx
         return idx
 
     # -- dispatch ----------------------------------------------------------
-    def dispatch(self, changes: List[IndexPointChange]) -> None:
+    def dispatch(self, changes: List[IndexPointChange]) -> Dict[str, list]:
+        """Route changes to per-property indices. Returns the device-index
+        deltas applied ({bucket_name: [(node_id, vector|None), ...]}) so the
+        caller can journal them in the same store txn (per-txn durability
+        for HBM-resident state — the role bbolt's implicit persistence
+        played for the reference's graph buckets)."""
         per_property: Dict[str, List[Tuple[int, object, object, str]]] = {}
         for ch in changes:
             for prop, params in self.schema.items():
@@ -104,27 +113,27 @@ class IndexManager:
                     continue
                 per_property.setdefault(prop, []).append((ch.node_id, prev, cur, op))
 
+        device_deltas: Dict[str, list] = {}
         for prop, items in per_property.items():
             params = self.schema.get(prop)
             itype = params.type
-            if itype == C.INDEX_TYPE_VECTOR_VAMANA:
-                idx = self._device_index(itype, prop, params.vector_vamana)
-                idx.insert_update_delete(
+            if itype in (
+                C.INDEX_TYPE_VECTOR_VAMANA,
+                C.INDEX_TYPE_VECTOR_FLAT,
+                C.INDEX_TYPE_VECTOR_IVF,
+            ):
+                vparams = {
+                    C.INDEX_TYPE_VECTOR_VAMANA: params.vector_vamana,
+                    C.INDEX_TYPE_VECTOR_FLAT: params.vector_flat,
+                    C.INDEX_TYPE_VECTOR_IVF: params.vector_ivf,
+                }[itype]
+                idx = self._device_index(itype, prop, vparams, register=True)
+                delta = [
                     (nid, np.asarray(cur, np.float32) if op != OP_DELETE else None)
                     for nid, _, cur, op in items
-                )
-            elif itype == C.INDEX_TYPE_VECTOR_FLAT:
-                idx = self._device_index(itype, prop, params.vector_flat)
-                idx.insert_update_delete(
-                    (nid, np.asarray(cur, np.float32) if op != OP_DELETE else None)
-                    for nid, _, cur, op in items
-                )
-            elif itype == C.INDEX_TYPE_VECTOR_IVF:
-                idx = self._device_index(itype, prop, params.vector_ivf)
-                idx.insert_update_delete(
-                    (nid, np.asarray(cur, np.float32) if op != OP_DELETE else None)
-                    for nid, _, cur, op in items
-                )
+                ]
+                idx.insert_update_delete(delta)
+                device_deltas[self.bucket_name(itype, prop)] = delta
             elif itype == C.INDEX_TYPE_TEXT:
                 t = IndexText(self.bm.get(self.bucket_name(itype, prop)), params.text.analyser)
                 for nid, prev, cur, op in items:
@@ -167,6 +176,7 @@ class IndexManager:
                         arr.delete(nid, prev)
             else:
                 raise ValidationError(f"unknown index type {itype}")
+        return device_deltas
 
     # -- search ------------------------------------------------------------
     def search(self, q: Query) -> Tuple[Set[int], List[SearchResult]]:

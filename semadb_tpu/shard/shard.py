@@ -6,11 +6,15 @@ transaction with index dispatch, update-merge semantics with the
 point-count bookkeeping, and search post-processing (select with nested
 re-expansion, multi-key sort, offset+limit; shard.go:384-471).
 
-Device-index state (vamana/flat graphs in HBM) persists across transactions
-in a registry (the reference's shared cache manager analog) and is
-serialised into the store on ``flush``/``backup``/``close`` rather than per
-transaction — durability points are explicit where bbolt made them
-implicit.
+Device-index state (vamana/flat/ivf structures in HBM) persists across
+transactions in a registry (the reference's shared cache manager analog).
+Durability matches bbolt's per-txn guarantee through a delta journal: every
+write txn logs the (node_id, vector) changes it applied to each device
+index into that index's bucket (same store txn, so atomic with the point
+data); reopening replays journal entries on top of the last full snapshot,
+and ``flush`` (periodic + close/backup) writes a fresh snapshot and clears
+the journal. A failed write txn rolls back the store (overlay discard) and
+scraps + reloads the device indices (cache/manager.go:207-235 semantics).
 """
 
 from __future__ import annotations
@@ -35,6 +39,11 @@ from semadb_tpu.utils.compare import sort_search_results
 INTERNAL_BUCKET_NAME = "internal"
 POINT_COUNT_KEY = b"pointCount"
 DELETE_VALUE = C.DELETE_VALUE
+DELTA_PREFIX = b"_dlog/"  # journal records: _dlog/<8B big-endian seq>
+DELTA_SEQ_KEY = b"_dlogN"
+# Snapshot the device state (and clear the journal) after this many
+# journaled write txns: bounds replay time and journal bytes.
+FLUSH_EVERY_TXNS = 128
 
 
 class Shard:
@@ -43,49 +52,95 @@ class Shard:
         self.collection = collection
         # bucket name → device index object; survives transactions
         self.device_indices: Dict[str, object] = {}
+        self._delta_txns = 0
         self._load_device_indices()
 
     # -- device index persistence -----------------------------------------
+    def _make_index(self, params):
+        from semadb_tpu.index.flat import IndexFlat
+        from semadb_tpu.index.ivf import IndexIVF
+        from semadb_tpu.index.vamana import IndexVamana
+
+        if params.type == C.INDEX_TYPE_VECTOR_VAMANA:
+            return IndexVamana(params.vector_vamana)
+        if params.type == C.INDEX_TYPE_VECTOR_IVF:
+            return IndexIVF(params.vector_ivf)
+        return IndexFlat(params.vector_flat)
+
     def _load_device_indices(self) -> None:
         from semadb_tpu.index.flat import IndexFlat
         from semadb_tpu.index.vamana import IndexVamana
 
         def reader(bm):
+            self._delta_txns = 0
             for prop, params in self.collection.index_schema.items():
                 if params.type not in (C.INDEX_TYPE_VECTOR_VAMANA, C.INDEX_TYPE_VECTOR_FLAT, C.INDEX_TYPE_VECTOR_IVF):
                     continue
                 name = IndexManager.bucket_name(params.type, prop)
                 bucket = bm.get(name)
                 raw = bucket.get(b"_deviceState")
-                if raw is None:
+                deltas = list(bucket.prefix_scan(DELTA_PREFIX))
+                if raw is None and not deltas:
                     continue
-                arrays = _unpack_arrays(raw)
-                if params.type == C.INDEX_TYPE_VECTOR_VAMANA:
-                    self.device_indices[name] = IndexVamana.from_arrays(
-                        params.vector_vamana, arrays
-                    )
+                if raw is None:
+                    idx = self._make_index(params)
+                elif params.type == C.INDEX_TYPE_VECTOR_VAMANA:
+                    idx = IndexVamana.from_arrays(params.vector_vamana, _unpack_arrays(raw))
                 elif params.type == C.INDEX_TYPE_VECTOR_IVF:
                     from semadb_tpu.index.ivf import IndexIVF
 
-                    self.device_indices[name] = IndexIVF.from_arrays(
-                        params.vector_ivf, arrays
-                    )
+                    idx = IndexIVF.from_arrays(params.vector_ivf, _unpack_arrays(raw))
                 else:
-                    self.device_indices[name] = IndexFlat.from_arrays(
-                        params.vector_flat, arrays
-                    )
+                    idx = IndexFlat.from_arrays(params.vector_flat, _unpack_arrays(raw))
+                # Replay journal (committed txns since the last snapshot) in
+                # sequence order — prefix_scan is key-ordered and the seq is
+                # big-endian, so iteration order IS commit order.
+                for _, rec in deltas:
+                    idx.insert_update_delete(_unpack_delta(rec))
+                self._delta_txns = max(self._delta_txns, len(deltas))
+                self.device_indices[name] = idx
 
         self.db.read(reader)
 
+    def _log_device_deltas(self, bm, deltas: Dict[str, list]) -> None:
+        """Journal device-index changes inside the current store txn."""
+        for name, items in deltas.items():
+            if not items:
+                continue
+            bucket = bm.get(name)
+            raw = bucket.get(DELTA_SEQ_KEY)
+            seq = int.from_bytes(raw, "big") if raw else 0
+            bucket.put(DELTA_PREFIX + seq.to_bytes(8, "big"), _pack_delta(items))
+            bucket.put(DELTA_SEQ_KEY, (seq + 1).to_bytes(8, "big"))
+        if deltas:
+            self._delta_txns += 1
+
+    def _write_with_scrap(self, writer) -> None:
+        """Run a write txn; on failure scrap device indices (which may hold
+        partial mutations from a failed dispatch) and rebuild them from the
+        last committed snapshot + journal."""
+        try:
+            self.db.write(writer)
+        except BaseException:
+            self.device_indices.clear()
+            self._load_device_indices()
+            raise
+        if self._delta_txns >= FLUSH_EVERY_TXNS:
+            self.flush()
+
     def flush(self) -> None:
-        """Persist device-index state into the store."""
+        """Snapshot device-index state into the store and clear the journal."""
 
         def writer(bm):
             for name, idx in self.device_indices.items():
                 bucket = bm.get(name)
                 bucket.put(b"_deviceState", _pack_arrays(idx.to_arrays()))
+                for k, _ in list(bucket.prefix_scan(DELTA_PREFIX)):
+                    bucket.delete(k)
+                bucket.delete(DELTA_SEQ_KEY)
 
         self.db.write(writer)
+        self._delta_txns = 0
 
     # -- info --------------------------------------------------------------
     def point_count(self) -> int:
@@ -127,11 +182,11 @@ class Shard:
                 pointstore.set_point(b_points, pointstore.ShardPoint(p, node_id))
                 changes.append(IndexPointChange(node_id, None, p.data))
             im = IndexManager(bm, self.collection.index_schema, self.device_indices)
-            im.dispatch(changes)
+            self._log_device_deltas(bm, im.dispatch(changes))
             self._change_point_count(bm, len(points))
             counter.flush()
 
-        self.db.write(writer)
+        self._write_with_scrap(writer)
 
     def update_points(self, points: List[Point]) -> List[uuid_mod.UUID]:
         """shard.go UpdatePoints: merge incoming map into the existing data,
@@ -165,9 +220,9 @@ class Shard:
                 changes.append(IndexPointChange(sp.node_id, sp.point.data, final))
                 updated.append(p.id)
             im = IndexManager(bm, self.collection.index_schema, self.device_indices)
-            im.dispatch(changes)
+            self._log_device_deltas(bm, im.dispatch(changes))
 
-        self.db.write(writer)
+        self._write_with_scrap(writer)
         return updated
 
     def delete_points(self, delete_set: Set[uuid_mod.UUID]) -> List[uuid_mod.UUID]:
@@ -189,11 +244,11 @@ class Shard:
                 changes.append(IndexPointChange(sp.node_id, sp.point.data, None))
                 deleted.append(pid)
             im = IndexManager(bm, self.collection.index_schema, self.device_indices)
-            im.dispatch(changes)
+            self._log_device_deltas(bm, im.dispatch(changes))
             self._change_point_count(bm, -len(deleted))
             counter.flush()
 
-        self.db.write(writer)
+        self._write_with_scrap(writer)
         return deleted
 
     # -- search ------------------------------------------------------------
@@ -266,6 +321,28 @@ class Shard:
     def close(self) -> None:
         self.flush()
         self.db.close()
+
+
+def _pack_delta(items: list) -> bytes:
+    """Pack a [(node_id, vector|None), ...] change list for the journal."""
+    ids = np.array([nid for nid, _ in items], np.int64)
+    dels = np.array([v is None for _, v in items], bool)
+    ups = [v for _, v in items if v is not None]
+    vecs = np.stack(ups) if ups else np.zeros((0, 0), np.float32)
+    return _pack_arrays({"ids": ids, "del": dels, "vecs": vecs})
+
+
+def _unpack_delta(raw: bytes) -> list:
+    d = _unpack_arrays(raw)
+    out = []
+    vi = 0
+    for nid, isdel in zip(d["ids"], d["del"]):
+        if isdel:
+            out.append((int(nid), None))
+        else:
+            out.append((int(nid), d["vecs"][vi]))
+            vi += 1
+    return out
 
 
 def _pack_arrays(arrays: dict) -> bytes:

@@ -134,8 +134,28 @@ class DiskStore:
         return fn(BucketManager(self._buckets, read_only=True))
 
     def write(self, fn: Callable[[BucketManager], None]):
+        """Atomic write txn (diskstore.go:45-95 / bbolt rollback semantics):
+        the closure stages all mutations in an overlay; an exception
+        discards them, leaving memory AND disk state untouched."""
+        from semadb_tpu.store.overlay import WriteTxn
+
         with self._write_lock:
-            out = fn(BucketManager(self._buckets, read_only=False))
+
+            def factory(name: str):
+                data = self._buckets.get(name, {})
+                def iter_from(start: bytes, data=data):
+                    for k in sorted(data):
+                        if k >= start:
+                            yield k, data[k]
+                return data.get, iter_from, lambda d=data: len(d)
+
+            txn = WriteTxn(factory, lambda: list(self._buckets.keys()))
+            out = fn(txn)
+            txn.apply(
+                delete_bucket=lambda n: self._buckets.pop(n, None),
+                put=lambda n, k, v: self._buckets.setdefault(n, {}).__setitem__(k, v),
+                delete_key=lambda n, k: self._buckets.get(n, {}).pop(k, None),
+            )
             self._flush()
             return out
 

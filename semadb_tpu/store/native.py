@@ -202,8 +202,31 @@ class NativeDiskStore:
         return fn(NativeBucketManager(self, read_only=True))
 
     def write(self, fn):
+        """Atomic write txn: mutations stage in a Python-side overlay and
+        replay into the WAL engine only after the closure succeeds — an
+        exception rolls back with no partial appends (bbolt txn parity)."""
+        from semadb_tpu.store.overlay import WriteTxn
+
         with self._write_lock:
-            out = fn(NativeBucketManager(self, read_only=False))
+
+            def factory(name: str):
+                base = NativeBucket(self, name, read_only=True)
+                return base.get, base._iter_from, base.__len__
+
+            mgr = NativeBucketManager(self, read_only=True)
+            txn = WriteTxn(factory, mgr.bucket_names)
+            out = fn(txn)
+            txn.apply(
+                delete_bucket=lambda n: self.lib.sdb_delete_bucket(
+                    self.handle, n.encode()
+                ),
+                put=lambda n, k, v: self.lib.sdb_put(
+                    self.handle, n.encode(), k, len(k), v, len(v)
+                ),
+                delete_key=lambda n, k: self.lib.sdb_delete(
+                    self.handle, n.encode(), k, len(k)
+                ),
+            )
             self.lib.sdb_commit(self.handle)
             if self.path and self.lib.sdb_dirty_ops(self.handle) > COMPACT_THRESHOLD:
                 self.lib.sdb_compact(self.handle)

@@ -341,3 +341,99 @@ def test_persistence_across_reopen(tmp_path):
         SearchRequest.from_dict({"query": vamana_query([3.0, 3.0], 3), "limit": 3})
     )
     assert res[0].point.id == pts[3].id
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_crash_between_txns_recovers_device_state(tmp_path, backend):
+    """Kill the process between committed write txns (simulated by dropping
+    the shard without flush/close): reopening must show vector search
+    results for exactly the committed points — the device-index journal
+    replays on top of the last snapshot (bbolt per-txn durability parity)."""
+    if backend == "native":
+        pytest.importorskip("semadb_tpu.store.native")
+        from semadb_tpu.store.native import load_library
+
+        if load_library() is None:
+            pytest.skip("native engine not built")
+    path = str(tmp_path / "shard.db")
+    col = Collection(
+        user_id="u1", id="c1", index_schema=sample_schema(), user_plan=UserPlan()
+    )
+    shard = Shard(open_store(path, backend=backend), col)
+    shard.insert_points(make_points(10))
+    shard.flush()  # snapshot at 10 points
+    shard.insert_points(make_points(10, offset=10))  # journaled txn 1
+    shard.insert_points(make_points(5, offset=20))   # journaled txn 2
+    shard.delete_points({uuid.UUID(int=3)})          # journaled txn 3 (point x=2)
+    # Crash: no shard.flush()/close(); only release the file handle
+    shard.db.close()
+
+    shard2 = Shard(open_store(path, backend=backend), col)
+    assert shard2.point_count() == 24
+    res = shard2.search_points(
+        SearchRequest.from_dict(
+            {"query": vamana_query([22.0, 22.0], limit=5), "limit": 5}
+        )
+    )
+    assert res[0].point.id == uuid.UUID(int=23)  # x=22, inserted post-snapshot
+    # the deleted point must not be findable
+    res = shard2.search_points(
+        SearchRequest.from_dict({"query": vamana_query([2.0, 2.0], limit=3), "limit": 3})
+    )
+    assert uuid.UUID(int=3) not in [r.point.id for r in res]
+    # flat index recovered too
+    res = shard2.search_points(
+        SearchRequest.from_dict(
+            {
+                "query": {
+                    "property": "flat",
+                    "vectorFlat": {"vector": [21.0, 21.0], "operator": "near", "limit": 2},
+                },
+                "limit": 2,
+            }
+        )
+    )
+    assert res[0].point.id == uuid.UUID(int=22)
+    shard2.close()
+
+
+def test_poisoned_batch_leaves_store_and_indices_unchanged(tmp_path):
+    """A batch that fails mid-dispatch (after some device indices already
+    mutated) must leave the store AND the device indices exactly as before:
+    overlay rollback + device scrap/reload (diskstore.go txn rollback;
+    cache/manager.go:207-235 scrap)."""
+    path = str(tmp_path / "shard.db")
+    col = Collection(
+        user_id="u1", id="c1", index_schema=sample_schema(), user_plan=UserPlan()
+    )
+    shard = Shard(open_store(path), col)
+    shard.insert_points(make_points(20))
+    before_count = shard.point_count()
+
+    # Poison: valid "vector" (vamana dispatches first in schema order and
+    # mutates the device graph), invalid "flat" (string -> np.asarray raises)
+    bad = []
+    for i in range(3):
+        data = {"vector": [100.0 + i, 100.0 + i], "flat": "not-a-vector"}
+        bad.append(Point.from_map(data, uuid.UUID(int=1000 + i)))
+    with pytest.raises(Exception):
+        shard.insert_points(bad)
+
+    assert shard.point_count() == before_count
+    # the poisoned batch's vamana-side insert must have been scrapped
+    res = shard.search_points(
+        SearchRequest.from_dict(
+            {"query": vamana_query([100.0, 100.0], limit=5), "limit": 5}
+        )
+    )
+    assert uuid.UUID(int=1000) not in [r.point.id for r in res]
+    assert all(r.point.id.int <= 20 for r in res)
+    # and the shard still accepts + serves valid writes afterwards
+    shard.insert_points(make_points(5, offset=50))
+    res = shard.search_points(
+        SearchRequest.from_dict(
+            {"query": vamana_query([51.0, 51.0], limit=1), "limit": 1}
+        )
+    )
+    assert res[0].point.id == uuid.UUID(int=52)
+    shard.close()

@@ -68,6 +68,9 @@ def to_sortable(value, kind: str) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+_RANGE_MAX = b"\xff" * 9  # > any 8-byte sortable key and any utf-8 string
+
+
 def _encode_set(ids: Set[int]) -> bytes:
     arr = np.fromiter(sorted(ids), dtype=np.uint64, count=len(ids))
     return arr.tobytes()
@@ -135,26 +138,28 @@ class IndexInverted:
             for _, v in self.bucket.prefix_scan(key):
                 out |= _decode_set(v)
             return out
-        # Range operators via ordered scans
-        lo, hi = b"\x00" * 0, b"\xff" * 9
+        # Range operators ride the stores' ordered cursors (B+tree range
+        # cursor parity, inverted.go:168-284): O(matching range), not
+        # O(total terms). The byte-sortable key codecs exist for this.
+        # _RANGE_MAX is strictly greater than any key: sortable int64/f64
+        # keys are exactly 8 bytes, and utf-8 never contains 0xff.
+        lo, hi = b"", _RANGE_MAX
         include_start = include_end = True
         if operator == C.OPERATOR_GREATER_THAN:
-            lo, hi, include_start = key, None, False
+            lo, include_start = key, False
         elif operator == C.OPERATOR_GREATER_OR_EQ:
-            lo, hi = key, None
+            lo = key
         elif operator == C.OPERATOR_LESS_THAN:
-            lo, hi, include_end = None, key, False
+            hi, include_end = key, False
         elif operator == C.OPERATOR_LESS_OR_EQ:
-            lo, hi = None, key
+            hi = key
         elif operator == C.OPERATOR_IN_RANGE:
             end_value = self._transform(end_value)
             lo, hi = key, to_sortable(end_value, self.kind)
         else:
             raise ValueError(f"unknown operator {operator}")
-        for k, v in self.bucket.items():
-            if lo is not None and (k < lo or (not include_start and k == lo)):
-                continue
-            if hi is not None and (k > hi or (not include_end and k == hi)):
+        for k, v in self.bucket.range_scan(lo, hi):
+            if (not include_start and k == lo) or (not include_end and k == hi):
                 continue
             out |= _decode_set(v)
         return out

@@ -143,6 +143,7 @@ class IndexManager:
                         t.update(nid, cur)
                     else:
                         t.delete(nid)
+                t.flush()  # write-back postings persist once per batch
             elif itype in (C.INDEX_TYPE_STRING, C.INDEX_TYPE_INTEGER, C.INDEX_TYPE_FLOAT):
                 kind = {
                     C.INDEX_TYPE_STRING: "string",

@@ -50,29 +50,37 @@ def _doc_key(doc_id: int) -> bytes:
 
 
 class IndexText:
+    """Write-back cached text index (text.go:400-535 setCacheItem/
+    docCacheItem parity): postings decode once per batch, mutate in memory,
+    and persist on ``flush`` — instead of a full get/decode/encode/put per
+    term per document."""
+
     def __init__(self, bucket: Bucket, analyser: str = "standard"):
         if analyser != "standard":
             raise ValueError(f"unknown analyser {analyser}")
         self.bucket = bucket
+        self._cache: Dict[str, Set[int]] = {}
+        self._dirty: Set[str] = set()
+        self._ndocs: Optional[int] = None
 
     # -- helpers -----------------------------------------------------------
     @property
     def num_docs(self) -> int:
-        raw = self.bucket.get(NUM_DOCS_KEY)
-        return struct.unpack("<Q", raw)[0] if raw else 0
+        if self._ndocs is None:
+            raw = self.bucket.get(NUM_DOCS_KEY)
+            self._ndocs = struct.unpack("<Q", raw)[0] if raw else 0
+        return self._ndocs
 
     def _set_num_docs(self, n: int) -> None:
-        self.bucket.put(NUM_DOCS_KEY, struct.pack("<Q", max(n, 0)))
+        self._ndocs = max(n, 0)
 
     def _get_postings(self, term: str) -> Set[int]:
-        raw = self.bucket.get(_set_key(term))
-        return set(msgpack.unpackb(raw)) if raw else set()
-
-    def _put_postings(self, term: str, ids: Set[int]) -> None:
-        if ids:
-            self.bucket.put(_set_key(term), msgpack.packb(sorted(ids)))
-        else:
-            self.bucket.delete(_set_key(term))
+        ids = self._cache.get(term)
+        if ids is None:
+            raw = self.bucket.get(_set_key(term))
+            ids = set(msgpack.unpackb(raw)) if raw else set()
+            self._cache[term] = ids
+        return ids
 
     def _get_doc(self, doc_id: int) -> Optional[Tuple[Dict[str, int], int]]:
         raw = self.bucket.get(_doc_key(doc_id))
@@ -80,6 +88,18 @@ class IndexText:
             return None
         obj = msgpack.unpackb(raw, raw=False)
         return obj["terms"], obj["length"]
+
+    def flush(self) -> None:
+        """Persist dirty postings + doc count (ItemCache.Flush parity)."""
+        for term in self._dirty:
+            ids = self._cache.get(term, set())
+            if ids:
+                self.bucket.put(_set_key(term), msgpack.packb(sorted(ids)))
+            else:
+                self.bucket.delete(_set_key(term))
+        self._dirty.clear()
+        if self._ndocs is not None:
+            self.bucket.put(NUM_DOCS_KEY, struct.pack("<Q", self._ndocs))
 
     # -- writes ------------------------------------------------------------
     def insert(self, doc_id: int, value: str) -> None:
@@ -91,9 +111,8 @@ class IndexText:
             _doc_key(doc_id), msgpack.packb({"terms": freqs, "length": max(len(tokens), 1)})
         )
         for term in freqs:
-            ids = self._get_postings(term)
-            ids.add(doc_id)
-            self._put_postings(term, ids)
+            self._get_postings(term).add(doc_id)
+            self._dirty.add(term)
         self._set_num_docs(self.num_docs + 1)
 
     def delete(self, doc_id: int) -> None:
@@ -102,9 +121,8 @@ class IndexText:
             return
         freqs, _ = doc
         for term in freqs:
-            ids = self._get_postings(term)
-            ids.discard(doc_id)
-            self._put_postings(term, ids)
+            self._get_postings(term).discard(doc_id)
+            self._dirty.add(term)
         self.bucket.delete(_doc_key(doc_id))
         self._set_num_docs(self.num_docs - 1)
 

@@ -11,19 +11,36 @@ behind the same interface (store/native.py).
 
 from __future__ import annotations
 
+import bisect
 import os
 import threading
-from typing import Callable, Dict, Iterator, Optional, Tuple
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
 
 import msgpack
 
 
 class Bucket:
-    """Ordered byte-key bucket (diskstore.go:45-65 Bucket interface)."""
+    """Ordered byte-key bucket (diskstore.go:45-65 Bucket interface).
 
-    def __init__(self, data: Optional[Dict[bytes, bytes]] = None, read_only: bool = False):
+    ``sorted_keys`` (optional) supplies a cached sorted key list so ordered
+    scans seek with bisect instead of re-sorting the whole dict — the
+    in-memory analog of bbolt's B+tree cursors.
+    """
+
+    def __init__(
+        self,
+        data: Optional[Dict[bytes, bytes]] = None,
+        read_only: bool = False,
+        sorted_keys: Optional[Callable[[], List[bytes]]] = None,
+    ):
         self._data: Dict[bytes, bytes] = data if data is not None else {}
         self._read_only = read_only
+        self._sorted_keys = sorted_keys
+
+    def _keys(self) -> List[bytes]:
+        if self._sorted_keys is not None:
+            return self._sorted_keys()
+        return sorted(self._data)
 
     def get(self, key: bytes) -> Optional[bytes]:
         return self._data.get(key)
@@ -40,24 +57,31 @@ class Bucket:
 
     def for_each(self, fn: Callable[[bytes, bytes], bool | None]) -> None:
         """Iterate in key order; fn returning False stops early."""
-        for k in sorted(self._data):
+        for k in self._keys():
             if fn(k, self._data[k]) is False:
                 return
 
     def items(self) -> Iterator[Tuple[bytes, bytes]]:
-        for k in sorted(self._data):
+        for k in self._keys():
             yield k, self._data[k]
 
+    def iter_from(self, start: bytes) -> Iterator[Tuple[bytes, bytes]]:
+        keys = self._keys()
+        for i in range(bisect.bisect_left(keys, start), len(keys)):
+            yield keys[i], self._data[keys[i]]
+
     def prefix_scan(self, prefix: bytes) -> Iterator[Tuple[bytes, bytes]]:
-        for k in sorted(self._data):
-            if k.startswith(prefix):
-                yield k, self._data[k]
+        for k, v in self.iter_from(prefix):
+            if not k.startswith(prefix):
+                return
+            yield k, v
 
     def range_scan(self, start: bytes, end: bytes) -> Iterator[Tuple[bytes, bytes]]:
         """Keys in [start, end] inclusive (inverted.go range semantics)."""
-        for k in sorted(self._data):
-            if start <= k <= end:
-                yield k, self._data[k]
+        for k, v in self.iter_from(start):
+            if k > end:
+                return
+            yield k, v
 
     def __len__(self) -> int:
         return len(self._data)
@@ -66,9 +90,15 @@ class Bucket:
 class BucketManager:
     """Named-bucket accessor handed to transaction closures."""
 
-    def __init__(self, buckets: Dict[str, Dict[bytes, bytes]], read_only: bool):
+    def __init__(
+        self,
+        buckets: Dict[str, Dict[bytes, bytes]],
+        read_only: bool,
+        store: Optional["DiskStore"] = None,
+    ):
         self._buckets = buckets
         self._read_only = read_only
+        self._store = store
 
     def get(self, name: str) -> Bucket:
         if name not in self._buckets:
@@ -77,7 +107,10 @@ class BucketManager:
                 # bucket-not-found; the reference's callers treat it as empty)
                 return Bucket({}, read_only=True)
             self._buckets[name] = {}
-        return Bucket(self._buckets[name], read_only=self._read_only)
+        sk = None
+        if self._store is not None:
+            sk = lambda n=name: self._store._sorted_keys(n)
+        return Bucket(self._buckets[name], read_only=self._read_only, sorted_keys=sk)
 
     def delete(self, name: str) -> None:
         if self._read_only:
@@ -100,9 +133,17 @@ class DiskStore:
     def __init__(self, path: str = ""):
         self.path = path
         self._buckets: Dict[str, Dict[bytes, bytes]] = {}
+        self._key_cache: Dict[str, List[bytes]] = {}  # per-bucket sorted keys
         self._write_lock = threading.Lock()
         if path and os.path.exists(path):
             self._load()
+
+    def _sorted_keys(self, name: str) -> List[bytes]:
+        keys = self._key_cache.get(name)
+        if keys is None:
+            keys = sorted(self._buckets.get(name, ()))
+            self._key_cache[name] = keys
+        return keys
 
     # -- persistence -------------------------------------------------------
     def _load(self) -> None:
@@ -131,7 +172,7 @@ class DiskStore:
 
     # -- transactions ------------------------------------------------------
     def read(self, fn: Callable[[BucketManager], None]):
-        return fn(BucketManager(self._buckets, read_only=True))
+        return fn(BucketManager(self._buckets, read_only=True, store=self))
 
     def write(self, fn: Callable[[BucketManager], None]):
         """Atomic write txn (diskstore.go:45-95 / bbolt rollback semantics):
@@ -143,11 +184,10 @@ class DiskStore:
 
             def factory(name: str):
                 data = self._buckets.get(name, {})
-                def iter_from(start: bytes, data=data):
-                    for k in sorted(data):
-                        if k >= start:
-                            yield k, data[k]
-                return data.get, iter_from, lambda d=data: len(d)
+                base = Bucket(
+                    data, read_only=True, sorted_keys=lambda n=name: self._sorted_keys(n)
+                )
+                return base.get, base.iter_from, base.__len__
 
             txn = WriteTxn(factory, lambda: list(self._buckets.keys()))
             out = fn(txn)
@@ -156,6 +196,8 @@ class DiskStore:
                 put=lambda n, k, v: self._buckets.setdefault(n, {}).__setitem__(k, v),
                 delete_key=lambda n, k: self._buckets.get(n, {}).pop(k, None),
             )
+            for n in txn.touched_buckets:
+                self._key_cache.pop(n, None)
             self._flush()
             return out
 

@@ -152,6 +152,10 @@ class WriteTxn:
                 names.append(n)
         return names
 
+    @property
+    def touched_buckets(self) -> set:
+        return set(self._overlays) | self._deleted_buckets
+
     def apply(self, delete_bucket, put, delete_key) -> None:
         for name in self._deleted_buckets:
             delete_bucket(name)

@@ -58,6 +58,7 @@ class ClusterNodeConfig:
     max_shard_point_count: int = 250_000
     max_search_limit: int = 75
     shard_timeout: float = 300.0
+    max_cache_size: int = 0  # HBM budget for device indices, 0 = unlimited
     backup_frequency: float = 0.0  # nodedb backup cadence, 0 = off
     backup_count: int = 3
 
@@ -74,6 +75,7 @@ class ClusterNodeConfig:
             max_shard_point_count=int(d.get("maxShardPointCount", 250_000)),
             max_search_limit=int(d.get("maxSearchLimit", 75)),
             shard_timeout=float(d.get("shardTimeout", 300)),
+            max_cache_size=int(d.get("maxCacheSize", 0)),
             backup_frequency=float(d.get("backupFrequency", 0)),
             backup_count=int(d.get("backupCount", 3)),
         )
@@ -141,7 +143,10 @@ class ClusterNode:
             os.makedirs(cfg.root_dir, exist_ok=True)
         self.nodedb = open_store(nodedb_path)
         self.shard_manager = ShardManager(
-            cfg.root_dir, cfg.shard_timeout, backup_fn=self._shard_backup
+            cfg.root_dir,
+            cfg.shard_timeout,
+            backup_fn=self._shard_backup,
+            max_cache_size=cfg.max_cache_size,
         )
         self.rpc = RPCClientPool(cfg.rpc_timeout, cfg.rpc_retries)
         self._server: Optional[RPCServer] = None

@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Dict, Optional
 
 from semadb_tpu.models.collection import Collection
+from semadb_tpu.shard.registry import HBMBudget
 from semadb_tpu.shard.shard import Shard
 from semadb_tpu.store.diskstore import open_store
 
@@ -37,12 +38,16 @@ class ShardManager:
         root_dir: str,
         shard_timeout: float = 300.0,
         backup_fn: Optional[Callable[[Shard, Collection], None]] = None,
+        max_cache_size: int = 0,
     ):
         self.root_dir = root_dir
         self.shard_timeout = shard_timeout
         self.backup_fn = backup_fn
         self._shards: Dict[str, ManagedShard] = {}
         self._mu = threading.Lock()
+        # Shared HBM budget across all loaded shards' device indices
+        # (shardmgr.go:46-54 shares one cache.Manager with maxCacheSize).
+        self.hbm_budget = HBMBudget(max_cache_size)
 
     def shard_dir(self, col: Collection, shard_id: str) -> str:
         return os.path.join(self.root_dir, col.user_id, col.id, shard_id)
@@ -56,7 +61,7 @@ class ShardManager:
             d = self.shard_dir(col, shard_id)
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, SHARD_DB_FILE)
-        shard = Shard(open_store(path), col)
+        shard = Shard(open_store(path), col, hbm_budget=self.hbm_budget)
         return ManagedShard(shard=shard, last_used=time.monotonic())
 
     def do_with_shard(self, col: Collection, shard_id: str, fn: Callable[[Shard], object]):

@@ -33,6 +33,7 @@ from semadb_tpu.models.point import Point, SearchResult, decode_point_data
 from semadb_tpu.models.query import SearchRequest
 from semadb_tpu.shard import pointstore
 from semadb_tpu.shard.idcounter import IdCounter
+from semadb_tpu.shard.registry import DeviceRegistry, HBMBudget
 from semadb_tpu.store.diskstore import DiskStore
 from semadb_tpu.utils.compare import sort_search_results
 
@@ -47,11 +48,20 @@ FLUSH_EVERY_TXNS = 128
 
 
 class Shard:
-    def __init__(self, db: DiskStore, collection: Collection):
+    def __init__(
+        self,
+        db: DiskStore,
+        collection: Collection,
+        hbm_budget: Optional["HBMBudget"] = None,
+    ):
         self.db = db
         self.collection = collection
-        # bucket name → device index object; survives transactions
-        self.device_indices: Dict[str, object] = {}
+        # bucket name → device index object; survives transactions. The
+        # registry LRU-evicts past the shared HBM budget (cache manager
+        # maxCacheSize parity) and lazily reloads snapshot+journal on miss.
+        self.device_indices = DeviceRegistry(
+            loader=self._load_one_index, budget=hbm_budget
+        )
         self._delta_txns = 0
         self._load_device_indices()
 
@@ -67,37 +77,66 @@ class Shard:
             return IndexIVF(params.vector_ivf)
         return IndexFlat(params.vector_flat)
 
-    def _load_device_indices(self) -> None:
+    def _read_index_from(self, bm, name: str, params):
+        """Reconstruct one device index: last snapshot + journal replay (in
+        key order — big-endian seq, so iteration order IS commit order).
+        Returns (index|None, journal_record_count)."""
         from semadb_tpu.index.flat import IndexFlat
         from semadb_tpu.index.vamana import IndexVamana
 
+        bucket = bm.get(name)
+        raw = bucket.get(b"_deviceState")
+        deltas = list(bucket.prefix_scan(DELTA_PREFIX))
+        if raw is None and not deltas:
+            return None, 0
+        if raw is None:
+            idx = self._make_index(params)
+        elif params.type == C.INDEX_TYPE_VECTOR_VAMANA:
+            idx = IndexVamana.from_arrays(params.vector_vamana, _unpack_arrays(raw))
+        elif params.type == C.INDEX_TYPE_VECTOR_IVF:
+            from semadb_tpu.index.ivf import IndexIVF
+
+            idx = IndexIVF.from_arrays(params.vector_ivf, _unpack_arrays(raw))
+        else:
+            idx = IndexFlat.from_arrays(params.vector_flat, _unpack_arrays(raw))
+        for _, rec in deltas:
+            idx.insert_update_delete(_unpack_delta(rec))
+        return idx, len(deltas)
+
+    def _params_for_bucket(self, name: str):
+        for prop, params in self.collection.index_schema.items():
+            if IndexManager.bucket_name(params.type, prop) == name:
+                return params
+        return None
+
+    def _load_one_index(self, name: str):
+        """Registry miss handler: reload a (possibly evicted) index."""
+        params = self._params_for_bucket(name)
+        if params is None or params.type not in (
+            C.INDEX_TYPE_VECTOR_VAMANA,
+            C.INDEX_TYPE_VECTOR_FLAT,
+            C.INDEX_TYPE_VECTOR_IVF,
+        ):
+            return None
+        out = [None]
+
+        def reader(bm):
+            out[0], _ = self._read_index_from(bm, name, params)
+
+        self.db.read(reader)
+        return out[0]
+
+    def _load_device_indices(self) -> None:
         def reader(bm):
             self._delta_txns = 0
             for prop, params in self.collection.index_schema.items():
                 if params.type not in (C.INDEX_TYPE_VECTOR_VAMANA, C.INDEX_TYPE_VECTOR_FLAT, C.INDEX_TYPE_VECTOR_IVF):
                     continue
                 name = IndexManager.bucket_name(params.type, prop)
-                bucket = bm.get(name)
-                raw = bucket.get(b"_deviceState")
-                deltas = list(bucket.prefix_scan(DELTA_PREFIX))
-                if raw is None and not deltas:
+                idx, n_deltas = self._read_index_from(bm, name, params)
+                if idx is None:
                     continue
-                if raw is None:
-                    idx = self._make_index(params)
-                elif params.type == C.INDEX_TYPE_VECTOR_VAMANA:
-                    idx = IndexVamana.from_arrays(params.vector_vamana, _unpack_arrays(raw))
-                elif params.type == C.INDEX_TYPE_VECTOR_IVF:
-                    from semadb_tpu.index.ivf import IndexIVF
-
-                    idx = IndexIVF.from_arrays(params.vector_ivf, _unpack_arrays(raw))
-                else:
-                    idx = IndexFlat.from_arrays(params.vector_flat, _unpack_arrays(raw))
-                # Replay journal (committed txns since the last snapshot) in
-                # sequence order — prefix_scan is key-ordered and the seq is
-                # big-endian, so iteration order IS commit order.
-                for _, rec in deltas:
-                    idx.insert_update_delete(_unpack_delta(rec))
-                self._delta_txns = max(self._delta_txns, len(deltas))
+                self._delta_txns = max(self._delta_txns, n_deltas)
                 self.device_indices[name] = idx
 
         self.db.read(reader)

@@ -310,3 +310,70 @@ def test_shardmgr_cleanup_race_with_inflight_request(tmp_path):
         t.join()
     assert not errors, errors
     mgr.unload_all()
+
+
+def test_hbm_budget_evicts_and_reloads(tmp_path):
+    """Loading more device indices than the HBM budget holds must evict LRU
+    indices (cache/manager.go:39-120 maxCacheSize parity) and transparently
+    reload them (snapshot + journal) with correct results on next access."""
+    import numpy as np
+
+    from semadb_tpu.cluster.shardmgr import ShardManager
+    from semadb_tpu.models import (
+        Collection,
+        IndexSchema,
+        Point,
+        SearchRequest,
+        UserPlan,
+    )
+
+    schema = IndexSchema.from_dict(
+        {
+            "v": {
+                "type": "vectorVamana",
+                "vectorVamana": {
+                    "vectorSize": 2,
+                    "distanceMetric": "euclidean",
+                    "searchSize": 36,
+                    "degreeBound": 32,
+                },
+            }
+        }
+    )
+    col = Collection(user_id="u", id="c", index_schema=schema, user_plan=UserPlan())
+    # One capacity-128 vamana graph is ~18KB (vectors 1KB + adjacency 16KB
+    # + exists); a 40KB budget holds two.
+    mgr = ShardManager(str(tmp_path), shard_timeout=300.0, max_cache_size=40_000)
+
+    import uuid as uuid_mod
+
+    def insert(shard, base):
+        pts = [
+            Point.from_map({"v": [float(base + i), float(base + i)]}, uuid_mod.UUID(int=base + i + 1))
+            for i in range(20)
+        ]
+        shard.insert_points(pts)
+
+    for s in range(4):
+        mgr.do_with_shard(col, f"s{s}", lambda sh, s=s: insert(sh, 100 * s))
+    assert mgr.hbm_budget.evictions > 0, "budget should have evicted indices"
+
+    # Every shard must still answer correctly (evicted ones reload)
+    for s in range(4):
+        req = SearchRequest.from_dict(
+            {
+                "query": {
+                    "property": "v",
+                    "vectorVamana": {
+                        "vector": [100.0 * s + 7, 100.0 * s + 7],
+                        "operator": "near",
+                        "searchSize": 36,
+                        "limit": 1,
+                    },
+                },
+                "limit": 1,
+            }
+        )
+        res = mgr.do_with_shard(col, f"s{s}", lambda sh: sh.search_points(req))
+        assert res[0].point.id == uuid_mod.UUID(int=100 * s + 8), f"shard s{s}"
+    mgr.unload_all()

@@ -23,10 +23,19 @@ overflow scan -> coarse top-R pool -> exact f32 rerank -> top-k. The
 default-precision scoring matmul runs in bf16 passes; the f32 rerank
 restores exact ordering (recall 0.9925 -> 1.000 measured).
 
+With a product quantizer (IVF-PQ, the industry-standard layout for
+memory-bound corpora; reference quantizer: product.go:136-305), slabs and
+the overflow pool hold u8 PQ codes instead of f32 — D*4/M x smaller — and
+scoring is ADC table lookups (one f32[B, M, K] table per query batch)
+followed by the same exact f32 rerank from the per-node vectors matrix.
+The codebook fits once at the quantizer's trigger threshold.
+
 Writes go to the overflow pool or straight into a slab with room; the
 index refits (k-means + repack, all device-side except one [N] label
 readback) when the live count doubles or the overflow pool outgrows its
-share. Deletes blank the slot in place.
+share. Deletes blank the slot in place. All vector data lives on device:
+CRUD keeps only id->location host mirrors, and refits gather the corpus
+from the device-resident ``vectors`` matrix.
 """
 
 from __future__ import annotations
@@ -52,6 +61,9 @@ DEFAULT_SLAB = 64
 MIN_FIT = 512
 KMEANS_ITERS = 15
 RERANK_POOL = 64
+# ADC ordering is coarser than f32 scoring, so IVF-PQ reranks a deeper
+# pool; the extra [B, pool, D] f32 gather is small next to the slab scan.
+RERANK_POOL_PQ = 256
 
 
 def _npow2(x: int, lo: int, hi: int) -> int:
@@ -149,6 +161,93 @@ def _ivf_query(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("p", "k", "pchunk", "kq", "metric"))
+def _ivf_query_pq(
+    centroids: jax.Array,   # f32[C, D]
+    cent_sq: jax.Array,     # f32[C]
+    slab_codes: jax.Array,  # u8[C, S, M]
+    slab_ids: jax.Array,    # i32[C, S]
+    ovf_codes: jax.Array,   # u8[O, M]
+    ovf_ids: jax.Array,     # i32[O]
+    table: jax.Array,       # f32[B, M, K] ADC tables for this query batch
+    queries: jax.Array,     # f32[B, D]
+    vectors: jax.Array,     # f32[cap, D] per-node rerank vectors
+    filter_mask: Optional[jax.Array],  # bool[cap] | None
+    p: int,
+    k: int,
+    pchunk: int,
+    kq: int,                # PQ centroids per subquantizer (K)
+    metric: str,
+) -> Tuple[jax.Array, jax.Array]:
+    """IVF-PQ query: probe by centroid matmul, score probed slabs + overflow
+    by ADC lookup (product.go:269-276 accumulate, vectorised as a flat
+    take_along_axis over [B, M*K]), exact f32 rerank on the pool."""
+    B = queries.shape[0]
+    S = slab_codes.shape[1]
+    M = slab_codes.shape[2]
+    cap = vectors.shape[0]
+    flat_table = table.reshape(B, M * kq)
+    m_off = jnp.arange(M, dtype=jnp.int32) * kq  # [M]
+
+    # 1. probe selection (same dense contraction as the f32 engine)
+    cd = cent_sq[None, :] - 2.0 * (queries @ centroids.T)
+    _, probe = jax.lax.top_k(-cd, p)  # [B, p]
+
+    # 2. probe-chunked ADC slab scoring
+    def score_chunk(_, pr):  # pr: [B, pchunk]
+        cand = slab_codes[pr].astype(jnp.int32)  # [B, pc, S, M]
+        idx = (cand + m_off[None, None, None, :]).reshape(B, -1)
+        vals = jnp.take_along_axis(flat_table, idx, axis=1)
+        dd = jnp.sum(vals.reshape(B, pr.shape[1], S, M), axis=-1)
+        cid = slab_ids[pr]
+        dd = jnp.where(cid != NIL, dd, jnp.inf)
+        return None, (dd, cid)
+
+    nchunk = p // pchunk
+    prs = probe[:, : nchunk * pchunk].reshape(B, nchunk, pchunk).transpose(1, 0, 2)
+    _, (dists_c, ids_c) = jax.lax.scan(score_chunk, None, prs)
+    dist = dists_c.transpose(1, 0, 2, 3).reshape(B, nchunk * pchunk * S)
+    ids = ids_c.transpose(1, 0, 2, 3).reshape(B, nchunk * pchunk * S)
+
+    # 3. overflow ADC scan
+    o_idx = (ovf_codes.astype(jnp.int32) + m_off[None, :]).reshape(-1)  # [O*M]
+    o_vals = flat_table[:, o_idx].reshape(B, ovf_codes.shape[0], M)
+    od = jnp.sum(o_vals, axis=-1)
+    od = jnp.where(ovf_ids[None, :] != NIL, od, jnp.inf)
+    dist = jnp.concatenate([dist, od], axis=-1)
+    ids = jnp.concatenate(
+        [ids, jnp.broadcast_to(ovf_ids[None, :], od.shape)], axis=-1
+    )
+
+    if filter_mask is not None:
+        ok = jnp.take(filter_mask, jnp.clip(ids, 0, cap - 1)) & (ids != NIL)
+        dist = jnp.where(ok, dist, jnp.inf)
+        ids = jnp.where(ok, ids, NIL)
+
+    # 4. ADC pool -> exact f32 rerank (the reference's PQ search has no
+    # rerank — this is the TPU build's recall edge at the same code size)
+    rr = max(RERANK_POOL_PQ, 2 * k)
+    nv, pos = jax.lax.top_k(-dist, rr)
+    pool = jnp.take_along_axis(ids, pos, axis=-1)  # [B, rr]
+    pv = vectors[jnp.clip(pool, 0, cap - 1)]
+    if metric == C.DISTANCE_EUCLIDEAN:
+        rd = jnp.sum((pv - queries[:, None, :]) ** 2, axis=-1)
+    else:
+        cross = jnp.einsum(
+            "brd,bd->br", pv, queries,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        rd = (1.0 - cross) if metric == C.DISTANCE_COSINE else -cross
+    rd = jnp.where((pool != NIL) & jnp.isfinite(-nv), rd, jnp.inf)
+    nv2, pos2 = jax.lax.top_k(-rd, k)
+    out_i = jnp.take_along_axis(pool, pos2, axis=-1)
+    out_d = -nv2
+    return jnp.where(jnp.isfinite(out_d), out_d, jnp.inf), jnp.where(
+        jnp.isfinite(out_d), out_i, NIL
+    )
+
+
 class IndexIVF:
     """Stateful host handle on a device-resident IVF index.
 
@@ -173,14 +272,29 @@ class IndexIVF:
         self.ovf_vecs = jnp.zeros((8, D), jnp.float32)
         self.ovf_ids = jnp.full((8,), NIL, jnp.int32)
         self._ovf_free: list[int] = list(range(8))
-        # Host mirrors so CRUD never reads back from device
+        # Host mirror so CRUD never reads back from device; all vector data
+        # stays on device (the ``vectors`` matrix is the source of truth)
         self._loc: dict[int, tuple] = {}  # node id -> ("s", c, slot) | ("o", j)
-        self._vecs: dict[int, np.ndarray] = {}  # node id -> vector (host copy)
         self._n_at_fit = 0
         self._sq_cache: dict[str, jax.Array] = {}
         # Per-node rerank matrix grows like the other engines' capacity
         self.capacity = 128
         self.vectors = jnp.zeros((self.capacity, D), jnp.float32)
+        # IVF-PQ: codebook fits once at the quantizer trigger; when active,
+        # slabs/overflow hold u8 codes and scoring is ADC + f32 rerank.
+        self.pq_config = None
+        self.pq_codebook = None  # f32[M, K, D/M]
+        self.slab_codes = jnp.zeros((1, self.slab, 1), jnp.uint8)
+        self.ovf_codes = jnp.zeros((8, 1), jnp.uint8)
+        q = params.quantizer
+        if q is not None and q.type == C.QUANTIZER_PRODUCT:
+            from semadb_tpu.vectorstore.store import QuantConfig
+
+            self.pq_config = QuantConfig.from_params(q, D, self.metric)
+
+    @property
+    def pq_active(self) -> bool:
+        return self.pq_codebook is not None
 
     # -- internals ----------------------------------------------------------
     @staticmethod
@@ -211,9 +325,12 @@ class IndexIVF:
         """Reserve n overflow slots, growing (doubling) the pool at most
         once per call — one scatter per write batch, never per point."""
         while len(self._ovf_free) < n:
-            old = self.ovf_vecs.shape[0]
+            old = self.ovf_ids.shape[0]
             grow = max(old, n)
-            self.ovf_vecs = jnp.pad(self.ovf_vecs, ((0, grow), (0, 0)))
+            if self.pq_active:
+                self.ovf_codes = jnp.pad(self.ovf_codes, ((0, grow), (0, 0)))
+            else:
+                self.ovf_vecs = jnp.pad(self.ovf_vecs, ((0, grow), (0, 0)))
             self.ovf_ids = jnp.pad(self.ovf_ids, (0, grow), constant_values=NIL)
             self._ovf_free.extend(range(old, old + grow))
         return [self._ovf_free.pop() for _ in range(n)]
@@ -228,14 +345,16 @@ class IndexIVF:
         return n >= 2 * self._n_at_fit or n_ovf > max(64, n // 4)
 
     def _refit(self) -> None:
-        """Full k-means + repack. One [N] label readback; the packing is
-        vectorised numpy over host-mirrored vectors."""
+        """Full k-means + repack. Vector data never leaves the device: the
+        corpus is gathered from the ``vectors`` matrix, k-means labels are
+        the only readback ([N] int32), and slabs/codes are built by device
+        scatters with host-computed (cluster, rank) coordinates."""
         ids = np.fromiter(self._loc.keys(), np.int32, len(self._loc))
-        data_np = np.stack([self._vecs[int(i)] for i in ids])
         n = len(ids)
-        D = data_np.shape[1]
+        D = self.params.vector_size
         Cn = _npow2(max(n // TARGET_CLUSTER_SIZE, 1), 16, 65536)
         S = self.slab
+        data = self.vectors[jnp.asarray(ids)]  # device gather [n, D]
         # Pad the fit input to a power-of-two row count by tiling real
         # points (duplicates only nudge centroid means): every distinct
         # shape would otherwise recompile the kmeans kernel, and an
@@ -243,8 +362,8 @@ class IndexIVF:
         n_pad = MIN_FIT
         while n_pad < n:
             n_pad *= 2
-        fit_data = np.resize(data_np, (n_pad, D)) if n_pad != n else data_np
-        cents, lab = kmeans_fit_large(jnp.asarray(fit_data), Cn, iters=KMEANS_ITERS)
+        fit_data = data if n_pad == n else data[jnp.arange(n_pad) % n]
+        cents, lab = kmeans_fit_large(fit_data, Cn, iters=KMEANS_ITERS)
         lab = np.asarray(lab)[:n]
 
         order = np.argsort(lab, kind="stable")
@@ -253,29 +372,61 @@ class IndexIVF:
         starts = np.searchsorted(lab_sorted, np.arange(Cn))
         rank = np.arange(n) - starts[lab_sorted]
         in_slab = rank < S
-
-        slabs = np.zeros((Cn, S, D), np.float32)
-        slab_ids = np.full((Cn, S), NIL, np.int32)
-        sel = order[in_slab]
-        slabs[lab[sel], rank[in_slab]] = data_np[sel]
-        slab_ids[lab[sel], rank[in_slab]] = ids[sel]
+        sel = order[in_slab]  # row positions into `data`
         spill = order[~in_slab]
+        cs, ss = lab[sel], rank[in_slab]
 
         O = max(int(2 ** np.ceil(np.log2(max(len(spill) * 2, 8)))), 8)
-        ovf_vecs = np.zeros((O, D), np.float32)
         ovf_ids = np.full((O,), NIL, np.int32)
-        ovf_vecs[: len(spill)] = data_np[spill]
         ovf_ids[: len(spill)] = ids[spill]
+        slab_ids = np.full((Cn, S), NIL, np.int32)
+        slab_ids[cs, ss] = ids[sel]
+
+        # Fit the PQ codebook once, at the quantizer's trigger threshold
+        # (product.go:175-183 fit-once semantics).
+        if (
+            self.pq_config is not None
+            and self.pq_codebook is None
+            and n >= max(self.pq_config.trigger, MIN_FIT)
+        ):
+            from semadb_tpu.vectorstore.store import pq_fit
+
+            self.pq_codebook = pq_fit(
+                fit_data, jnp.ones((n_pad,), bool),
+                self.pq_config.num_subvectors, self.pq_config.num_centroids,
+            )
+
+        if self.pq_active:
+            from semadb_tpu.vectorstore.store import pq_encode
+
+            M = self.pq_config.num_subvectors
+            codes = pq_encode(
+                data, self.pq_codebook, M, self.pq_config.num_centroids, self.metric
+            )  # u8[n, M]
+            self.slab_codes = (
+                jnp.zeros((Cn, S, M), jnp.uint8).at[cs, ss].set(codes[sel])
+            )
+            ovf_codes = jnp.zeros((O, M), jnp.uint8)
+            if len(spill):
+                ovf_codes = ovf_codes.at[: len(spill)].set(codes[spill])
+            self.ovf_codes = ovf_codes
+            # f32 slabs/overflow are dead weight in PQ mode: shrink them
+            self.slabs = jnp.zeros((1, S, D), jnp.float32)
+            self.ovf_vecs = jnp.zeros((1, D), jnp.float32)
+        else:
+            self.slabs = jnp.zeros((Cn, S, D), jnp.float32).at[cs, ss].set(data[sel])
+            ovf_vecs = jnp.zeros((O, D), jnp.float32)
+            if len(spill):
+                ovf_vecs = ovf_vecs.at[: len(spill)].set(data[spill])
+            self.ovf_vecs = ovf_vecs
 
         self.centroids = cents
-        self.slabs = jnp.asarray(slabs)
         self.slab_ids = jnp.asarray(slab_ids)
         self._fill = np.minimum(np.bincount(lab, minlength=Cn), S).astype(np.int32)
-        self.ovf_vecs = jnp.asarray(ovf_vecs)
         self.ovf_ids = jnp.asarray(ovf_ids)
         self._ovf_free = list(range(len(spill), O))
         self._loc = {}
-        for c, s, i in zip(lab[sel], rank[in_slab], ids[sel]):
+        for c, s, i in zip(cs, ss, ids[sel]):
             self._loc[int(i)] = ("s", int(c), int(s))
         for j, i in enumerate(ids[spill]):
             self._loc[int(i)] = ("o", int(j))
@@ -295,7 +446,6 @@ class IndexIVF:
             max_id = max(max_id, node_id)
             if vec is None:
                 loc = self._loc.pop(node_id, None)
-                self._vecs.pop(node_id, None)
                 if loc is not None:
                     removals.append(loc)
             else:
@@ -304,32 +454,39 @@ class IndexIVF:
         if ups:
             up_ids = np.array([u[0] for u in ups], np.int32)
             up_vecs = np.stack([u[1] for u in ups])
-            self.vectors = self.vectors.at[up_ids].set(jnp.asarray(up_vecs))
+            up_dev = jnp.asarray(up_vecs)
+            self.vectors = self.vectors.at[up_ids].set(up_dev)
             fitted = self._n_at_fit > 0
             assign = None
+            up_codes = None  # u8[n_ups, M] PQ codes for this batch
             if fitted:
-                dmat = pairwise_distance(
-                    jnp.asarray(up_vecs), self.centroids, C.DISTANCE_EUCLIDEAN
-                )
+                dmat = pairwise_distance(up_dev, self.centroids, C.DISTANCE_EUCLIDEAN)
                 assign = np.asarray(jnp.argmin(dmat, axis=-1))
-            slab_writes: list[tuple[int, int, int, np.ndarray]] = []
-            ovf_writes: list[tuple[int, np.ndarray]] = []
+                if self.pq_active:
+                    from semadb_tpu.vectorstore.store import pq_encode
+
+                    up_codes = pq_encode(
+                        up_dev, self.pq_codebook,
+                        self.pq_config.num_subvectors,
+                        self.pq_config.num_centroids, self.metric,
+                    )
+            slab_writes: list[tuple[int, int, int, int]] = []  # (nid, c, s, batch_row)
+            ovf_writes: list[tuple[int, int]] = []  # (nid, batch_row)
             for j, (node_id, vec) in enumerate(ups):
                 old = self._loc.pop(node_id, None)  # update = replace
                 if old is not None:
                     removals.append(old)
-                self._vecs[node_id] = vec
                 placed = False
                 if fitted:
                     c = int(assign[j])
                     if self._fill[c] < self.slab:
                         s = int(self._fill[c])
                         self._fill[c] += 1
-                        slab_writes.append((node_id, c, s, vec))
+                        slab_writes.append((node_id, c, s, j))
                         self._loc[node_id] = ("s", c, s)
                         placed = True
                 if not placed:
-                    ovf_writes.append((node_id, vec))
+                    ovf_writes.append((node_id, j))
             if removals:
                 s_cs = np.array([l[1] for l in removals if l[0] == "s"], np.int32)
                 s_ss = np.array([l[2] for l in removals if l[0] == "s"], np.int32)
@@ -342,9 +499,11 @@ class IndexIVF:
                 removals = []
             if ovf_writes:
                 slots = np.array(self._ovf_slots(len(ovf_writes)), np.int32)
-                self.ovf_vecs = self.ovf_vecs.at[slots].set(
-                    jnp.asarray(np.stack([w[1] for w in ovf_writes]))
-                )
+                rows = np.array([w[1] for w in ovf_writes], np.int32)
+                if self.pq_active:
+                    self.ovf_codes = self.ovf_codes.at[slots].set(up_codes[rows])
+                else:
+                    self.ovf_vecs = self.ovf_vecs.at[slots].set(up_dev[rows])
                 self.ovf_ids = self.ovf_ids.at[slots].set(
                     np.array([w[0] for w in ovf_writes], np.int32)
                 )
@@ -353,8 +512,11 @@ class IndexIVF:
             if slab_writes:
                 cs = np.array([w[1] for w in slab_writes], np.int32)
                 ss = np.array([w[2] for w in slab_writes], np.int32)
-                vs = np.stack([w[3] for w in slab_writes])
-                self.slabs = self.slabs.at[cs, ss].set(jnp.asarray(vs))
+                rows = np.array([w[3] for w in slab_writes], np.int32)
+                if self.pq_active:
+                    self.slab_codes = self.slab_codes.at[cs, ss].set(up_codes[rows])
+                else:
+                    self.slabs = self.slabs.at[cs, ss].set(up_dev[rows])
                 self.slab_ids = self.slab_ids.at[cs, ss].set(
                     np.array([w[0] for w in slab_writes], np.int32)
                 )
@@ -398,18 +560,19 @@ class IndexIVF:
             q = jnp.asarray(q_np)
         if "cent" not in self._sq_cache:
             self._sq_cache["cent"] = self._sq(self.centroids)
-            self._sq_cache["slab"] = self._sq(self.slabs)
-            self._sq_cache["ovf"] = self._sq(self.ovf_vecs)
+            if not self.pq_active:
+                self._sq_cache["slab"] = self._sq(self.slabs)
+                self._sq_cache["ovf"] = self._sq(self.ovf_vecs)
         p = self._num_probes(num_probes)
         if filter_mask is not None:
             fm_np = np.asarray(filter_mask, bool)
             # Selective filters: when fewer filter members exist than the
-            # probed candidate budget, an exact masked scan over the
+            # probed candidate budget, an exact member-gather scan over the
             # per-node vectors is both cheaper and exact — probing could
             # miss members whose clusters aren't selected (vamana solves
             # this by seeding with filter members, search.go:27-51).
             if int(fm_np.sum()) <= p * self.slab:
-                return self._masked_exact(q, k, fm_np)
+                return self._member_exact(q, k, fm_np)
             # Broad filter: probe wider instead.
             p = min(4 * p, self.centroids.shape[0])
             fm = jnp.asarray(fm_np)
@@ -418,6 +581,21 @@ class IndexIVF:
         else:
             fm = None
         pchunk = 4 if p % 4 == 0 else (2 if p % 2 == 0 else 1)
+        if self.pq_active:
+            from semadb_tpu.vectorstore.store import pq_query_table
+
+            table = pq_query_table(
+                q, self.pq_codebook,
+                self.pq_config.num_subvectors, self.pq_config.num_centroids,
+                self.metric,
+            )
+            return _ivf_query_pq(
+                self.centroids, self._sq_cache["cent"],
+                self.slab_codes, self.slab_ids,
+                self.ovf_codes, self.ovf_ids,
+                table, q, self.vectors, fm,
+                p, k, pchunk, self.pq_config.num_centroids, self.metric,
+            )
         return _ivf_query(
             self.centroids, self._sq_cache["cent"],
             self.slabs, self._sq_cache["slab"], self.slab_ids,
@@ -425,12 +603,11 @@ class IndexIVF:
             q, self.vectors, fm, p, k, pchunk, self.metric,
         )
 
-    def _masked_exact(self, q: jax.Array, k: int, fm_np: np.ndarray):
-        """Exact top-k over filter members only (dense masked scan).
-
-        Live membership is implied: a node id is in ``self._loc`` iff it
-        is live, and dead slots' vectors rows are stale — so the mask is
-        intersected with the live-id set host-side."""
+    def _member_exact(self, q: jax.Array, k: int, fm_np: np.ndarray):
+        """Exact top-k over filter members only, by gathering member rows
+        (O(members), not O(capacity) — the member-gather scan). Live
+        membership is intersected host-side via ``_loc``; member count is
+        padded to a power of two to bound recompiles."""
         live = self._sq_cache.get("live")
         if live is None or live.shape[0] != self.capacity:
             live = np.zeros(self.capacity, bool)
@@ -442,14 +619,30 @@ class IndexIVF:
         n = min(len(fm_np), self.capacity)
         fm[:n] = fm_np[:n]
         fm &= live
-        mask = jnp.asarray(fm)
-        d = pairwise_distance(q, self.vectors, self.metric)
-        d = jnp.where(mask[None, :], d, jnp.inf)
-        nv, idx = jax.lax.top_k(-d, min(k, self.capacity))
+        members = np.nonzero(fm)[0].astype(np.int32)
+        B = q.shape[0]
+        if len(members) == 0:
+            return (jnp.full((B, k), jnp.inf), jnp.full((B, k), NIL, jnp.int32))
+        P = 8
+        while P < len(members):
+            P *= 2
+        padded = np.full(P, members[0], np.int32)
+        padded[: len(members)] = members
+        valid = np.zeros(P, bool)
+        valid[: len(members)] = True
+        mv = self.vectors[jnp.asarray(padded)]  # [P, D] device gather
+        d = pairwise_distance(q, mv, self.metric)
+        d = jnp.where(jnp.asarray(valid)[None, :], d, jnp.inf)
+        kk = min(k, P)
+        nv, pos = jax.lax.top_k(-d, kk)
         out_d = -nv
-        return jnp.where(jnp.isfinite(out_d), out_d, jnp.inf), jnp.where(
-            jnp.isfinite(out_d), idx.astype(jnp.int32), NIL
-        )
+        out_i = jnp.asarray(padded)[pos]
+        out_d = jnp.where(jnp.isfinite(out_d), out_d, jnp.inf)
+        out_i = jnp.where(jnp.isfinite(out_d), out_i, NIL)
+        if kk < k:
+            out_d = jnp.pad(out_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+            out_i = jnp.pad(out_i, ((0, 0), (0, k - kk)), constant_values=NIL)
+        return out_d, out_i
 
     def search_batch(
         self,
@@ -465,7 +658,7 @@ class IndexIVF:
 
     # -- persistence ----------------------------------------------------------
     def to_arrays(self) -> dict:
-        return {
+        out = {
             "centroids": np.asarray(self.centroids),
             "slabs": np.asarray(self.slabs),
             "slab_ids": np.asarray(self.slab_ids),
@@ -474,6 +667,11 @@ class IndexIVF:
             "vectors": np.asarray(self.vectors),
             "n_at_fit": np.asarray([self._n_at_fit], np.int64),
         }
+        if self.pq_active:
+            out["pq_codebook"] = np.asarray(self.pq_codebook)
+            out["slab_codes"] = np.asarray(self.slab_codes)
+            out["ovf_codes"] = np.asarray(self.ovf_codes)
+        return out
 
     @classmethod
     def from_arrays(cls, params: VectorIVFParams, arrays: dict) -> "IndexIVF":
@@ -486,10 +684,13 @@ class IndexIVF:
         idx.vectors = jnp.asarray(arrays["vectors"])
         idx.capacity = idx.vectors.shape[0]
         idx._n_at_fit = int(arrays["n_at_fit"][0])
-        idx.slab = idx.slabs.shape[1]
+        idx.slab = idx.slab_ids.shape[1]
+        if "pq_codebook" in arrays:
+            idx.pq_codebook = jnp.asarray(arrays["pq_codebook"])
+            idx.slab_codes = jnp.asarray(arrays["slab_codes"])
+            idx.ovf_codes = jnp.asarray(arrays["ovf_codes"])
         # Rebuild host mirrors
         slab_ids = np.asarray(arrays["slab_ids"])
-        slabs = np.asarray(arrays["slabs"])
         # _fill is a never-decremented high-water mark (deletes blank slots
         # in place), so it must be rebuilt as last-occupied-slot + 1 — a
         # plain count of live slots would under-shoot past holes and the
@@ -499,15 +700,10 @@ class IndexIVF:
         idx._fill = np.where(
             has.any(axis=1), S - np.argmax(has[:, ::-1], axis=1), 0
         ).astype(np.int32)
-        for c, s in zip(*np.nonzero(slab_ids != NIL)):
-            nid = int(slab_ids[c, s])
-            idx._loc[nid] = ("s", int(c), int(s))
-            idx._vecs[nid] = slabs[c, s].copy()
+        for c, s in zip(*np.nonzero(has)):
+            idx._loc[int(slab_ids[c, s])] = ("s", int(c), int(s))
         ovf_ids = np.asarray(arrays["ovf_ids"])
-        ovf_vecs = np.asarray(arrays["ovf_vecs"])
         idx._ovf_free = [int(j) for j in np.nonzero(ovf_ids == NIL)[0]]
         for j in np.nonzero(ovf_ids != NIL)[0]:
-            nid = int(ovf_ids[j])
-            idx._loc[nid] = ("o", int(j))
-            idx._vecs[nid] = ovf_vecs[j].copy()
+            idx._loc[int(ovf_ids[j])] = ("o", int(j))
         return idx

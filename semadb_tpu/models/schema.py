@@ -144,6 +144,23 @@ class VectorIVFParams:
             raise ValidationError(
                 f"numProbes must be between 1 and 1024, got {self.num_probes}"
             )
+        if self.quantizer is not None and self.quantizer.type not in (
+            C.QUANTIZER_NONE, C.QUANTIZER_PRODUCT
+        ):
+            raise ValidationError(
+                "vectorIVF supports only the product quantizer (IVF-PQ),"
+                f" got {self.quantizer.type}"
+            )
+        if self.quantizer is not None:
+            self.quantizer.validate()
+            if (
+                self.quantizer.type == C.QUANTIZER_PRODUCT
+                and self.vector_size % self.quantizer.product.num_subvectors != 0
+            ):
+                raise ValidationError(
+                    f"vector size {self.vector_size} not divisible by"
+                    f" numSubVectors {self.quantizer.product.num_subvectors}"
+                )
         if self.slab_size and not (8 <= self.slab_size <= 1024):
             raise ValidationError(
                 f"slabSize must be between 8 and 1024, got {self.slab_size}"

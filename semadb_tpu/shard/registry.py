@@ -22,7 +22,10 @@ def index_nbytes(idx) -> int:
     if state is not None:  # vamana GraphState
         for arr in state:
             total += getattr(arr, "nbytes", 0)
-    for attr in ("vectors", "exists", "centroids", "slabs", "slab_ids", "ovf_vecs", "ovf_ids"):
+    for attr in (
+        "vectors", "exists", "centroids", "slabs", "slab_ids",
+        "ovf_vecs", "ovf_ids", "slab_codes", "ovf_codes",
+    ):
         arr = getattr(idx, attr, None)
         if arr is not None and state is not None and arr is getattr(state, "vectors", None):
             continue

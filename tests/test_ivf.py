@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from semadb_tpu.index.ivf import IndexIVF
+from semadb_tpu.models.quantizer import ProductQuantizerParams, Quantizer
 from semadb_tpu.models.schema import IndexSchema, VectorIVFParams
 
 RNG = np.random.default_rng(11)
@@ -326,3 +327,120 @@ def test_highly_selective_filter_exact():
     idx.insert_update_delete([(int(members[0]), None)])
     d, i = idx.search_batch(q, k=5, filter_mask=fmask)
     assert int(members[0]) not in set(i.flatten().tolist())
+
+
+def make_pq_index(dim=32, metric="euclidean", m=8, trigger=512, **kw) -> IndexIVF:
+    return IndexIVF(
+        VectorIVFParams(
+            vector_size=dim,
+            distance_metric=metric,
+            quantizer=Quantizer(
+                type="product",
+                product=ProductQuantizerParams(
+                    num_centroids=64, num_subvectors=m, trigger_threshold=trigger
+                ),
+            ),
+            **kw,
+        )
+    )
+
+
+def test_ivfpq_fit_recall_and_memory():
+    """IVF-PQ: codes replace f32 slabs after the codebook fits; ADC + f32
+    rerank keeps recall@10 high; the f32 slab arrays shrink to placeholders
+    (the memory point of PQ, product.go:136-169)."""
+    dim = 32
+    idx = make_pq_index(dim=dim)
+    vecs = clustered(4000, dim=dim)
+    ids = np.arange(2, 4002, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert idx.pq_active, "codebook should have fitted at the trigger"
+    assert idx.slab_codes.shape[-1] == 8  # M subvector codes
+    assert idx.slabs.shape[0] == 1, "f32 slabs must shrink in PQ mode"
+    assert idx.ovf_vecs.shape[0] == 1
+    queries = vecs[:32]
+    d, i = idx.search_batch(queries, k=10)
+    hits = 0
+    for b in range(32):
+        gt = set(exact_top(vecs, ids, queries[b], 10))
+        hits += len(gt & set(int(x) for x in i[b]))
+    recall = hits / 320
+    assert recall >= 0.9, f"IVF-PQ recall@10 too low: {recall}"
+
+
+def test_ivfpq_crud_after_fit():
+    idx = make_pq_index()
+    vecs = clustered(2000, dim=32)
+    ids = np.arange(2, 2002, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert idx.pq_active
+    # post-fit inserts are PQ-encoded into slabs/overflow
+    new = clustered(50, dim=32)
+    new_ids = np.arange(9000, 9050, dtype=np.int32)
+    idx.insert_update_delete(zip(new_ids, new))
+    d, i = idx.search_batch(new[:5], k=1)
+    assert list(i[:, 0]) == list(new_ids[:5])
+    # deletes remove from results
+    idx.insert_update_delete([(9000, None)])
+    d, i = idx.search_batch(new[:1], k=3)
+    assert 9000 not in i[0]
+    # updates move the point
+    idx.insert_update_delete([(9001, vecs[0] + 100.0)])
+    d, i = idx.search_batch((vecs[0] + 100.0)[None, :], k=1)
+    assert i[0, 0] == 9001
+
+
+def test_ivfpq_persistence_roundtrip():
+    idx = make_pq_index()
+    vecs = clustered(1500, dim=32)
+    ids = np.arange(2, 1502, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert idx.pq_active
+    idx2 = IndexIVF.from_arrays(idx.params, idx.to_arrays())
+    assert idx2.pq_active
+    d1, i1 = idx.search_batch(vecs[:4], k=5)
+    d2, i2 = idx2.search_batch(vecs[:4], k=5)
+    np.testing.assert_array_equal(i1, i2)
+    idx2.insert_update_delete([(5000, vecs[0])])
+    d, i = idx2.search_batch(vecs[0][None, :], k=2)
+    assert 5000 in i[0]
+
+
+def test_ivf_filtered_member_gather():
+    """Selective filters use the member-gather scan (O(members)): results
+    must contain only live filter members, exactly ranked."""
+    idx = make_index()
+    vecs = clustered(2000)
+    ids = np.arange(2, 2002, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    members = ids[::37]
+    fm = np.zeros(int(ids.max()) + 1, bool)
+    fm[members] = True
+    # also include a deleted id in the filter: must not be returned
+    idx.insert_update_delete([(int(members[1]), None)])
+    d, i = idx.search_batch(vecs[:8], k=5, filter_mask=fm)
+    live_members = set(int(x) for x in members) - {int(members[1])}
+    for b in range(8):
+        got = [int(x) for x in i[b] if x != -1]
+        assert set(got) <= live_members
+        gt = exact_top(
+            np.stack([vecs[m - 2] for m in sorted(live_members)]),
+            np.array(sorted(live_members), np.int32),
+            vecs[b], 5,
+        )
+        assert got == list(gt)
+
+
+def test_ivfpq_schema_rejects_binary():
+    import pytest as _pytest
+
+    from semadb_tpu.models.errors import ValidationError
+    from semadb_tpu.models.quantizer import BinaryQuantizerParams
+
+    p = VectorIVFParams(
+        vector_size=32,
+        distance_metric="euclidean",
+        quantizer=Quantizer(type="binary", binary=BinaryQuantizerParams()),
+    )
+    with _pytest.raises(ValidationError):
+        p.validate()

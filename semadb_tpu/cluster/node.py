@@ -34,6 +34,9 @@ from semadb_tpu.models.point import Point, SearchResult
 from semadb_tpu.models.query import SearchRequest
 from semadb_tpu.store.diskstore import open_store
 from semadb_tpu.utils.compare import sort_search_results
+from semadb_tpu.utils.logging import get_logger
+
+LOG = get_logger("cluster")
 
 DB_DELIMITER = "/"
 USER_COLLECTIONS_BUCKET = "userCollections"
@@ -464,19 +467,30 @@ class ClusterNode:
         return deleted
 
     def get_shards_info(self, col: Collection) -> List[ShardInfo]:
-        infos = []
-        for sid in col.shard_ids:
-            try:
-                resp = self._call(
-                    self._owner(sid),
-                    "GetShardInfo",
-                    {"collection": col.to_dict(), "shardId": sid},
-                )
-            except Exception as e:
-                raise ShardUnavailableError(f"could not get shard info: {e}") from e
-            infos.append(
-                ShardInfo(id=sid, size=resp["size"], point_count=resp["pointCount"])
+        """Parallel per-shard fan-out (actions.go:85-113 goroutine parity) —
+        every insert pays this latency, so it must not be serial."""
+        if not col.shard_ids:
+            return []
+
+        def one(sid: str) -> ShardInfo:
+            resp = self._call(
+                self._owner(sid),
+                "GetShardInfo",
+                {"collection": col.to_dict(), "shardId": sid},
             )
+            return ShardInfo(id=sid, size=resp["size"], point_count=resp["pointCount"])
+
+        with ThreadPoolExecutor(max_workers=len(col.shard_ids)) as ex:
+            futs = {sid: ex.submit(one, sid) for sid in col.shard_ids}
+            infos = []
+            err = None
+            for sid, f in futs.items():
+                try:
+                    infos.append(f.result())
+                except Exception as e:
+                    err = err or e
+            if err is not None:
+                raise ShardUnavailableError(f"could not get shard info: {err}") from err
         return infos
 
     def insert_points(self, col: Collection, points: List[Point]) -> List[FailedRange]:
@@ -561,8 +575,9 @@ class ClusterNode:
                 with lock:
                     errors.append(e)
 
-        with ThreadPoolExecutor(max_workers=n_shards) as ex:
-            list(ex.map(do_search, col.shard_ids))
+        with LOG.timed("search fan-out", shards=n_shards):
+            with ThreadPoolExecutor(max_workers=n_shards) as ex:
+                list(ex.map(do_search, col.shard_ids))
         if errors:
             raise ShardUnavailableError(f"shard could not search points: {errors[0]}")
         if len(col.shard_ids) > 1:

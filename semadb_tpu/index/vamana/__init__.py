@@ -144,14 +144,20 @@ class IndexVamana:
                 deletes.append(node_id)
         self._ensure_capacity(max_id)
 
+        # Stage-duration logging parity: vamana.go:255 logs insert/delete
+        # phase timings at debug level.
+        from semadb_tpu.index.vamana.build import _logger
+
         if inserts:
-            self._insert_chunked(inserts)
+            with _logger().timed("vamana insert batch", count=len(inserts)):
+                self._insert_chunked(inserts)
         # Updates re-insert with fresh neighbourhoods: treat as delete+insert
         # (vamana.go:150-170, 236-253 — inbound edges removed via the same
         # scan as deletes, then re-inserted).
         if updates or deletes:
             repair_ids = np.array([i for i, _ in updates] + deletes, dtype=np.int32)
-            self.state = delete_batch(self.state, repair_ids, self.config)
+            with _logger().timed("vamana delete repair", count=len(repair_ids)):
+                self.state = delete_batch(self.state, repair_ids, self.config)
         if updates:
             self._insert_chunked(updates)
         # Quantizer fit trigger at the end of the write, then flush

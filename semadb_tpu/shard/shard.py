@@ -36,6 +36,9 @@ from semadb_tpu.shard.idcounter import IdCounter
 from semadb_tpu.shard.registry import DeviceRegistry, HBMBudget
 from semadb_tpu.store.diskstore import DiskStore
 from semadb_tpu.utils.compare import sort_search_results
+from semadb_tpu.utils.logging import get_logger
+
+LOG = get_logger("shard")
 
 INTERNAL_BUCKET_NAME = "internal"
 POINT_COUNT_KEY = b"pointCount"
@@ -225,7 +228,9 @@ class Shard:
             self._change_point_count(bm, len(points))
             counter.flush()
 
-        self._write_with_scrap(writer)
+        # Stage-duration parity: shard.go:218 logs write txn duration.
+        with LOG.timed("insert points", count=len(points)):
+            self._write_with_scrap(writer)
 
     def update_points(self, points: List[Point]) -> List[uuid_mod.UUID]:
         """shard.go UpdatePoints: merge incoming map into the existing data,
@@ -261,7 +266,8 @@ class Shard:
             im = IndexManager(bm, self.collection.index_schema, self.device_indices)
             self._log_device_deltas(bm, im.dispatch(changes))
 
-        self._write_with_scrap(writer)
+        with LOG.timed("update points", count=len(points)):
+            self._write_with_scrap(writer)
         return updated
 
     def delete_points(self, delete_set: Set[uuid_mod.UUID]) -> List[uuid_mod.UUID]:
@@ -287,7 +293,8 @@ class Shard:
             self._change_point_count(bm, -len(deleted))
             counter.flush()
 
-        self._write_with_scrap(writer)
+        with LOG.timed("delete points", count=len(delete_set)):
+            self._write_with_scrap(writer)
         return deleted
 
     # -- search ------------------------------------------------------------
@@ -312,7 +319,9 @@ class Shard:
                 sp = pointstore.get_point_by_node_id(b_points, nid, with_data)
                 final_results.append(SearchResult(point=sp.point, node_id=nid))
 
-        self.db.read(reader)
+        # shard.go:460 logs search duration
+        with LOG.timed("search points"):
+            self.db.read(reader)
         # Select / sort (shard.go:384-460)
         select = request.select
         if (select and select[0] != "*") or request.sort:

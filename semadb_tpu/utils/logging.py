@@ -29,11 +29,22 @@ class JsonFormatter(logging.Formatter):
         return json.dumps(out)
 
 
+class PrettyFormatter(logging.Formatter):
+    """Console mode: message followed by key=value fields (zerolog pretty)."""
+
+    def format(self, record: logging.LogRecord) -> str:
+        base = super().format(record)
+        extra = getattr(record, "fields", None)
+        if extra:
+            base += " " + " ".join(f"{k}={v}" for k, v in extra.items())
+        return base
+
+
 def setup_logging(debug: bool = False, pretty: bool = False) -> None:
     handler = logging.StreamHandler()
     if pretty:
         handler.setFormatter(
-            logging.Formatter("%(asctime)s %(levelname)-5s %(name)s %(message)s")
+            PrettyFormatter("%(asctime)s %(levelname)-5s %(name)s %(message)s")
         )
     else:
         handler.setFormatter(JsonFormatter())

@@ -1,16 +1,17 @@
-"""Headline benchmark: Vamana recall@10 + QPS on one real TPU chip.
+"""Headline benchmark: recall@10 + QPS on one real TPU chip.
 
 Mirrors the reference's ann-benchmarks protocol (README.md:184-200, run via
-internal/shardpy): build at searchSize 75 / degreeBound 64 / alpha 1.2,
-measure recall@10 and QPS. Zero-egress environment → clustered synthetic
-SIFT-like data (positive, non-centered, local cluster structure — see
-semadb_tpu/tools/datasets.py for why i.i.d. high-dim noise is adversarial
-for any ANN index and for the reference's random-unit start node).
+internal/shardpy): build, then measure recall@10 and QPS. Zero-egress
+environment → embedding-like synthetic data with HELD-OUT queries and
+margins calibrated harder than SIFT (tools/datasets.embedding_like) — the
+round-1 jittered-copy generator was retired as too friendly to
+cluster-probing indices.
 
-Baseline: sift-128-euclidean v1 = 0.999 recall / 1537.7 QPS on an i7-6700
-single thread (BASELINE.md). vs_baseline = our QPS / 1537.7 at comparable
-recall (printed alongside).
+Default config is the BASELINE.md north star: N=1M, 128d, L2 (the
+reference's sift-128-euclidean row: 0.999 recall / 1537.7 QPS on an
+i7-6700 single thread). vs_baseline = our QPS / 1537.7.
 
+Modes (BENCH_MODE): ivf | ivfpq | plain | bq | pq.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
@@ -19,27 +20,34 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
-N = int(os.environ.get("BENCH_N", 100_000))
+N = int(os.environ.get("BENCH_N", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 32768))
-MODE = os.environ.get("BENCH_MODE", "ivf")  # ivf | plain | bq | pq
+# Ground truth is exact float64 on host — O(GT_QUERIES * N * D); cap the
+# work at ~2.6e12 flops so the 1M config stays under a minute of GT time.
+GT_QUERIES = int(os.environ.get("BENCH_GT_QUERIES", max(min(N_QUERIES, (10**13) // (N * DIM)), 512)))
+MODE = os.environ.get("BENCH_MODE", "ivf")  # ivf | ivfpq | plain | bq | pq
 # IVF's slab gather works best at 4096-query batches (larger batches blow
 # up the gathered intermediate); the graph walk prefers 8192.
-QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 4096 if MODE == "ivf" else 8192))
+QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 4096 if MODE.startswith("ivf") else 8192))
 # Search-time operating point on the recall/QPS pareto (build stays at the
-# reference's searchSize 75). L=40 holds recall >= 0.999 on this dataset —
-# the same recall the reference's published 1537.7 QPS point delivers.
-# Quantized modes keep L=75: the full-precision rerank can only recover
-# neighbours that made the candidate list, so the list should be as wide
-# as the reference's design point.
-# IVF probes auto-scale with cluster count (L is unused there).
-_default_l = 0 if MODE == "ivf" else (40 if MODE == "plain" else 75)
+# reference's searchSize 75). Quantized modes keep L=75: the rerank can
+# only recover neighbours that made the candidate list. IVF probes
+# auto-scale with cluster count; override with BENCH_PROBES.
+_default_l = 0 if MODE.startswith("ivf") else (40 if MODE == "plain" else 75)
 SEARCH_L = int(os.environ.get("BENCH_SEARCH_SIZE", _default_l))
+PROBES = int(os.environ.get("BENCH_PROBES", 0))
 # Reference baselines (BASELINE.md): sift-128 v1 = 1537.7 QPS;
-# BQ/PQ variants compared against their closest published counterparts
+# quantized variants against their closest published counterparts
 # (mnist-784 v2-BQ 2369.7, sift-128 v2-PQ 967.4).
-BASELINES = {"ivf": 1537.7, "plain": 1537.7, "bq": 2369.7, "pq": 967.4}
+BASELINES = {
+    "ivf": 1537.7, "ivfpq": 967.4, "plain": 1537.7, "bq": 2369.7, "pq": 967.4,
+    # hybrid: no dual-vector row is published; nearest analog is the v2
+    # multi-index pipeline on dbpedia (519.9, README.md:192).
+    "hybrid": 519.9,
+}
 BASELINE_QPS = BASELINES.get(MODE, 1537.7)
 
 
@@ -61,9 +69,136 @@ def _preflight() -> None:
             f"# tpu preflight attempt {attempt + 1} failed, retrying in 60s",
             file=sys.stderr,
         )
-        import time
-
         time.sleep(60)
+
+
+def _quantizer():
+    if MODE == "bq":
+        from semadb_tpu.models.quantizer import BinaryQuantizerParams, Quantizer
+
+        return Quantizer(
+            type="binary",
+            binary=BinaryQuantizerParams(
+                distance_metric="hamming", trigger_threshold=10000
+            ),
+        )
+    if MODE in ("pq", "ivfpq"):
+        from semadb_tpu.models.quantizer import ProductQuantizerParams, Quantizer
+
+        return Quantizer(
+            type="product",
+            product=ProductQuantizerParams(
+                num_centroids=256,
+                num_subvectors=max(DIM // 16, 4),
+                trigger_threshold=10000,
+            ),
+        )
+    return None
+
+
+def _run_hybrid(jax) -> None:
+    """Dual-vector hybrid search (the v2 multi-index pipeline analog):
+    two IVF indices over different embedding spaces, batched search on
+    both, weighted hybrid-score merge on host (search.go:211-298 score
+    summation). Recall@10 vs the exact combined score."""
+    import numpy as np
+
+    from semadb_tpu.index.ivf import IndexIVF
+    from semadb_tpu.models.schema import VectorIVFParams
+    from semadb_tpu.tools.datasets import embedding_like_views
+
+    d2 = max(DIM // 2, 16)
+    w1, w2 = 0.7, 0.3
+    ds1, ds2 = embedding_like_views(N, [DIM, d2], N_QUERIES, seed=42)
+    ids = np.arange(2, N + 2, dtype=np.int32)
+    t0 = time.time()
+    idx1 = IndexIVF(VectorIVFParams(vector_size=DIM, distance_metric="euclidean"))
+    idx1.insert_update_delete(zip(ids, ds1.train))
+    idx2 = IndexIVF(VectorIVFParams(vector_size=d2, distance_metric="euclidean"))
+    idx2.insert_update_delete(zip(ids, ds2.train))
+    build_s = time.time() - t0
+
+    # Exact hybrid ground truth on a query subset (float64 host)
+    n_gt = min(GT_QUERIES, N_QUERIES)
+    tr1 = ds1.train.astype(np.float64); tr2 = ds2.train.astype(np.float64)
+    sq1 = (tr1 * tr1).sum(-1); sq2 = (tr2 * tr2).sum(-1)
+    gt = np.empty((n_gt, 10), np.int64)
+    blk = max(1, (2 ** 27) // N)
+    for i in range(0, n_gt, blk):
+        j = min(i + blk, n_gt)
+        q1 = ds1.test[i:j].astype(np.float64)
+        q2 = ds2.test[i:j].astype(np.float64)
+        dd1 = (q1 * q1).sum(-1)[:, None] - 2 * (q1 @ tr1.T) + sq1[None, :]
+        dd2 = (q2 * q2).sum(-1)[:, None] - 2 * (q2 @ tr2.T) + sq2[None, :]
+        score = -(w1 * dd1) - (w2 * dd2)
+        gt[i:j] = np.argsort(-score, axis=1)[:, :10]
+
+    # TPU-native hybrid: pool candidates from both indices, then rerank
+    # the union with EXACT distances in BOTH spaces on device (one gather
+    # per batch + device-side dedup). Partial-score fusion — the
+    # reference's merge, which only sums scores a candidate happened to
+    # earn in each index's top list (search.go:211-298) — mis-ranks
+    # candidates found in one list only; exact rerank removes that loss.
+    import jax as _jax
+    import jax.numpy as jnp
+
+    POOL = 100  # per-index candidate depth feeding the hybrid merge
+
+    @_jax.jit
+    def hybrid_rerank(v1, v2, i1, i2, q1, q2):
+        cand = jnp.concatenate([i1, i2], axis=-1)  # [B, 2P]
+        cand = jnp.sort(cand, axis=-1)
+        dup = jnp.concatenate(
+            [jnp.zeros_like(cand[:, :1], bool), cand[:, 1:] == cand[:, :-1]], axis=-1
+        )
+        ok = (cand >= 0) & ~dup
+        c = jnp.clip(cand, 0, v1.shape[0] - 1)
+        dd1 = jnp.sum((v1[c] - q1[:, None, :]) ** 2, axis=-1)
+        dd2 = jnp.sum((v2[c] - q2[:, None, :]) ** 2, axis=-1)
+        s = jnp.where(ok, -(w1 * dd1) - (w2 * dd2), -jnp.inf)
+        top_s, pos = _jax.lax.top_k(s, 10)
+        return jnp.take_along_axis(cand, pos, axis=-1)
+
+    def query_all():
+        hits = []
+        t0 = time.time()
+        for i in range(0, N_QUERIES, QUERY_BATCH):
+            nb = min(QUERY_BATCH, N_QUERIES - i)
+            q1 = np.ascontiguousarray(ds1.test[i : i + QUERY_BATCH])
+            q2 = np.ascontiguousarray(ds2.test[i : i + QUERY_BATCH])
+            _, i1 = idx1.search_batch_async(q1, POOL, PROBES)
+            _, i2 = idx2.search_batch_async(q2, POOL, PROBES)
+            B = i1.shape[0]
+            top = hybrid_rerank(
+                idx1.vectors, idx2.vectors, i1, i2,
+                jnp.asarray(np.pad(q1, ((0, B - nb), (0, 0)))),
+                jnp.asarray(np.pad(q2, ((0, B - nb), (0, 0)))),
+            )
+            hits.append((i, nb, top))
+        out = np.full((N_QUERIES, 10), -1, np.int64)
+        for i, nb, top in hits:
+            out[i : i + nb] = np.asarray(top)[:nb] - 2  # node id -> train index
+        return out, time.time() - t0
+
+    query_all()  # warmup
+    out, wall = query_all()
+    recall = float(np.mean([len(set(out[i]) & set(gt[i])) / 10 for i in range(n_gt)]))
+    print(
+        json.dumps(
+            {
+                "metric": f"embed{N//1000}k_d{DIM}+{d2}_hybrid_qps",
+                "value": round(N_QUERIES / wall, 1),
+                "unit": "qps",
+                "vs_baseline": round(N_QUERIES / wall / BASELINE_QPS, 2),
+                "recall@10": round(recall, 4),
+                "build_s": round(build_s, 1),
+                "n": N,
+                "query_batch": QUERY_BATCH,
+                "gt_queries": n_gt,
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -74,40 +209,28 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/semadb_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    if MODE == "hybrid":
+        _run_hybrid(jax)
+        return
+
     from semadb_tpu.tools.annbench import run
-    from semadb_tpu.tools.datasets import synthetic_clustered
+    from semadb_tpu.tools.datasets import embedding_like
 
-    quantizer = None
-    if MODE == "bq":
-        from semadb_tpu.models.quantizer import BinaryQuantizerParams, Quantizer
-
-        quantizer = Quantizer(
-            type="binary",
-            binary=BinaryQuantizerParams(
-                distance_metric="hamming", trigger_threshold=10000
-            ),
-        )
-    elif MODE == "pq":
-        from semadb_tpu.models.quantizer import ProductQuantizerParams, Quantizer
-
-        quantizer = Quantizer(
-            type="product",
-            product=ProductQuantizerParams(
-                num_centroids=256, num_subvectors=8, trigger_threshold=10000
-            ),
-        )
-
-    ds = synthetic_clustered(N, DIM, N_QUERIES)
-    engine = "ivf" if MODE == "ivf" else "vamana"
+    ds = embedding_like(N, DIM, N_QUERIES)
+    engine = "ivf" if MODE.startswith("ivf") else "vamana"
     out = run(
         ds, k=10, batch=QUERY_BATCH, query_search_size=SEARCH_L,
-        quantizer=quantizer, engine=engine,
+        quantizer=_quantizer(), engine=engine,
+        gt_queries=GT_QUERIES, num_probes=PROBES,
     )
-    name = {"ivf": "ivf", "plain": "vamana", "bq": "vamana_bq", "pq": "vamana_pq"}[MODE]
+    name = {
+        "ivf": "ivf", "ivfpq": "ivfpq", "plain": "vamana",
+        "bq": "vamana_bq", "pq": "vamana_pq",
+    }[MODE]
     print(
         json.dumps(
             {
-                "metric": f"sift{N//1000}k_d{DIM}_{name}_qps",
+                "metric": f"embed{N//1000}k_d{DIM}_{name}_qps",
                 "value": out["qps"],
                 "unit": "qps",
                 "vs_baseline": round(out["qps"] / BASELINE_QPS, 2),
@@ -115,6 +238,7 @@ def main() -> None:
                 "build_s": out["build_s"],
                 "n": N,
                 "query_batch": QUERY_BATCH,
+                "gt_queries": GT_QUERIES,
                 "platform": jax.devices()[0].platform,
             }
         )

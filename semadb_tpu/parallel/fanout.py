@@ -147,21 +147,43 @@ def sharded_insert_step(
 def stack_ivf_states(indices, mesh) -> dict:
     """Stack per-shard IndexIVF device arrays along a mesh-sharded axis.
 
-    All shards must share cluster count / slab size / capacity (pad the
-    smaller ones first). Returns the dict consumed by
-    :func:`sharded_ivf_search`.
+    Shards grown independently diverge in overflow size / capacity /
+    cluster count, so each array is zero/NIL-padded to the fleet maximum
+    before stacking (padded centroids get a huge norm so probe selection
+    never picks them; padded id slots are NIL so scoring masks them).
+    Slab size must match (it is a config constant). Returns the dict
+    consumed by :func:`sharded_ivf_search`.
     """
+
+    def pad_to(x, shape, fill=0):
+        pads = [(0, t - s) for s, t in zip(x.shape, shape)]
+        if all(p == (0, 0) for p in pads):
+            return x
+        return jnp.pad(x, pads, constant_values=fill)
+
+    from semadb_tpu.index.ivf import NIL
+
+    max_c = max(i.centroids.shape[0] for i in indices)
+    max_o = max(i.ovf_ids.shape[0] for i in indices)
+    max_cap = max(i.vectors.shape[0] for i in indices)
+    S = indices[0].slab_ids.shape[1]
+    D = indices[0].params.vector_size
+
     def one(idx):
+        assert idx.slab_ids.shape[1] == S, "slab size must match across shards"
+        cents = pad_to(idx.centroids, (max_c, D), 1e15)
         return {
-            "centroids": idx.centroids,
-            "cent_sq": idx._sq(idx.centroids),
-            "slabs": idx.slabs,
-            "slab_sq": idx._sq(idx.slabs),
-            "slab_ids": idx.slab_ids,
-            "ovf_vecs": idx.ovf_vecs,
-            "ovf_sq": idx._sq(idx.ovf_vecs),
-            "ovf_ids": idx.ovf_ids,
-            "vectors": idx.vectors,
+            "centroids": cents,
+            "cent_sq": idx._sq(cents) if idx.metric == "euclidean"
+            # non-euclidean drops the norm term: pad a huge penalty instead
+            else pad_to(jnp.zeros(idx.centroids.shape[0]), (max_c,), 1e30),
+            "slabs": pad_to(idx.slabs, (max_c, S, D)),
+            "slab_sq": pad_to(idx._sq(idx.slabs), (max_c, S)),
+            "slab_ids": pad_to(idx.slab_ids, (max_c, S), NIL),
+            "ovf_vecs": pad_to(idx.ovf_vecs, (max_o, D)),
+            "ovf_sq": pad_to(idx._sq(idx.ovf_vecs), (max_o,)),
+            "ovf_ids": pad_to(idx.ovf_ids, (max_o,), NIL),
+            "vectors": pad_to(idx.vectors, (max_cap, D)),
         }
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[one(i) for i in indices])

@@ -45,7 +45,9 @@ class VamanaBench:
             from semadb_tpu.models.schema import VectorIVFParams
 
             self.index = IndexIVF(
-                VectorIVFParams(vector_size=dim, distance_metric=metric)
+                VectorIVFParams(
+                    vector_size=dim, distance_metric=metric, quantizer=quantizer
+                )
             )
             return
         from semadb_tpu.index.vamana import IndexVamana
@@ -89,19 +91,29 @@ class VamanaBench:
 
 def run(
     ds: AnnDataset, k: int = 10, batch: int = 1024, query_search_size: int = 0,
+    gt_queries: int = 0, num_probes: int = 0,
     **index_kw,
 ) -> dict:
     """``query_search_size``: search-time L operating point (ann-benchmarks
     picks the point on the recall/QPS pareto; build-time L stays at the
-    index hyperparameter)."""
+    index hyperparameter). For the IVF engine the same slot carries the
+    probe count (``num_probes``). ``gt_queries``: exact float64 ground
+    truth is O(Q*N*D) on host — recall is measured on the first
+    ``gt_queries`` queries (all when 0) while QPS times the full set."""
     bench = VamanaBench(dim=ds.train.shape[1], metric=ds.metric, **index_kw)
     build_s = bench.fit(ds.train)
-    gt = ds.neighbors[:, :k] if ds.neighbors is not None else compute_ground_truth(ds, k)
+    n_gt = min(gt_queries or len(ds.test), len(ds.test))
+    if ds.neighbors is not None:
+        gt = ds.neighbors[:n_gt, :k]
+    else:
+        gt_ds = AnnDataset(ds.name, ds.metric, ds.train, ds.test[:n_gt])
+        gt = compute_ground_truth(gt_ds, k)
+    op = query_search_size or num_probes
     # warmup
-    bench.query_batch(ds.test[:batch], k, batch, query_search_size)
-    ids, wall = bench.query_batch(ds.test, k, batch, query_search_size)
+    bench.query_batch(ds.test[:batch], k, batch, op)
+    ids, wall = bench.query_batch(ds.test, k, batch, op)
     recall = float(
-        np.mean([len(set(ids[i]) & set(gt[i])) / k for i in range(len(ds.test))])
+        np.mean([len(set(ids[i]) & set(gt[i])) / k for i in range(n_gt)])
     )
     return {
         "dataset": ds.name,

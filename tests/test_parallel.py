@@ -142,3 +142,52 @@ def test_sharded_ivf_search_matches_union():
     for b in range(5):
         exact = np.sort(np.sum((union - q[b]) ** 2, -1))[:3]
         np.testing.assert_allclose(d[b, :3], exact, rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_ivf_equals_local_union_at_scale():
+    """The mesh fan-out (shard_map + ICI all-gather merge) must return
+    EXACTLY the merge of each shard's local search — the collective path
+    adds no loss (actions.go:352-378 merge semantics) — at shapes large
+    enough to exercise real slab/probe geometry (8 x 8192 x 64d)."""
+    from semadb_tpu.index.ivf import IndexIVF
+    from semadb_tpu.models.schema import VectorIVFParams
+    from semadb_tpu.parallel import shard_mesh, sharded_ivf_search, stack_ivf_states
+
+    n_shards, per, dim, k, B = 8, 8192, 64, 10, 16
+    mesh = shard_mesh(n_shards)
+    rng = np.random.default_rng(9)
+    params = VectorIVFParams(vector_size=dim, distance_metric="euclidean")
+    cents = rng.standard_normal((64, dim)).astype(np.float32) * 5
+    indices = []
+    for s in range(n_shards):
+        lab = rng.integers(0, 64, per)
+        vecs = (cents[lab] + rng.standard_normal((per, dim))).astype(np.float32)
+        idx = IndexIVF(params)
+        idx.insert_update_delete(zip(np.arange(2, per + 2, dtype=np.int32), vecs))
+        assert idx._n_at_fit > 0
+        indices.append(idx)
+    stacked = stack_ivf_states(indices, mesh)
+    q = (cents[rng.integers(0, 64, B)] + rng.standard_normal((B, dim))).astype(
+        np.float32
+    )
+    p = 8
+    d, i, sh = sharded_ivf_search(stacked, jnp.asarray(q), p, k, mesh)
+    d, i, sh = np.asarray(d), np.asarray(i), np.asarray(sh)
+
+    # Local per-shard searches with the same probe count, merged on host
+    merged = []
+    for s, idx in enumerate(indices):
+        ld, li = idx.search_batch(q, k=k, num_probes=p)
+        merged.append((ld, li, np.full_like(li, s)))
+    md = np.concatenate([m[0] for m in merged], axis=1)
+    mi = np.concatenate([m[1] for m in merged], axis=1)
+    msh = np.concatenate([m[2] for m in merged], axis=1)
+    for b in range(B):
+        order = np.argsort(md[b], kind="stable")[:k]
+        want = list(zip(md[b][order].tolist(), msh[b][order].tolist(), mi[b][order].tolist()))
+        got = list(zip(d[b].tolist(), sh[b].tolist(), i[b].tolist()))
+        # distances must match exactly; (shard, id) sets must match
+        np.testing.assert_allclose(
+            [w[0] for w in want], [g[0] for g in got], rtol=1e-6, atol=1e-5
+        )
+        assert {(w[1], w[2]) for w in want} == {(g[1], g[2]) for g in got}, b

@@ -100,18 +100,35 @@ def run(
     probe count (``num_probes``). ``gt_queries``: exact float64 ground
     truth is O(Q*N*D) on host — recall is measured on the first
     ``gt_queries`` queries (all when 0) while QPS times the full set."""
+    import sys
+
+    def stage(msg: str) -> None:
+        print(f"# annbench {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
     bench = VamanaBench(dim=ds.train.shape[1], metric=ds.metric, **index_kw)
+    stage(f"fit start n={len(ds.train)}")
     build_s = bench.fit(ds.train)
+    stage(f"fit done {build_s:.1f}s")
     n_gt = min(gt_queries or len(ds.test), len(ds.test))
     if ds.neighbors is not None:
         gt = ds.neighbors[:n_gt, :k]
     else:
         gt_ds = AnnDataset(ds.name, ds.metric, ds.train, ds.test[:n_gt])
-        gt = compute_ground_truth(gt_ds, k)
+        if len(ds.train) * ds.train.shape[1] >= 5 * 10**7:
+            # Host f64 GT at this scale is hours on one core; the device
+            # scan is exact at f32 HIGHEST and takes ~a minute.
+            from semadb_tpu.tools.datasets import compute_ground_truth_device
+
+            gt = compute_ground_truth_device(gt_ds, k)
+        else:
+            gt = compute_ground_truth(gt_ds, k)
+    stage(f"ground truth done ({n_gt} queries)")
     op = query_search_size or num_probes
     # warmup
     bench.query_batch(ds.test[:batch], k, batch, op)
+    stage("warmup done")
     ids, wall = bench.query_batch(ds.test, k, batch, op)
+    stage(f"query done {wall:.2f}s")
     recall = float(
         np.mean([len(set(ids[i]) & set(gt[i])) / k for i in range(n_gt)])
     )

@@ -105,9 +105,13 @@ def kmeans_fit_subvectors(
     return jax.vmap(lambda d, s: kmeans_fit(d, k, s, max_iter))(data, seeds)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
+@functools.partial(jax.jit, static_argnames=("k", "iters", "block_rows"))
 def kmeans_fit_large(
-    data: jax.Array, k: int, seed: int | jax.Array = 0, iters: int = 15
+    data: jax.Array,
+    k: int,
+    seed: int | jax.Array = 0,
+    iters: int = 15,
+    block_rows: int = 0,
 ):
     """Large-K k-means for IVF coarse quantization → (centroids f32[k, d],
     labels i32[N]).
@@ -119,23 +123,70 @@ def kmeans_fit_large(
     one-hot matmul (the [N, K] one-hot would materialise gigabytes), and a
     fixed iteration count under ``lax.scan`` so the whole fit is a single
     dispatch.
-    """
-    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
-    idx = jax.random.choice(key, data.shape[0], (k,), replace=False)
-    cents = data[idx]
-    sq_data = jnp.sum(data * data, axis=-1, keepdims=True)
-    ones = jnp.ones((data.shape[0],), jnp.float32)
 
-    def assign(c):
+    The assignment is blocked over rows so the [NB, K] distance matrix
+    stays ≤ 512 MB: at 1M x 32768 clusters an unblocked matrix would be
+    137 GB — far past HBM — and XLA will not tile a single matmul across
+    memory on its own.
+    """
+    n, d = data.shape
+    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
+    idx = jax.random.choice(key, n, (k,), replace=False)
+    cents = data[idx]
+
+    def assign_block(c, blk, sq_blk):
         sq_c = jnp.sum(c * c, axis=-1)[None, :]
-        return jnp.argmin(sq_data - 2.0 * (data @ c.T) + sq_c, axis=-1)
+        return jnp.argmin(sq_blk - 2.0 * (blk @ c.T) + sq_c, axis=-1)
+
+    if not block_rows and n * k <= 2**28:  # dist matrix ≤ 1 GB: one block
+        sq_data = jnp.sum(data * data, axis=-1, keepdims=True)
+        ones = jnp.ones((n,), jnp.float32)
+
+        def step(c, _):
+            lab = assign_block(c, data, sq_data)
+            sums = jax.ops.segment_sum(data, lab, num_segments=k)
+            cnt = jax.ops.segment_sum(ones, lab, num_segments=k)
+            c = jnp.where(
+                (cnt > 0)[:, None], sums / jnp.maximum(cnt, 1.0)[:, None], c
+            )
+            return c, None
+
+        cents, _ = jax.lax.scan(step, cents, None, length=iters)
+        return cents, assign_block(cents, data, sq_data).astype(jnp.int32)
+
+    nb = block_rows or max(2**27 // k, 512)  # rows per block (powers of two)
+    nblk = -(-n // nb)
+    npad = nblk * nb
+    dpad = data if npad == n else jnp.pad(data, ((0, npad - n), (0, 0)))
+    blocks = dpad.reshape(nblk, nb, d)
+    # Padded rows carry weight 0 so they never pull a centroid.
+    w = (jnp.arange(npad) < n).astype(jnp.float32).reshape(nblk, nb)
+    sq_blocks = jnp.sum(blocks * blocks, axis=-1, keepdims=True)
 
     def step(c, _):
-        lab = assign(c)
-        sums = jax.ops.segment_sum(data, lab, num_segments=k)
-        cnt = jax.ops.segment_sum(ones, lab, num_segments=k)
+        def scan_blk(carry, xw):
+            sums, cnt = carry
+            blk, sq_blk, wf = xw
+            lab = assign_block(c, blk, sq_blk)
+            sums = sums + jax.ops.segment_sum(
+                blk * wf[:, None], lab, num_segments=k
+            )
+            cnt = cnt + jax.ops.segment_sum(wf, lab, num_segments=k)
+            return (sums, cnt), None
+
+        (sums, cnt), _ = jax.lax.scan(
+            scan_blk,
+            (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+            (blocks, sq_blocks, w),
+        )
         c = jnp.where((cnt > 0)[:, None], sums / jnp.maximum(cnt, 1.0)[:, None], c)
         return c, None
 
     cents, _ = jax.lax.scan(step, cents, None, length=iters)
-    return cents, assign(cents).astype(jnp.int32)
+
+    def lab_blk(_, xw):
+        blk, sq_blk = xw
+        return None, assign_block(cents, blk, sq_blk)
+
+    _, labs = jax.lax.scan(lab_blk, None, (blocks, sq_blocks))
+    return cents, labs.reshape(npad)[:n].astype(jnp.int32)

@@ -54,6 +54,19 @@ def test_kmeans_empty_cluster_keeps_centroid():
     assert np.isfinite(np.asarray(cent)).all()
 
 
+def test_kmeans_large_blocked_matches_unblocked():
+    """The row-blocked assignment path (used when [N, K] would blow HBM —
+    137 GB at 1M x 32768) must be bit-compatible with the single-block
+    path, including non-multiple row counts (weight-0 padding)."""
+    from semadb_tpu.vectorstore.kmeans import kmeans_fit_large
+
+    data = jnp.asarray(RNG.standard_normal((1500, 32)).astype(np.float32))
+    c1, l1 = kmeans_fit_large(data, 32, iters=8)
+    c2, l2 = kmeans_fit_large(data, 32, iters=8, block_rows=256)
+    assert np.allclose(np.asarray(c1), np.asarray(c2), atol=1e-4)
+    assert np.array_equal(np.asarray(l1), np.asarray(l2))
+
+
 def test_binary_store_fit_and_scan():
     dim = 64
     cfg = QuantConfig(kind="binary", dim=dim, metric="euclidean", trigger=50)

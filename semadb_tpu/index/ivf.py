@@ -52,6 +52,8 @@ from semadb_tpu.models.schema import VectorIVFParams
 from semadb_tpu.ops.distance import pairwise_distance
 from semadb_tpu.vectorstore.kmeans import kmeans_fit_large
 
+import os
+
 NIL = -1
 # Slab slots per cluster: ~2.5x the target mean cluster size, so only the
 # size distribution's tail (measured ~4% of points at C = N/24) spills to
@@ -60,7 +62,11 @@ TARGET_CLUSTER_SIZE = 24
 DEFAULT_SLAB = 64
 MIN_FIT = 512
 KMEANS_ITERS = 15
-RERANK_POOL = 64
+# Coarse-pool depth feeding the exact f32 rerank. The coarse scores run in
+# one-pass bf16 (~0.4% relative error): on tight-margin data the true
+# neighbour can fall below a shallow pool even when its cluster WAS probed
+# (measured at 1M x 128d: recall saturates ~0.99 vs probes with pool 64).
+RERANK_POOL = int(os.environ.get("SEMADB_IVF_RERANK", 64))
 # ADC ordering is coarser than f32 scoring, so IVF-PQ reranks a deeper
 # pool; the extra [B, pool, D] f32 gather is small next to the slab scan.
 RERANK_POOL_PQ = 256
@@ -76,7 +82,7 @@ def _npow2(x: int, lo: int, hi: int) -> int:
     return p
 
 
-@functools.partial(jax.jit, static_argnames=("p", "k", "pchunk", "metric"))
+@functools.partial(jax.jit, static_argnames=("p", "k", "pchunk", "metric", "dedup"))
 def _ivf_query(
     centroids: jax.Array,   # f32[C, D]
     cent_sq: jax.Array,     # f32[C]
@@ -93,6 +99,7 @@ def _ivf_query(
     k: int,
     pchunk: int = 4,
     metric: str = C.DISTANCE_EUCLIDEAN,
+    dedup: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (dists f32[B,k], node ids i32[B,k]); empty slots (inf, -1).
 
@@ -142,6 +149,12 @@ def _ivf_query(
     rr = max(RERANK_POOL, 2 * k)
     nv, pos = jax.lax.top_k(-dist, rr)
     pool = jnp.take_along_axis(ids, pos, axis=-1)  # [B, rr]
+    if dedup:
+        # assignCopies > 1 stores a point in several slabs; keep one copy
+        from semadb_tpu.ops.topk import dedup_by_id
+
+        dpool, pool = dedup_by_id(-nv, pool)
+        nv = -dpool
     pv = vectors[jnp.clip(pool, 0, cap - 1)]
     if metric == C.DISTANCE_EUCLIDEAN:
         rd = jnp.sum((pv - queries[:, None, :]) ** 2, axis=-1)
@@ -161,7 +174,7 @@ def _ivf_query(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("p", "k", "pchunk", "kq", "metric"))
+@functools.partial(jax.jit, static_argnames=("p", "k", "pchunk", "kq", "metric", "dedup"))
 def _ivf_query_pq(
     centroids: jax.Array,   # f32[C, D]
     cent_sq: jax.Array,     # f32[C]
@@ -178,6 +191,7 @@ def _ivf_query_pq(
     pchunk: int,
     kq: int,                # PQ centroids per subquantizer (K)
     metric: str,
+    dedup: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF-PQ query: probe by centroid matmul, score probed slabs + overflow
     by ADC lookup (product.go:269-276 accumulate, vectorised as a flat
@@ -229,16 +243,33 @@ def _ivf_query_pq(
     rr = max(RERANK_POOL_PQ, 2 * k)
     nv, pos = jax.lax.top_k(-dist, rr)
     pool = jnp.take_along_axis(ids, pos, axis=-1)  # [B, rr]
-    pv = vectors[jnp.clip(pool, 0, cap - 1)]
-    if metric == C.DISTANCE_EUCLIDEAN:
-        rd = jnp.sum((pv - queries[:, None, :]) ** 2, axis=-1)
-    else:
+    if dedup:
+        from semadb_tpu.ops.topk import dedup_by_id
+
+        dpool, pool = dedup_by_id(-nv, pool)
+        nv = -dpool
+
+    def _exact(pc):  # pc: [B, chunk] → f32[B, chunk]
+        pv = vectors[jnp.clip(pc, 0, cap - 1)]
+        if metric == C.DISTANCE_EUCLIDEAN:
+            return jnp.sum((pv - queries[:, None, :]) ** 2, axis=-1)
         cross = jnp.einsum(
             "brd,bd->br", pv, queries,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        rd = (1.0 - cross) if metric == C.DISTANCE_COSINE else -cross
+        return (1.0 - cross) if metric == C.DISTANCE_COSINE else -cross
+
+    D = queries.shape[1]
+    RCH = 64
+    if B * rr * D > 2**27 and rr % RCH == 0:
+        # Chunk the rerank gather: [B, rr, D] unchunked is 6.4 GB at the
+        # 1M x 1536d config.
+        pools = pool.reshape(B, rr // RCH, RCH).transpose(1, 0, 2)
+        _, rds = jax.lax.scan(lambda _, pc: (None, _exact(pc)), None, pools)
+        rd = rds.transpose(1, 0, 2).reshape(B, rr)
+    else:
+        rd = _exact(pool)
     rd = jnp.where((pool != NIL) & jnp.isfinite(-nv), rd, jnp.inf)
     nv2, pos2 = jax.lax.top_k(-rd, k)
     out_i = jnp.take_along_axis(pool, pos2, axis=-1)
@@ -275,6 +306,7 @@ class IndexIVF:
         # Host mirror so CRUD never reads back from device; all vector data
         # stays on device (the ``vectors`` matrix is the source of truth)
         self._loc: dict[int, tuple] = {}  # node id -> ("s", c, slot) | ("o", j)
+        self._loc2: dict[int, list] = {}  # node id -> [(c, slot), ...] copies
         self._n_at_fit = 0
         self._sq_cache: dict[str, jax.Array] = {}
         # Per-node rerank matrix grows like the other engines' capacity
@@ -354,17 +386,29 @@ class IndexIVF:
         D = self.params.vector_size
         Cn = _npow2(max(n // TARGET_CLUSTER_SIZE, 1), 16, 65536)
         S = self.slab
-        data = self.vectors[jnp.asarray(ids)]  # device gather [n, D]
-        # Pad the fit input to a power-of-two row count by tiling real
-        # points (duplicates only nudge centroid means): every distinct
-        # shape would otherwise recompile the kmeans kernel, and an
-        # incremental write workload refits at ever-growing counts.
-        n_pad = MIN_FIT
-        while n_pad < n:
-            n_pad *= 2
-        fit_data = data if n_pad == n else data[jnp.arange(n_pad) % n]
+        # Pad the fit input by tiling real point IDS (duplicates only nudge
+        # centroid means): every distinct shape would otherwise recompile
+        # the kmeans kernel, and an incremental write workload refits at
+        # ever-growing counts. Padding the id list (not the gathered data)
+        # avoids a second [n_pad, D] device copy — 6.7 GB at 1M x 1536d.
+        if n < 2**17:
+            n_pad = MIN_FIT
+            while n_pad < n:
+                n_pad *= 2
+        else:
+            # Large corpora: multiple-of-4096 (the blocked kmeans row block)
+            # instead of the next power of two — recompiles are rare at
+            # this scale (doubling refit schedule) and pow2 padding would
+            # waste up to 2x fit compute.
+            n_pad = -(-n // 4096) * 4096
+        pad_ids = ids if n_pad == n else ids[np.arange(n_pad) % n]
+        fit_data = self.vectors[jnp.asarray(pad_ids)]  # device gather
         cents, lab = kmeans_fit_large(fit_data, Cn, iters=KMEANS_ITERS)
         lab = np.asarray(lab)[:n]
+        # All row selections below (sel/spill) index < n, so the padded
+        # matrix can be used directly — slicing [:n] would cost another
+        # [n, D] device copy at peak memory time.
+        data = fit_data
 
         order = np.argsort(lab, kind="stable")
         lab_sorted = lab[order]
@@ -376,11 +420,44 @@ class IndexIVF:
         spill = order[~in_slab]
         cs, ss = lab[sel], rank[in_slab]
 
+        # SOAR-style secondary copies (assignCopies > 1): each point also
+        # lands in its 2nd..t-th nearest cluster, best-effort into the
+        # slots primaries left free. Boundary points — the dominant
+        # probe-miss mode (recall vs probes saturates ~0.99 at 1M with
+        # single assignment) — become reachable from both sides. Copies
+        # never spill to overflow; a full cluster just drops them.
+        copies = min(self.params.assign_copies, Cn)
+        fill = np.minimum(np.bincount(lab, minlength=Cn), S).astype(np.int32)
+        sec_rows = np.empty(0, np.int64)
+        sec_cs = np.empty(0, np.int64)
+        sec_ss = np.empty(0, np.int64)
+        if copies > 1:
+            from semadb_tpu.vectorstore.kmeans import kmeans_assign
+
+            topt = np.asarray(kmeans_assign(fit_data, cents, copies))[:n]
+            for col in range(1, copies):
+                c2 = topt[:, col]
+                order2 = np.argsort(c2, kind="stable")
+                c2s = c2[order2]
+                starts2 = np.searchsorted(c2s, np.arange(Cn))
+                rank2 = np.arange(n) - starts2[c2s]
+                slot2 = fill[c2s] + rank2
+                ok = slot2 < S
+                sec_rows = np.concatenate([sec_rows, order2[ok]])
+                sec_cs = np.concatenate([sec_cs, c2s[ok]])
+                sec_ss = np.concatenate([sec_ss, slot2[ok]])
+                fill = fill + np.minimum(
+                    np.bincount(c2, minlength=Cn), np.maximum(S - fill, 0)
+                ).astype(np.int32)
+        all_rows = np.concatenate([sel, sec_rows]).astype(np.int64)
+        all_cs = np.concatenate([cs, sec_cs])
+        all_ss = np.concatenate([ss, sec_ss])
+
         O = max(int(2 ** np.ceil(np.log2(max(len(spill) * 2, 8)))), 8)
         ovf_ids = np.full((O,), NIL, np.int32)
         ovf_ids[: len(spill)] = ids[spill]
         slab_ids = np.full((Cn, S), NIL, np.int32)
-        slab_ids[cs, ss] = ids[sel]
+        slab_ids[all_cs, all_ss] = ids[all_rows]
 
         # Fit the PQ codebook once, at the quantizer's trigger threshold
         # (product.go:175-183 fit-once semantics).
@@ -391,8 +468,14 @@ class IndexIVF:
         ):
             from semadb_tpu.vectorstore.store import pq_fit
 
+            # Codebooks need ~256 samples per centroid, not the whole
+            # corpus: subsample by stride to ≤ 64k rows (the reference
+            # fits on the full set, product.go:175-183, but tops out at
+            # trigger-threshold sizes; FAISS guidance is the same).
+            stride = max(n_pad // 2**16, 1)
+            sample = fit_data[::stride] if stride > 1 else fit_data
             self.pq_codebook = pq_fit(
-                fit_data, jnp.ones((n_pad,), bool),
+                sample, jnp.ones((sample.shape[0],), bool),
                 self.pq_config.num_subvectors, self.pq_config.num_centroids,
             )
 
@@ -404,7 +487,7 @@ class IndexIVF:
                 data, self.pq_codebook, M, self.pq_config.num_centroids, self.metric
             )  # u8[n, M]
             self.slab_codes = (
-                jnp.zeros((Cn, S, M), jnp.uint8).at[cs, ss].set(codes[sel])
+                jnp.zeros((Cn, S, M), jnp.uint8).at[all_cs, all_ss].set(codes[all_rows])
             )
             ovf_codes = jnp.zeros((O, M), jnp.uint8)
             if len(spill):
@@ -414,7 +497,9 @@ class IndexIVF:
             self.slabs = jnp.zeros((1, S, D), jnp.float32)
             self.ovf_vecs = jnp.zeros((1, D), jnp.float32)
         else:
-            self.slabs = jnp.zeros((Cn, S, D), jnp.float32).at[cs, ss].set(data[sel])
+            self.slabs = (
+                jnp.zeros((Cn, S, D), jnp.float32).at[all_cs, all_ss].set(data[all_rows])
+            )
             ovf_vecs = jnp.zeros((O, D), jnp.float32)
             if len(spill):
                 ovf_vecs = ovf_vecs.at[: len(spill)].set(data[spill])
@@ -422,7 +507,7 @@ class IndexIVF:
 
         self.centroids = cents
         self.slab_ids = jnp.asarray(slab_ids)
-        self._fill = np.minimum(np.bincount(lab, minlength=Cn), S).astype(np.int32)
+        self._fill = fill  # HWM incl. secondary copies
         self.ovf_ids = jnp.asarray(ovf_ids)
         self._ovf_free = list(range(len(spill), O))
         self._loc = {}
@@ -430,6 +515,9 @@ class IndexIVF:
             self._loc[int(i)] = ("s", int(c), int(s))
         for j, i in enumerate(ids[spill]):
             self._loc[int(i)] = ("o", int(j))
+        self._loc2 = {}
+        for r, c, s in zip(sec_rows, sec_cs, sec_ss):
+            self._loc2.setdefault(int(ids[r]), []).append((int(c), int(s)))
         self._n_at_fit = n
         self._sq_cache = {}
 
@@ -448,25 +536,55 @@ class IndexIVF:
                 loc = self._loc.pop(node_id, None)
                 if loc is not None:
                     removals.append(loc)
+                for c2, s2 in self._loc2.pop(node_id, ()):
+                    removals.append(("s", c2, s2))
             else:
                 ups.append((node_id, self._prep(vec)))
         self._ensure_capacity(max_id)
         if ups:
             up_ids = np.array([u[0] for u in ups], np.int32)
             up_vecs = np.stack([u[1] for u in ups])
-            up_dev = jnp.asarray(up_vecs)
-            self.vectors = self.vectors.at[up_ids].set(up_dev)
+            # Chunk the upload+scatter for huge batches: one 6 GB transfer
+            # (1M x 1536d bulk load) both stresses the tunnel and doubles
+            # peak HBM next to the grown `vectors` matrix.
+            CH = 131072
+            if len(ups) > CH:
+                up_dev = None
+                for off in range(0, len(ups), CH):
+                    blk = jnp.asarray(up_vecs[off : off + CH])
+                    self.vectors = self.vectors.at[up_ids[off : off + CH]].set(blk)
+            else:
+                up_dev = jnp.asarray(up_vecs)
+                self.vectors = self.vectors.at[up_ids].set(up_dev)
+
+            def up_rows(rows: np.ndarray) -> jax.Array:
+                """Batch rows as a device array (from the upload if it is
+                still resident, else re-gathered from `vectors`)."""
+                if up_dev is not None:
+                    return up_dev[jnp.asarray(rows)] if len(rows) != len(ups) else up_dev
+                return self.vectors[jnp.asarray(up_ids[rows])]
+
             fitted = self._n_at_fit > 0
             assign = None
+            assign2 = None  # [n_ups, copies-1] secondary clusters
             up_codes = None  # u8[n_ups, M] PQ codes for this batch
             if fitted:
-                dmat = pairwise_distance(up_dev, self.centroids, C.DISTANCE_EUCLIDEAN)
-                assign = np.asarray(jnp.argmin(dmat, axis=-1))
+                from semadb_tpu.vectorstore.kmeans import kmeans_assign
+
+                # Row-blocked internally: [chunk, C] stays ≤ 256 MB
+                # (unblocked at 1M x 32768 clusters would be 137 GB).
+                copies = min(self.params.assign_copies, self.centroids.shape[0])
+                topt = np.asarray(
+                    kmeans_assign(up_rows(np.arange(len(ups))), self.centroids, copies)
+                )
+                assign = topt[:, 0]
+                if copies > 1:
+                    assign2 = topt[:, 1:]
                 if self.pq_active:
                     from semadb_tpu.vectorstore.store import pq_encode
 
                     up_codes = pq_encode(
-                        up_dev, self.pq_codebook,
+                        up_rows(np.arange(len(ups))), self.pq_codebook,
                         self.pq_config.num_subvectors,
                         self.pq_config.num_centroids, self.metric,
                     )
@@ -476,6 +594,8 @@ class IndexIVF:
                 old = self._loc.pop(node_id, None)  # update = replace
                 if old is not None:
                     removals.append(old)
+                for c2, s2 in self._loc2.pop(node_id, ()):
+                    removals.append(("s", c2, s2))
                 placed = False
                 if fitted:
                     c = int(assign[j])
@@ -485,6 +605,16 @@ class IndexIVF:
                         slab_writes.append((node_id, c, s, j))
                         self._loc[node_id] = ("s", c, s)
                         placed = True
+                    # SOAR secondary copies: best-effort into remaining
+                    # slab space of the 2nd..t-th nearest clusters.
+                    if assign2 is not None:
+                        for c2 in assign2[j]:
+                            c2 = int(c2)
+                            if self._fill[c2] < self.slab:
+                                s2 = int(self._fill[c2])
+                                self._fill[c2] += 1
+                                slab_writes.append((node_id, c2, s2, j))
+                                self._loc2.setdefault(node_id, []).append((c2, s2))
                 if not placed:
                     ovf_writes.append((node_id, j))
             if removals:
@@ -498,17 +628,31 @@ class IndexIVF:
                     self._ovf_free.extend(int(j) for j in o_js)
                 removals = []
             if ovf_writes:
-                slots = np.array(self._ovf_slots(len(ovf_writes)), np.int32)
-                rows = np.array([w[1] for w in ovf_writes], np.int32)
-                if self.pq_active:
-                    self.ovf_codes = self.ovf_codes.at[slots].set(up_codes[rows])
+                if (
+                    self._n_at_fit == 0
+                    and len(self._loc) + len(ovf_writes) >= MIN_FIT
+                ):
+                    # Bulk-load fast path: this batch triggers the FIRST
+                    # fit at the end of this call (the refit predicate is
+                    # exactly this condition), which rebuilds slabs and
+                    # overflow from `vectors` — materialising a full-size
+                    # overflow pool first is pure waste (12.9 GB of
+                    # transient HBM at 1M x 1536d). Locations are
+                    # placeholders the refit immediately replaces.
+                    for node_id, _ in ovf_writes:
+                        self._loc[node_id] = ("o", -1)
                 else:
-                    self.ovf_vecs = self.ovf_vecs.at[slots].set(up_dev[rows])
-                self.ovf_ids = self.ovf_ids.at[slots].set(
-                    np.array([w[0] for w in ovf_writes], np.int32)
-                )
-                for (node_id, _), j in zip(ovf_writes, slots):
-                    self._loc[node_id] = ("o", int(j))
+                    slots = np.array(self._ovf_slots(len(ovf_writes)), np.int32)
+                    rows = np.array([w[1] for w in ovf_writes], np.int32)
+                    if self.pq_active:
+                        self.ovf_codes = self.ovf_codes.at[slots].set(up_codes[rows])
+                    else:
+                        self.ovf_vecs = self.ovf_vecs.at[slots].set(up_rows(rows))
+                    self.ovf_ids = self.ovf_ids.at[slots].set(
+                        np.array([w[0] for w in ovf_writes], np.int32)
+                    )
+                    for (node_id, _), j in zip(ovf_writes, slots):
+                        self._loc[node_id] = ("o", int(j))
             if slab_writes:
                 cs = np.array([w[1] for w in slab_writes], np.int32)
                 ss = np.array([w[2] for w in slab_writes], np.int32)
@@ -516,7 +660,7 @@ class IndexIVF:
                 if self.pq_active:
                     self.slab_codes = self.slab_codes.at[cs, ss].set(up_codes[rows])
                 else:
-                    self.slabs = self.slabs.at[cs, ss].set(up_dev[rows])
+                    self.slabs = self.slabs.at[cs, ss].set(up_rows(rows))
                 self.slab_ids = self.slab_ids.at[cs, ss].set(
                     np.array([w[0] for w in slab_writes], np.int32)
                 )
@@ -595,12 +739,14 @@ class IndexIVF:
                 self.ovf_codes, self.ovf_ids,
                 table, q, self.vectors, fm,
                 p, k, pchunk, self.pq_config.num_centroids, self.metric,
+                dedup=self.params.assign_copies > 1,
             )
         return _ivf_query(
             self.centroids, self._sq_cache["cent"],
             self.slabs, self._sq_cache["slab"], self.slab_ids,
             self.ovf_vecs, self._sq_cache["ovf"], self.ovf_ids,
             q, self.vectors, fm, p, k, pchunk, self.metric,
+            dedup=self.params.assign_copies > 1,
         )
 
     def _member_exact(self, q: jax.Array, k: int, fm_np: np.ndarray):
@@ -700,10 +846,19 @@ class IndexIVF:
         idx._fill = np.where(
             has.any(axis=1), S - np.argmax(has[:, ::-1], axis=1), 0
         ).astype(np.int32)
-        for c, s in zip(*np.nonzero(has)):
-            idx._loc[int(slab_ids[c, s])] = ("s", int(c), int(s))
+        # Overflow first: with assignCopies > 1 an id can sit in overflow
+        # (primary spill) AND in slabs (secondary copies) — the slab pass
+        # below must file those slab slots under _loc2, not _loc.
         ovf_ids = np.asarray(arrays["ovf_ids"])
         idx._ovf_free = [int(j) for j in np.nonzero(ovf_ids == NIL)[0]]
         for j in np.nonzero(ovf_ids != NIL)[0]:
             idx._loc[int(ovf_ids[j])] = ("o", int(j))
+        for c, s in zip(*np.nonzero(has)):
+            i = int(slab_ids[c, s])
+            if i in idx._loc:
+                # duplicate occurrence = SOAR secondary copy (which copy
+                # counts as "primary" is arbitrary; deletes blank all)
+                idx._loc2.setdefault(i, []).append((int(c), int(s)))
+            else:
+                idx._loc[i] = ("s", int(c), int(s))
         return idx

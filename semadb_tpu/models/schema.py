@@ -126,6 +126,11 @@ class VectorIVFParams:
     distance_metric: str
     num_probes: int = 0  # 0 = auto
     slab_size: int = 0  # 0 = default (64)
+    # SOAR-style spilled assignment: each point is stored in its
+    # `assignCopies` nearest clusters (best-effort past the first), so
+    # boundary points — the dominant probe-miss mode — are reachable from
+    # either side. 2 costs ~2x slab memory for a large recall gain.
+    assign_copies: int = 1
     quantizer: Optional[Quantizer] = None
 
     def validate(self) -> None:
@@ -165,6 +170,10 @@ class VectorIVFParams:
             raise ValidationError(
                 f"slabSize must be between 8 and 1024, got {self.slab_size}"
             )
+        if not (1 <= self.assign_copies <= 4):
+            raise ValidationError(
+                f"assignCopies must be between 1 and 4, got {self.assign_copies}"
+            )
 
     @classmethod
     def from_dict(cls, d: dict) -> "VectorIVFParams":
@@ -173,6 +182,7 @@ class VectorIVFParams:
             distance_metric=d["distanceMetric"],
             num_probes=int(d.get("numProbes", 0)),
             slab_size=int(d.get("slabSize", 0)),
+            assign_copies=int(d.get("assignCopies", 1)),
             quantizer=Quantizer.from_dict(d.get("quantizer")),
         )
 
@@ -182,6 +192,8 @@ class VectorIVFParams:
             out["numProbes"] = self.num_probes
         if self.slab_size:
             out["slabSize"] = self.slab_size
+        if self.assign_copies != 1:
+            out["assignCopies"] = self.assign_copies
         if self.quantizer is not None:
             out["quantizer"] = self.quantizer.to_dict()
         return out

@@ -39,6 +39,7 @@ class VamanaBench:
         alpha: float = 1.2,
         quantizer=None,
         engine: str = "vamana",
+        assign_copies: int = 2,
     ):
         if engine == "ivf":
             from semadb_tpu.index.ivf import IndexIVF
@@ -46,7 +47,8 @@ class VamanaBench:
 
             self.index = IndexIVF(
                 VectorIVFParams(
-                    vector_size=dim, distance_metric=metric, quantizer=quantizer
+                    vector_size=dim, distance_metric=metric, quantizer=quantizer,
+                    assign_copies=assign_copies,
                 )
             )
             return
@@ -105,10 +107,8 @@ def run(
     def stage(msg: str) -> None:
         print(f"# annbench {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
 
-    bench = VamanaBench(dim=ds.train.shape[1], metric=ds.metric, **index_kw)
-    stage(f"fit start n={len(ds.train)}")
-    build_s = bench.fit(ds.train)
-    stage(f"fit done {build_s:.1f}s")
+    # Ground truth BEFORE the build: the device GT holds a corpus copy in
+    # HBM, and at 1M x 1536d corpus + built index together exceed the chip.
     n_gt = min(gt_queries or len(ds.test), len(ds.test))
     if ds.neighbors is not None:
         gt = ds.neighbors[:n_gt, :k]
@@ -123,6 +123,10 @@ def run(
         else:
             gt = compute_ground_truth(gt_ds, k)
     stage(f"ground truth done ({n_gt} queries)")
+    bench = VamanaBench(dim=ds.train.shape[1], metric=ds.metric, **index_kw)
+    stage(f"fit start n={len(ds.train)}")
+    build_s = bench.fit(ds.train)
+    stage(f"fit done {build_s:.1f}s")
     op = query_search_size or num_probes
     # warmup
     bench.query_batch(ds.test[:batch], k, batch, op)

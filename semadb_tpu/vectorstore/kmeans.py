@@ -98,11 +98,48 @@ def kmeans_fit(
 def kmeans_fit_subvectors(
     data: jax.Array, k: int, seed: int | jax.Array = 0, max_iter: int = 100
 ):
-    """Vmapped per-subvector fit for PQ: data f32[M, N, dsub] →
-    (centroids f32[M, k, dsub], labels u8[M, N])."""
+    """Per-subvector fit for PQ: data f32[M, N, dsub] →
+    (centroids f32[M, k, dsub], labels u8[M, N]).
+
+    Vmapped when the combined [M, N, K] distance tensor is small; serial
+    (``lax.map``) past 256 MB — the vmapped tensor is 98 GB at
+    1M x 96 subvectors x 256 centroids."""
     m = data.shape[0]
     seeds = jnp.arange(m, dtype=jnp.int32) + jnp.asarray(seed, jnp.int32)
+    if m * data.shape[1] * k > 2**26:
+        return jax.lax.map(
+            lambda ds_: kmeans_fit(ds_[0], k, ds_[1], max_iter), (data, seeds)
+        )
     return jax.vmap(lambda d, s: kmeans_fit(d, k, s, max_iter))(data, seeds)
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def kmeans_assign(data: jax.Array, cents: jax.Array, t: int = 1):
+    """Top-t nearest centroids per row → i32[N, t] (ascending distance).
+
+    Row-blocked like :func:`kmeans_fit_large` so the [NB, K] distance
+    matrix stays bounded. Used for SOAR-style multi-cluster assignment
+    (index/ivf.py assignCopies)."""
+    n, d = data.shape
+    k = cents.shape[0]
+    sq_c = jnp.sum(cents * cents, axis=-1)[None, :]
+
+    def blk_top(blk):
+        sq_b = jnp.sum(blk * blk, axis=-1, keepdims=True)
+        dist = sq_b - 2.0 * (blk @ cents.T) + sq_c
+        _, idx = jax.lax.top_k(-dist, t)
+        return idx.astype(jnp.int32)
+
+    if n * k <= 2**26:
+        return blk_top(data)
+    nb = max(2**26 // k, 512)
+    nblk = -(-n // nb)
+    npad = nblk * nb
+    dpad = data if npad == n else jnp.pad(data, ((0, npad - n), (0, 0)))
+    _, out = jax.lax.scan(
+        lambda _, b: (None, blk_top(b)), None, dpad.reshape(nblk, nb, d)
+    )
+    return out.reshape(npad, t)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "iters", "block_rows"))

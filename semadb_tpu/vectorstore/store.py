@@ -163,7 +163,26 @@ def pq_fit(vectors: jax.Array, mask: jax.Array, m: int, k: int, seed: int = 0):
 @functools.partial(jax.jit, static_argnames=("m", "k", "metric"))
 def pq_encode(vectors: jax.Array, codebooks: jax.Array, m: int, k: int, metric: str):
     """Assign each subvector to its nearest centroid **by the index metric**
-    (product.go:136-158 uses pq.distFn). Returns u8[N, M]."""
+    (product.go:136-158 uses pq.distFn). Returns u8[N, M].
+
+    Blocked over rows past ~256 MB of [N, M, K] distance tensor: at
+    1M x 1536d (M=96, K=256) the unblocked tensor is 98 GB."""
+    n, d = vectors.shape
+    if n * m * k > 2**26:
+        nb = max(2**26 // (m * k), 256)
+        nblk = -(-n // nb)
+        npad = nblk * nb
+        vpad = vectors if npad == n else jnp.pad(vectors, ((0, npad - n), (0, 0)))
+
+        def blk(_, v):
+            return None, _pq_encode_block(v, codebooks, m, k, metric)
+
+        _, codes = jax.lax.scan(blk, None, vpad.reshape(nblk, nb, d))
+        return codes.reshape(npad, m)[:n]
+    return _pq_encode_block(vectors, codebooks, m, k, metric)
+
+
+def _pq_encode_block(vectors: jax.Array, codebooks: jax.Array, m: int, k: int, metric: str):
     n, d = vectors.shape
     dsub = d // m
     sub = vectors.reshape(n, m, dsub)

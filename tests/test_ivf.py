@@ -444,3 +444,53 @@ def test_ivfpq_schema_rejects_binary():
     )
     with _pytest.raises(ValidationError):
         p.validate()
+
+
+def test_soar_copies_improve_recall_and_dedup():
+    """assignCopies=2 (SOAR-style spilled assignment) must strictly help
+    recall at equal probe count, return no duplicate ids, and survive
+    delete/update/persistence with all copies accounted for."""
+    from semadb_tpu.tools.datasets import embedding_like
+
+    N, D = 3000, 32
+    ds = embedding_like(N, D, 32, latent=16, seed=5)
+    ids = np.arange(2, N + 2, dtype=np.int32)
+    dd = (
+        (ds.test[:, None, :].astype(np.float64) - ds.train[None].astype(np.float64))
+        ** 2
+    ).sum(-1)
+    gt = np.argsort(dd, 1)[:, :10] + 2
+
+    recs = {}
+    for copies in (1, 2):
+        idx = make_index(dim=D, assign_copies=copies)
+        idx.insert_update_delete(zip(ids, ds.train))
+        d_, i_ = idx.search_batch(ds.test, 10, num_probes=8)
+        recs[copies] = np.mean(
+            [len(set(i_[b]) & set(gt[b])) / 10 for b in range(len(ds.test))]
+        )
+        for b in range(len(ds.test)):
+            live = i_[b][i_[b] >= 0]
+            assert len(set(live.tolist())) == len(live), "duplicate id in results"
+    assert recs[2] > recs[1] + 0.01, recs
+    assert len(idx._loc2) > 0  # secondaries actually placed
+
+    # deletes remove every copy
+    victims = ids[:150]
+    idx.insert_update_delete((int(v), None) for v in victims)
+    assert not any(int(v) in idx._loc2 for v in victims)
+    _, i2 = idx.search_batch(ds.train[:16], 5, num_probes=16)
+    assert not set(victims.tolist()) & {int(x) for x in i2.flatten()}
+
+    # persistence: reload gives identical results; inserts after reload
+    # never clobber live slots (secondary copies counted in the fill HWM)
+    idx2 = IndexIVF.from_arrays(idx.params, idx.to_arrays())
+    _, a = idx.search_batch(ds.test, 10, num_probes=16)
+    _, b = idx2.search_batch(ds.test, 10, num_probes=16)
+    assert np.array_equal(a, b)
+    before = idx2.search_batch(ds.train[200:264], 1)[1][:, 0]
+    idx2.insert_update_delete(
+        (90001 + t, RNG.standard_normal(D).astype(np.float32)) for t in range(50)
+    )
+    after = idx2.search_batch(ds.train[200:264], 1)[1][:, 0]
+    assert np.array_equal(before, after)

@@ -25,6 +25,12 @@ import time
 N = int(os.environ.get("BENCH_N", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 32768))
+# Within-cluster latent spread of the synthetic generator. 0.5 calibrates
+# the neighbour margins to real SIFT (d(10th NN)/d(random pair) ≈ 0.48
+# measured at 1M x 128d vs SIFT's ~0.45-0.5) — the apples-to-apples
+# setting for BASELINE.md's sift-128-euclidean row. The default generator
+# spread 0.9 gives ratio 0.63, measurably HARDER than SIFT.
+SPREAD = float(os.environ.get("BENCH_SPREAD", 0.5))
 # Ground truth runs on device past 50M train elements (exact chunked scan,
 # ~1 min at 1M x 128d for all queries) — no need to subsample by default.
 GT_QUERIES = int(os.environ.get("BENCH_GT_QUERIES", N_QUERIES))
@@ -217,7 +223,7 @@ def main() -> None:
     from semadb_tpu.tools.datasets import embedding_like
 
     t0 = time.time()
-    ds = embedding_like(N, DIM, N_QUERIES)
+    ds = embedding_like(N, DIM, N_QUERIES, spread=SPREAD)
     print(f"# bench dataset ready {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
     engine = "ivf" if MODE.startswith("ivf") else "vamana"
     out = run(
@@ -241,6 +247,7 @@ def main() -> None:
                 "n": N,
                 "query_batch": QUERY_BATCH,
                 "gt_queries": GT_QUERIES,
+                "margin_d10_over_drand": out["margin"],
                 "platform": jax.devices()[0].platform,
             }
         )

@@ -420,38 +420,86 @@ class IndexIVF:
         spill = order[~in_slab]
         cs, ss = lab[sel], rank[in_slab]
 
+        copies = min(self.params.assign_copies, Cn)
+        fill = np.minimum(np.bincount(lab, minlength=Cn), S).astype(np.int32)
+        from semadb_tpu.vectorstore.kmeans import kmeans_assign
+
+        def _pack(rows, col_clusters, fill):
+            """Greedy capacity-bounded packing of `rows` into
+            `col_clusters` (per-row target cluster): returns (placed rows,
+            clusters, slots, updated fill, leftover positions into
+            `rows`)."""
+            order2 = np.argsort(col_clusters, kind="stable")
+            c2s = col_clusters[order2]
+            starts2 = np.searchsorted(c2s, np.arange(Cn))
+            rank2 = np.arange(len(rows)) - starts2[c2s]
+            slot2 = fill[c2s] + rank2
+            ok = slot2 < S
+            fill = fill + np.minimum(
+                np.bincount(col_clusters, minlength=Cn), np.maximum(S - fill, 0)
+            ).astype(np.int32)
+            return rows[order2[ok]], c2s[ok], slot2[ok], fill, order2[~ok]
+
+        # Spill relocation (any assignCopies): a primary that misses its
+        # full home cluster moves to the next-nearest cluster with a free
+        # slot instead of the overflow pool. kmeans cluster sizes are
+        # heavy-tailed, so the tail past S slots is percent-scale at 1M —
+        # and the overflow pool is a DENSE every-query matmul: 65k spilled
+        # rows cost more per query than the whole probed slab scan
+        # (measured 5x QPS loss). After relocation only points whose top-4
+        # clusters are all full remain in overflow.
+        RELOC_T = 4
+        t_all = max(copies, RELOC_T)
+        topt = None
+        pc = np.full(n, -1, np.int64)  # placed (primary) cluster per row
+        pc[sel] = lab[sel]
+        pri_rows, pri_cs, pri_ss = sel, cs.astype(np.int64), ss.astype(np.int64)
+        if len(spill) and copies > 1:
+            topt = np.asarray(kmeans_assign(fit_data, cents, t_all))[:n]
+            topt_sp = topt[spill]
+        elif len(spill):
+            topt_sp = np.asarray(
+                kmeans_assign(data[jnp.asarray(spill)], cents, RELOC_T)
+            )
+        else:
+            topt_sp = np.empty((0, t_all), np.int64)
+        still = spill  # rows still unplaced; still_topt stays row-aligned
+        still_topt = topt_sp
+        for col in range(1, t_all):
+            if not len(still):
+                break
+            placed, pcl, psl, fill, left_pos = _pack(
+                still, still_topt[:, col], fill
+            )
+            pri_rows = np.concatenate([pri_rows, placed])
+            pri_cs = np.concatenate([pri_cs, pcl])
+            pri_ss = np.concatenate([pri_ss, psl])
+            pc[placed] = pcl
+            still = still[left_pos]
+            still_topt = still_topt[left_pos]
+        spill = still
+
         # SOAR-style secondary copies (assignCopies > 1): each point also
         # lands in its 2nd..t-th nearest cluster, best-effort into the
         # slots primaries left free. Boundary points — the dominant
         # probe-miss mode (recall vs probes saturates ~0.99 at 1M with
         # single assignment) — become reachable from both sides. Copies
-        # never spill to overflow; a full cluster just drops them.
-        copies = min(self.params.assign_copies, Cn)
-        fill = np.minimum(np.bincount(lab, minlength=Cn), S).astype(np.int32)
+        # never displace primaries; a full cluster just drops them.
         sec_rows = np.empty(0, np.int64)
         sec_cs = np.empty(0, np.int64)
         sec_ss = np.empty(0, np.int64)
         if copies > 1:
-            from semadb_tpu.vectorstore.kmeans import kmeans_assign
-
-            topt = np.asarray(kmeans_assign(fit_data, cents, copies))[:n]
+            if topt is None:
+                topt = np.asarray(kmeans_assign(fit_data, cents, t_all))[:n]
             for col in range(1, copies):
-                c2 = topt[:, col]
-                order2 = np.argsort(c2, kind="stable")
-                c2s = c2[order2]
-                starts2 = np.searchsorted(c2s, np.arange(Cn))
-                rank2 = np.arange(n) - starts2[c2s]
-                slot2 = fill[c2s] + rank2
-                ok = slot2 < S
-                sec_rows = np.concatenate([sec_rows, order2[ok]])
-                sec_cs = np.concatenate([sec_cs, c2s[ok]])
-                sec_ss = np.concatenate([sec_ss, slot2[ok]])
-                fill = fill + np.minimum(
-                    np.bincount(c2, minlength=Cn), np.maximum(S - fill, 0)
-                ).astype(np.int32)
-        all_rows = np.concatenate([sel, sec_rows]).astype(np.int64)
-        all_cs = np.concatenate([cs, sec_cs])
-        all_ss = np.concatenate([ss, sec_ss])
+                cand = np.nonzero((pc >= 0) & (topt[:, col] != pc))[0]
+                placed, pcl, psl, fill, _ = _pack(cand, topt[cand, col], fill)
+                sec_rows = np.concatenate([sec_rows, placed])
+                sec_cs = np.concatenate([sec_cs, pcl])
+                sec_ss = np.concatenate([sec_ss, psl])
+        all_rows = np.concatenate([pri_rows, sec_rows]).astype(np.int64)
+        all_cs = np.concatenate([pri_cs, sec_cs])
+        all_ss = np.concatenate([pri_ss, sec_ss])
 
         O = max(int(2 ** np.ceil(np.log2(max(len(spill) * 2, 8)))), 8)
         ovf_ids = np.full((O,), NIL, np.int32)
@@ -511,7 +559,7 @@ class IndexIVF:
         self.ovf_ids = jnp.asarray(ovf_ids)
         self._ovf_free = list(range(len(spill), O))
         self._loc = {}
-        for c, s, i in zip(cs, ss, ids[sel]):
+        for c, s, i in zip(pri_cs, pri_ss, ids[pri_rows]):
             self._loc[int(i)] = ("s", int(c), int(s))
         for j, i in enumerate(ids[spill]):
             self._loc[int(i)] = ("o", int(j))
@@ -573,12 +621,15 @@ class IndexIVF:
 
                 # Row-blocked internally: [chunk, C] stays ≤ 256 MB
                 # (unblocked at 1M x 32768 clusters would be 137 GB).
+                # t ≥ 2 even at assignCopies=1: the extra columns are
+                # relocation candidates when the home cluster is full.
                 copies = min(self.params.assign_copies, self.centroids.shape[0])
+                t_ins = min(max(copies, 2), self.centroids.shape[0])
                 topt = np.asarray(
-                    kmeans_assign(up_rows(np.arange(len(ups))), self.centroids, copies)
+                    kmeans_assign(up_rows(np.arange(len(ups))), self.centroids, t_ins)
                 )
                 assign = topt[:, 0]
-                if copies > 1:
+                if t_ins > 1:
                     assign2 = topt[:, 1:]
                 if self.pq_active:
                     from semadb_tpu.vectorstore.store import pq_encode
@@ -596,25 +647,27 @@ class IndexIVF:
                     removals.append(old)
                 for c2, s2 in self._loc2.pop(node_id, ()):
                     removals.append(("s", c2, s2))
-                placed = False
+                placed = 0
                 if fitted:
-                    c = int(assign[j])
-                    if self._fill[c] < self.slab:
-                        s = int(self._fill[c])
-                        self._fill[c] += 1
-                        slab_writes.append((node_id, c, s, j))
-                        self._loc[node_id] = ("s", c, s)
-                        placed = True
-                    # SOAR secondary copies: best-effort into remaining
-                    # slab space of the 2nd..t-th nearest clusters.
+                    # First cluster with room hosts the primary (spill
+                    # relocation — overflow is a dense every-query scan);
+                    # further clusters with room take SOAR copies, up to
+                    # assignCopies placements total.
+                    cands = [int(assign[j])]
                     if assign2 is not None:
-                        for c2 in assign2[j]:
-                            c2 = int(c2)
-                            if self._fill[c2] < self.slab:
-                                s2 = int(self._fill[c2])
-                                self._fill[c2] += 1
-                                slab_writes.append((node_id, c2, s2, j))
-                                self._loc2.setdefault(node_id, []).append((c2, s2))
+                        cands += [int(x) for x in assign2[j]]
+                    for c in cands:
+                        if placed >= copies:
+                            break
+                        if self._fill[c] < self.slab:
+                            s = int(self._fill[c])
+                            self._fill[c] += 1
+                            slab_writes.append((node_id, c, s, j))
+                            if not placed:
+                                self._loc[node_id] = ("s", c, s)
+                            else:
+                                self._loc2.setdefault(node_id, []).append((c, s))
+                            placed += 1
                 if not placed:
                     ovf_writes.append((node_id, j))
             if removals:

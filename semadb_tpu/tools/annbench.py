@@ -75,19 +75,22 @@ class VamanaBench:
     ):
         """Pipelined throughput measurement: dispatch every batch without
         synchronising (query upload overlaps the previous batch's compute —
-        on a tunnelled TPU the upload alone costs tens of ms), then
-        materialise all results at the end. Matches how a serving frontend
-        would drive the device."""
+        on a tunnelled TPU the upload alone costs tens of ms), bounded by
+        an AsyncDispatcher so pending results never pile up in HBM.
+        Matches how a serving frontend would drive the device."""
+        from semadb_tpu.utils.pipeline import AsyncDispatcher
+
         out = np.empty((len(test), k), np.int32)
         t0 = time.time()
-        handles = [
-            self.index.search_batch_async(test[i : i + batch], k, search_size)
-            for i in range(0, len(test), batch)
-        ]
-        for j, (_, ids) in enumerate(handles):
+        pipe = AsyncDispatcher(depth=8)
+        for i in range(0, len(test), batch):
+            pipe.submit(
+                self.index.search_batch_async, test[i : i + batch], k, search_size
+            )
+        for j, (_, ids) in enumerate(pipe.results()):
             i = j * batch
             n = min(batch, len(test) - i)
-            out[i : i + n] = np.asarray(ids)[:n] - 2  # node id → train index
+            out[i : i + n] = ids[:n] - 2  # node id → train index
         return out, time.time() - t0
 
 
@@ -123,6 +126,18 @@ def run(
         else:
             gt = compute_ground_truth(gt_ds, k)
     stage(f"ground truth done ({n_gt} queries)")
+    # Dataset difficulty diagnostic: mean distance to the k-th true
+    # neighbour over mean random-pair distance (SIFT ≈ 0.45-0.5; higher
+    # is harder). Reported so recall rows are comparable across datasets.
+    ns = min(2048, n_gt)
+    dk = np.linalg.norm(
+        ds.test[:ns] - ds.train[gt[:ns, min(k, gt.shape[1]) - 1]], axis=1
+    ).mean()
+    rng_m = np.random.default_rng(0)
+    ra = rng_m.integers(0, len(ds.train), 4096)
+    rb = rng_m.integers(0, len(ds.train), 4096)
+    drand = np.linalg.norm(ds.train[ra] - ds.train[rb], axis=1).mean()
+    margin = float(dk / max(drand, 1e-12))
     bench = VamanaBench(dim=ds.train.shape[1], metric=ds.metric, **index_kw)
     stage(f"fit start n={len(ds.train)}")
     build_s = bench.fit(ds.train)
@@ -143,6 +158,7 @@ def run(
         "recall@10": round(recall, 4),
         "qps": round(len(ds.test) / wall, 1),
         "build_s": round(build_s, 1),
+        "margin": round(margin, 3),
     }
 
 

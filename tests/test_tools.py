@@ -120,3 +120,25 @@ def test_synthetic_dataset_gt():
     # GT really is the nearest: check one query by hand
     d = ((ds.test[0][None, :] - ds.train) ** 2).sum(-1)
     assert gt[0, 0] == int(np.argmin(d))
+
+
+def test_async_dispatcher_order_and_backpressure():
+    """AsyncDispatcher returns results in submission order and never holds
+    more than `depth` un-materialised handles (HBM backpressure)."""
+    import jax.numpy as jnp
+
+    from semadb_tpu.utils.pipeline import AsyncDispatcher
+
+    pipe = AsyncDispatcher(depth=2)
+    for i in range(7):
+        pipe.submit(lambda x: jnp.asarray(x) * 2, np.full((4,), i, np.float32))
+        assert len(pipe._pending) <= 2
+    got = pipe.results()
+    assert len(got) == 7
+    for i, arr in enumerate(got):
+        assert isinstance(arr, np.ndarray)
+        assert (arr == 2 * i).all()
+    # dispatcher is reusable after drain
+    pipe.submit(lambda: jnp.ones((2,)))
+    (one,) = pipe.results()
+    assert (one == 1).all()

@@ -294,7 +294,12 @@ class IndexIVF:
         self.params = params
         self.metric = params.distance_metric
         D = params.vector_size
-        self.slab = params.slab_size or DEFAULT_SLAB
+        # Slab capacity scales with assignCopies: at copies=2 the same
+        # slot pool must hold ~2x placements, and squeezing them into 64
+        # slots displaces dense-region points from their home cluster
+        # (recall 0.982 vs 1.000 measured at 1M; larger contiguous slabs
+        # also gather faster, 42k vs 30k QPS for S=128 vs 96).
+        self.slab = params.slab_size or DEFAULT_SLAB * max(1, params.assign_copies)
         # Pre-fit state: everything lives in the overflow pool
         self.centroids = jnp.zeros((1, D), jnp.float32)
         self.slabs = jnp.zeros((1, self.slab, D), jnp.float32)
@@ -733,7 +738,16 @@ class IndexIVF:
     # -- reads ---------------------------------------------------------------
     def _num_probes(self, requested: int = 0) -> int:
         Cn = self.centroids.shape[0]
-        p = requested or self.params.num_probes or max(8, Cn // 170)
+        if requested or self.params.num_probes:
+            p = requested or self.params.num_probes
+        elif self.params.assign_copies > 1:
+            # With copies + spill relocation the required probe count is
+            # ~scale-free: 16-24 probes reach recall 1.0 at both 100k
+            # (C=4096) and 1M (C=32768) on SIFT-margin data — probing is
+            # about local neighbourhood coverage, not corpus fraction.
+            p = 24
+        else:
+            p = max(8, Cn // 170)
         return max(1, min(max(4, p), Cn))
 
     def search_batch_async(

@@ -118,9 +118,13 @@ def _run_hybrid(jax) -> None:
     ds1, ds2 = embedding_like_views(N, [DIM, d2], N_QUERIES, seed=42)
     ids = np.arange(2, N + 2, dtype=np.int32)
     t0 = time.time()
-    idx1 = IndexIVF(VectorIVFParams(vector_size=DIM, distance_metric="euclidean"))
+    idx1 = IndexIVF(
+        VectorIVFParams(vector_size=DIM, distance_metric="euclidean", assign_copies=2)
+    )
     idx1.insert_update_delete(zip(ids, ds1.train))
-    idx2 = IndexIVF(VectorIVFParams(vector_size=d2, distance_metric="euclidean"))
+    idx2 = IndexIVF(
+        VectorIVFParams(vector_size=d2, distance_metric="euclidean", assign_copies=2)
+    )
     idx2.insert_update_delete(zip(ids, ds2.train))
     build_s = time.time() - t0
 

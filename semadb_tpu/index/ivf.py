@@ -70,6 +70,32 @@ RERANK_POOL = int(os.environ.get("SEMADB_IVF_RERANK", 64))
 # ADC ordering is coarser than f32 scoring, so IVF-PQ reranks a deeper
 # pool; the extra [B, pool, D] f32 gather is small next to the slab scan.
 RERANK_POOL_PQ = 256
+# High-dim traversal: past this width, slabs/centroids are stored in an
+# r-dim random-orthonormal projection and scored on the MXU; the exact
+# f32 rerank restores full-precision ordering. ADC scoring (u8 codes +
+# per-query table lookups) is GATHER-bound on TPU — 1.2e9 table lookups
+# per 4096-query batch measured 242 QPS at 1M x 1536d, vs ~30k QPS for
+# the same recall with projected MXU scoring. ADC remains the scoring
+# path only when D ≤ PROJ_DIM (where the lookup count is small).
+PROJ_DIM = int(os.environ.get("SEMADB_IVF_PROJ_DIM", 128))
+
+
+@jax.jit
+def _gather_project(vectors, rows, proj):
+    """``vectors[rows] @ proj`` with the gather blocked per 64k rows —
+    the full-D gather would transiently materialise 12+ GB for 2M rows
+    at 1536d."""
+    m = rows.shape[0]
+    nb = 65536
+    if m <= nb:
+        return vectors[rows] @ proj
+    nblk = -(-m // nb)
+    mpad = nblk * nb
+    rpad = rows if mpad == m else jnp.pad(rows, (0, mpad - m))
+    _, out = jax.lax.scan(
+        lambda _, r: (None, vectors[r] @ proj), None, rpad.reshape(nblk, nb)
+    )
+    return out.reshape(mpad, -1)[:m]
 
 
 def _npow2(x: int, lo: int, hi: int) -> int:
@@ -95,6 +121,7 @@ def _ivf_query(
     queries: jax.Array,     # f32[B, D]
     vectors: jax.Array,     # f32[cap, D] per-node rerank vectors
     filter_mask: Optional[jax.Array],  # bool[cap] | None
+    proj: Optional[jax.Array],  # f32[D, r] traversal projection | None
     p: int,
     k: int,
     pchunk: int = 4,
@@ -105,20 +132,25 @@ def _ivf_query(
 
     Distances are metric-consistent with the flat/vamana engines
     (squared euclidean / negated dot / 1-cosine), exact f32 after rerank.
+
+    With ``proj``, centroids/slabs/overflow are stored in the projected
+    r-space and the coarse scoring runs there (PROJ_DIM rationale above);
+    the final rerank always uses the full-precision `vectors`/`queries`.
     """
     B = queries.shape[0]
     S = slabs.shape[1]
     cap = vectors.shape[0]
+    qp = queries if proj is None else (queries @ proj)
 
     # 1. probe selection: one dense [B, C] contraction on the MXU
-    cd = cent_sq[None, :] - 2.0 * (queries @ centroids.T)
+    cd = cent_sq[None, :] - 2.0 * (qp @ centroids.T)
     _, probe = jax.lax.top_k(-cd, p)  # [B, p]
 
     # 2. probe-chunked slab scoring (full [B,p,S,D] would be gigabytes)
     def score_chunk(_, pr):  # pr: [B, pchunk]
-        cand_v = slabs[pr]  # [B, pchunk, S, D]
+        cand_v = slabs[pr]  # [B, pchunk, S, r]
         cross = jnp.einsum(
-            "bpsd,bd->bps", cand_v, queries, preferred_element_type=jnp.float32
+            "bpsd,bd->bps", cand_v, qp, preferred_element_type=jnp.float32
         )
         cid = slab_ids[pr]
         dd = jnp.where(cid != NIL, slab_sq[pr] - 2.0 * cross, jnp.inf)
@@ -131,7 +163,7 @@ def _ivf_query(
     ids = ids_c.transpose(1, 0, 2, 3).reshape(B, nchunk * pchunk * S)
 
     # 3. overflow scan (dense matmul — exact regardless of clustering age)
-    od = ovf_sq[None, :] - 2.0 * (queries @ ovf_vecs.T)
+    od = ovf_sq[None, :] - 2.0 * (qp @ ovf_vecs.T)
     od = jnp.where(ovf_ids[None, :] != NIL, od, jnp.inf)
     dist = jnp.concatenate([dist, od], axis=-1)
     ids = jnp.concatenate(
@@ -146,7 +178,10 @@ def _ivf_query(
     # 4. coarse pool under fast scores, then exact f32 rerank in the
     # engine-wide metric (squared euclidean / -dot / 1-cosine). |q|^2 is
     # omitted in the coarse scores (constant per query, rank-invariant).
-    rr = max(RERANK_POOL, 2 * k)
+    # Projected coarse scores carry JL distortion, so the pool must be
+    # deeper for the exact rerank to recover (0.92 → 1.00 recall measured
+    # at pool 64 → 256 on 256d data projected to 128).
+    rr = max(RERANK_POOL_PQ if proj is not None else RERANK_POOL, 2 * k)
     nv, pos = jax.lax.top_k(-dist, rr)
     pool = jnp.take_along_axis(ids, pos, axis=-1)  # [B, rr]
     if dedup:
@@ -155,16 +190,27 @@ def _ivf_query(
 
         dpool, pool = dedup_by_id(-nv, pool)
         nv = -dpool
-    pv = vectors[jnp.clip(pool, 0, cap - 1)]
-    if metric == C.DISTANCE_EUCLIDEAN:
-        rd = jnp.sum((pv - queries[:, None, :]) ** 2, axis=-1)
-    else:
+
+    def _exact(pc):  # pc: [B, chunk] → f32[B, chunk]
+        pv = vectors[jnp.clip(pc, 0, cap - 1)]
+        if metric == C.DISTANCE_EUCLIDEAN:
+            return jnp.sum((pv - queries[:, None, :]) ** 2, axis=-1)
         cross = jnp.einsum(
             "brd,bd->br", pv, queries,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        rd = (1.0 - cross) if metric == C.DISTANCE_COSINE else -cross
+        return (1.0 - cross) if metric == C.DISTANCE_COSINE else -cross
+
+    D_full = queries.shape[1]
+    RCH = 64
+    if B * rr * D_full > 2**27 and rr % RCH == 0:
+        # Chunk the rerank gather ([B, rr, D] is 6.4 GB at 1M x 1536d)
+        pools = pool.reshape(B, rr // RCH, RCH).transpose(1, 0, 2)
+        _, rds = jax.lax.scan(lambda _, pc: (None, _exact(pc)), None, pools)
+        rd = rds.transpose(1, 0, 2).reshape(B, rr)
+    else:
+        rd = _exact(pool)
     rd = jnp.where((pool != NIL) & jnp.isfinite(-nv), rd, jnp.inf)
     nv2, pos2 = jax.lax.top_k(-rd, k)
     out_i = jnp.take_along_axis(pool, pos2, axis=-1)
@@ -300,12 +346,27 @@ class IndexIVF:
         # (recall 0.982 vs 1.000 measured at 1M; larger contiguous slabs
         # also gather faster, 42k vs 30k QPS for S=128 vs 96).
         self.slab = params.slab_size or DEFAULT_SLAB * max(1, params.assign_copies)
+        # High-dim traversal projection (PROJ_DIM rationale above): a
+        # fixed random-orthonormal [D, r] map; slabs/overflow/centroids
+        # used for SCORING are stored projected, the `vectors` rerank
+        # matrix stays full precision. Deterministic seed so every
+        # process derives the same map (persistence stores it anyway).
+        if D > PROJ_DIM:
+            prng = np.random.default_rng(0xC0FFEE)
+            qmat, _ = np.linalg.qr(
+                prng.standard_normal((D, PROJ_DIM)).astype(np.float64)
+            )
+            self._proj = jnp.asarray(qmat.astype(np.float32))  # [D, r]
+            self.tdim = PROJ_DIM
+        else:
+            self._proj = None
+            self.tdim = D
         # Pre-fit state: everything lives in the overflow pool
         self.centroids = jnp.zeros((1, D), jnp.float32)
-        self.slabs = jnp.zeros((1, self.slab, D), jnp.float32)
+        self.slabs = jnp.zeros((1, self.slab, self.tdim), jnp.float32)
         self.slab_ids = jnp.full((1, self.slab), NIL, jnp.int32)
         self._fill = np.zeros(1, np.int32)
-        self.ovf_vecs = jnp.zeros((8, D), jnp.float32)
+        self.ovf_vecs = jnp.zeros((8, self.tdim), jnp.float32)
         self.ovf_ids = jnp.full((8,), NIL, jnp.int32)
         self._ovf_free: list[int] = list(range(8))
         # Host mirror so CRUD never reads back from device; all vector data
@@ -324,7 +385,12 @@ class IndexIVF:
         self.slab_codes = jnp.zeros((1, self.slab, 1), jnp.uint8)
         self.ovf_codes = jnp.zeros((8, 1), jnp.uint8)
         q = params.quantizer
-        if q is not None and q.type == C.QUANTIZER_PRODUCT:
+        # ADC scoring only below PROJ_DIM: above it, per-query table
+        # lookups are gather-bound on TPU (242 QPS at 1M x 1536d measured
+        # vs ~30k with projected MXU scoring at the same recall), so
+        # high-dim configs use the traversal projection regardless of the
+        # quantizer setting.
+        if q is not None and q.type == C.QUANTIZER_PRODUCT and D <= PROJ_DIM:
             from semadb_tpu.vectorstore.store import QuantConfig
 
             self.pq_config = QuantConfig.from_params(q, D, self.metric)
@@ -407,8 +473,20 @@ class IndexIVF:
             # waste up to 2x fit compute.
             n_pad = -(-n // 4096) * 4096
         pad_ids = ids if n_pad == n else ids[np.arange(n_pad) % n]
-        fit_data = self.vectors[jnp.asarray(pad_ids)]  # device gather
-        cents, lab = kmeans_fit_large(fit_data, Cn, iters=KMEANS_ITERS)
+        pad_ids_dev = jnp.asarray(pad_ids)
+        # Past ~256 MB the [n_pad, D] gather copy meaningfully raises peak
+        # HBM (vectors 6.4 GB + copy 6.2 GB + kmeans temporaries OOMs a
+        # 16 GB chip at 1M x 1536d): gather rows per block inside the
+        # blocked kernels instead.
+        big = n_pad * D * 4 >= 2**28
+        if big:
+            fit_data = None
+            cents, lab = kmeans_fit_large(
+                self.vectors, Cn, iters=KMEANS_ITERS, row_ids=pad_ids_dev
+            )
+        else:
+            fit_data = self.vectors[pad_ids_dev]  # device gather
+            cents, lab = kmeans_fit_large(fit_data, Cn, iters=KMEANS_ITERS)
         lab = np.asarray(lab)[:n]
         # All row selections below (sel/spill) index < n, so the padded
         # matrix can be used directly — slicing [:n] would cost another
@@ -460,11 +538,14 @@ class IndexIVF:
         pc[sel] = lab[sel]
         pri_rows, pri_cs, pri_ss = sel, cs.astype(np.int64), ss.astype(np.int64)
         if len(spill) and copies > 1:
-            topt = np.asarray(kmeans_assign(fit_data, cents, t_all))[:n]
+            topt = np.asarray(
+                kmeans_assign(self.vectors, cents, t_all, row_ids=pad_ids_dev)
+                if big else kmeans_assign(fit_data, cents, t_all)
+            )[:n]
             topt_sp = topt[spill]
         elif len(spill):
             topt_sp = np.asarray(
-                kmeans_assign(data[jnp.asarray(spill)], cents, RELOC_T)
+                kmeans_assign(self.vectors[jnp.asarray(ids[spill])], cents, RELOC_T)
             )
         else:
             topt_sp = np.empty((0, t_all), np.int64)
@@ -495,7 +576,10 @@ class IndexIVF:
         sec_ss = np.empty(0, np.int64)
         if copies > 1:
             if topt is None:
-                topt = np.asarray(kmeans_assign(fit_data, cents, t_all))[:n]
+                topt = np.asarray(
+                    kmeans_assign(self.vectors, cents, t_all, row_ids=pad_ids_dev)
+                    if big else kmeans_assign(fit_data, cents, t_all)
+                )[:n]
             for col in range(1, copies):
                 cand = np.nonzero((pc >= 0) & (topt[:, col] != pc))[0]
                 placed, pcl, psl, fill, _ = _pack(cand, topt[cand, col], fill)
@@ -526,7 +610,10 @@ class IndexIVF:
             # fits on the full set, product.go:175-183, but tops out at
             # trigger-threshold sizes; FAISS guidance is the same).
             stride = max(n_pad // 2**16, 1)
-            sample = fit_data[::stride] if stride > 1 else fit_data
+            if big:
+                sample = self.vectors[jnp.asarray(pad_ids[::stride])]
+            else:
+                sample = fit_data[::stride] if stride > 1 else fit_data
             self.pq_codebook = pq_fit(
                 sample, jnp.ones((sample.shape[0],), bool),
                 self.pq_config.num_subvectors, self.pq_config.num_centroids,
@@ -536,9 +623,17 @@ class IndexIVF:
             from semadb_tpu.vectorstore.store import pq_encode
 
             M = self.pq_config.num_subvectors
-            codes = pq_encode(
-                data, self.pq_codebook, M, self.pq_config.num_centroids, self.metric
-            )  # u8[n, M]
+            if big:
+                codes = pq_encode(
+                    self.vectors, self.pq_codebook, M,
+                    self.pq_config.num_centroids, self.metric,
+                    row_ids=pad_ids_dev,
+                )
+            else:
+                codes = pq_encode(
+                    data, self.pq_codebook, M,
+                    self.pq_config.num_centroids, self.metric,
+                )  # u8[n_pad, M]
             self.slab_codes = (
                 jnp.zeros((Cn, S, M), jnp.uint8).at[all_cs, all_ss].set(codes[all_rows])
             )
@@ -547,15 +642,33 @@ class IndexIVF:
                 ovf_codes = ovf_codes.at[: len(spill)].set(codes[spill])
             self.ovf_codes = ovf_codes
             # f32 slabs/overflow are dead weight in PQ mode: shrink them
-            self.slabs = jnp.zeros((1, S, D), jnp.float32)
-            self.ovf_vecs = jnp.zeros((1, D), jnp.float32)
+            self.slabs = jnp.zeros((1, S, self.tdim), jnp.float32)
+            self.ovf_vecs = jnp.zeros((1, self.tdim), jnp.float32)
         else:
+            if self._proj is not None:
+                rows_v = (
+                    _gather_project(
+                        self.vectors, jnp.asarray(ids[all_rows]), self._proj
+                    )
+                    if big
+                    else data[all_rows] @ self._proj
+                )
+            else:
+                rows_v = (
+                    self.vectors[jnp.asarray(ids[all_rows])] if big else data[all_rows]
+                )
             self.slabs = (
-                jnp.zeros((Cn, S, D), jnp.float32).at[all_cs, all_ss].set(data[all_rows])
+                jnp.zeros((Cn, S, self.tdim), jnp.float32)
+                .at[all_cs, all_ss]
+                .set(rows_v)
             )
-            ovf_vecs = jnp.zeros((O, D), jnp.float32)
+            del rows_v
+            ovf_vecs = jnp.zeros((O, self.tdim), jnp.float32)
             if len(spill):
-                ovf_vecs = ovf_vecs.at[: len(spill)].set(data[spill])
+                sp_v = self.vectors[jnp.asarray(ids[spill])] if big else data[spill]
+                if self._proj is not None:
+                    sp_v = sp_v @ self._proj
+                ovf_vecs = ovf_vecs.at[: len(spill)].set(sp_v)
             self.ovf_vecs = ovf_vecs
 
         self.centroids = cents
@@ -616,6 +729,16 @@ class IndexIVF:
                 if up_dev is not None:
                     return up_dev[jnp.asarray(rows)] if len(rows) != len(ups) else up_dev
                 return self.vectors[jnp.asarray(up_ids[rows])]
+
+            def up_rows_t(rows: np.ndarray) -> jax.Array:
+                """Traversal-space rows (projected when D > PROJ_DIM)."""
+                if self._proj is None:
+                    return up_rows(rows)
+                if up_dev is None:
+                    return _gather_project(
+                        self.vectors, jnp.asarray(up_ids[rows]), self._proj
+                    )
+                return up_rows(rows) @ self._proj
 
             fitted = self._n_at_fit > 0
             assign = None
@@ -705,7 +828,7 @@ class IndexIVF:
                     if self.pq_active:
                         self.ovf_codes = self.ovf_codes.at[slots].set(up_codes[rows])
                     else:
-                        self.ovf_vecs = self.ovf_vecs.at[slots].set(up_rows(rows))
+                        self.ovf_vecs = self.ovf_vecs.at[slots].set(up_rows_t(rows))
                     self.ovf_ids = self.ovf_ids.at[slots].set(
                         np.array([w[0] for w in ovf_writes], np.int32)
                     )
@@ -718,7 +841,7 @@ class IndexIVF:
                 if self.pq_active:
                     self.slab_codes = self.slab_codes.at[cs, ss].set(up_codes[rows])
                 else:
-                    self.slabs = self.slabs.at[cs, ss].set(up_rows(rows))
+                    self.slabs = self.slabs.at[cs, ss].set(up_rows_t(rows))
                 self.slab_ids = self.slab_ids.at[cs, ss].set(
                     np.array([w[0] for w in slab_writes], np.int32)
                 )
@@ -770,7 +893,13 @@ class IndexIVF:
                 )
             q = jnp.asarray(q_np)
         if "cent" not in self._sq_cache:
-            self._sq_cache["cent"] = self._sq(self.centroids)
+            cent_p = (
+                self.centroids @ self._proj
+                if self._proj is not None
+                else self.centroids
+            )
+            self._sq_cache["cent_p"] = cent_p
+            self._sq_cache["cent"] = self._sq(cent_p)
             if not self.pq_active:
                 self._sq_cache["slab"] = self._sq(self.slabs)
                 self._sq_cache["ovf"] = self._sq(self.ovf_vecs)
@@ -809,10 +938,10 @@ class IndexIVF:
                 dedup=self.params.assign_copies > 1,
             )
         return _ivf_query(
-            self.centroids, self._sq_cache["cent"],
+            self._sq_cache["cent_p"], self._sq_cache["cent"],
             self.slabs, self._sq_cache["slab"], self.slab_ids,
             self.ovf_vecs, self._sq_cache["ovf"], self.ovf_ids,
-            q, self.vectors, fm, p, k, pchunk, self.metric,
+            q, self.vectors, fm, self._proj, p, k, pchunk, self.metric,
             dedup=self.params.assign_copies > 1,
         )
 
@@ -880,6 +1009,8 @@ class IndexIVF:
             "vectors": np.asarray(self.vectors),
             "n_at_fit": np.asarray([self._n_at_fit], np.int64),
         }
+        if self._proj is not None:
+            out["proj"] = np.asarray(self._proj)
         if self.pq_active:
             out["pq_codebook"] = np.asarray(self.pq_codebook)
             out["slab_codes"] = np.asarray(self.slab_codes)
@@ -898,6 +1029,9 @@ class IndexIVF:
         idx.capacity = idx.vectors.shape[0]
         idx._n_at_fit = int(arrays["n_at_fit"][0])
         idx.slab = idx.slab_ids.shape[1]
+        if "proj" in arrays:
+            idx._proj = jnp.asarray(arrays["proj"])
+            idx.tdim = idx._proj.shape[1]
         if "pq_codebook" in arrays:
             idx.pq_codebook = jnp.asarray(arrays["pq_codebook"])
             idx.slab_codes = jnp.asarray(arrays["slab_codes"])

@@ -168,23 +168,31 @@ def stack_ivf_states(indices, mesh) -> dict:
     max_cap = max(i.vectors.shape[0] for i in indices)
     S = indices[0].slab_ids.shape[1]
     D = indices[0].params.vector_size
+    tdim = indices[0].slabs.shape[-1]  # traversal width (projected if <D)
 
     def one(idx):
         assert idx.slab_ids.shape[1] == S, "slab size must match across shards"
-        cents = pad_to(idx.centroids, (max_c, D), 1e15)
-        return {
+        # Probe in the same (possibly projected) space the slabs live in
+        cents_t = (
+            idx.centroids @ idx._proj if idx._proj is not None else idx.centroids
+        )
+        cents = pad_to(cents_t, (max_c, tdim), 1e15)
+        out = {
             "centroids": cents,
             "cent_sq": idx._sq(cents) if idx.metric == "euclidean"
             # non-euclidean drops the norm term: pad a huge penalty instead
-            else pad_to(jnp.zeros(idx.centroids.shape[0]), (max_c,), 1e30),
-            "slabs": pad_to(idx.slabs, (max_c, S, D)),
+            else pad_to(jnp.zeros(cents_t.shape[0]), (max_c,), 1e30),
+            "slabs": pad_to(idx.slabs, (max_c, S, tdim)),
             "slab_sq": pad_to(idx._sq(idx.slabs), (max_c, S)),
             "slab_ids": pad_to(idx.slab_ids, (max_c, S), NIL),
-            "ovf_vecs": pad_to(idx.ovf_vecs, (max_o, D)),
+            "ovf_vecs": pad_to(idx.ovf_vecs, (max_o, tdim)),
             "ovf_sq": pad_to(idx._sq(idx.ovf_vecs), (max_o,)),
             "ovf_ids": pad_to(idx.ovf_ids, (max_o,), NIL),
             "vectors": pad_to(idx.vectors, (max_cap, D)),
         }
+        if idx._proj is not None:
+            out["proj"] = idx._proj  # identical across shards (same D)
+        return out
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[one(i) for i in indices])
     sharding = NamedSharding(mesh, P(SHARD_AXIS))
@@ -210,7 +218,8 @@ def sharded_ivf_search(
         d, i = _ivf_query(
             st["centroids"], st["cent_sq"], st["slabs"], st["slab_sq"],
             st["slab_ids"], st["ovf_vecs"], st["ovf_sq"], st["ovf_ids"],
-            q, st["vectors"], None, p, k, 1, metric,
+            q, st["vectors"], None, st.get("proj"), p, k, 1, metric,
+            dedup=True,
         )
         sh = jnp.full_like(i, jax.lax.axis_index(SHARD_AXIS))
         return _allgather_topk(d, i, sh, k)

@@ -114,13 +114,15 @@ def kmeans_fit_subvectors(
 
 
 @functools.partial(jax.jit, static_argnames=("t",))
-def kmeans_assign(data: jax.Array, cents: jax.Array, t: int = 1):
+def kmeans_assign(data: jax.Array, cents: jax.Array, t: int = 1, row_ids=None):
     """Top-t nearest centroids per row → i32[N, t] (ascending distance).
 
     Row-blocked like :func:`kmeans_fit_large` so the [NB, K] distance
-    matrix stays bounded. Used for SOAR-style multi-cluster assignment
-    (index/ivf.py assignCopies)."""
-    n, d = data.shape
+    matrix stays bounded. With ``row_ids``, `data` is the full backing
+    matrix and rows are gathered PER BLOCK — the full [N, D] gather copy
+    would double peak HBM (6.2 GB extra at 1M x 1536d). Used for
+    SOAR-style multi-cluster assignment (index/ivf.py assignCopies)."""
+    n = row_ids.shape[0] if row_ids is not None else data.shape[0]
     k = cents.shape[0]
     sq_c = jnp.sum(cents * cents, axis=-1)[None, :]
 
@@ -130,15 +132,22 @@ def kmeans_assign(data: jax.Array, cents: jax.Array, t: int = 1):
         _, idx = jax.lax.top_k(-dist, t)
         return idx.astype(jnp.int32)
 
-    if n * k <= 2**26:
+    if row_ids is None and n * k <= 2**26:
         return blk_top(data)
     nb = max(2**26 // k, 512)
     nblk = -(-n // nb)
     npad = nblk * nb
-    dpad = data if npad == n else jnp.pad(data, ((0, npad - n), (0, 0)))
-    _, out = jax.lax.scan(
-        lambda _, b: (None, blk_top(b)), None, dpad.reshape(nblk, nb, d)
-    )
+    if row_ids is not None:
+        rpad = row_ids if npad == n else jnp.pad(row_ids, (0, npad - n))
+        _, out = jax.lax.scan(
+            lambda _, r: (None, blk_top(data[r])), None, rpad.reshape(nblk, nb)
+        )
+    else:
+        dpad = data if npad == n else jnp.pad(data, ((0, npad - n), (0, 0)))
+        _, out = jax.lax.scan(
+            lambda _, b: (None, blk_top(b)), None,
+            dpad.reshape(nblk, nb, data.shape[1]),
+        )
     return out.reshape(npad, t)[:n]
 
 
@@ -149,6 +158,7 @@ def kmeans_fit_large(
     seed: int | jax.Array = 0,
     iters: int = 15,
     block_rows: int = 0,
+    row_ids=None,
 ):
     """Large-K k-means for IVF coarse quantization → (centroids f32[k, d],
     labels i32[N]).
@@ -165,7 +175,13 @@ def kmeans_fit_large(
     stays ≤ 512 MB: at 1M x 32768 clusters an unblocked matrix would be
     137 GB — far past HBM — and XLA will not tile a single matmul across
     memory on its own.
+
+    With ``row_ids``, `data` is the full backing matrix and fit rows are
+    gathered per block inside the scan — materialising the [N, D] gather
+    up front would double peak HBM (6.2 GB extra at 1M x 1536d).
     """
+    if row_ids is not None:
+        return _kmeans_fit_gather(data, row_ids, k, seed, iters, block_rows)
     n, d = data.shape
     key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
     idx = jax.random.choice(key, n, (k,), replace=False)
@@ -226,4 +242,56 @@ def kmeans_fit_large(
         return None, assign_block(cents, blk, sq_blk)
 
     _, labs = jax.lax.scan(lab_blk, None, (blocks, sq_blocks))
+    return cents, labs.reshape(npad)[:n].astype(jnp.int32)
+
+
+def _kmeans_fit_gather(data, row_ids, k, seed, iters, block_rows):
+    """kmeans_fit_large over rows gathered per block from the full
+    matrix `data` (see the row_ids doc above). Always blocked."""
+    n = row_ids.shape[0]
+    d = data.shape[1]
+    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
+    idx = jax.random.choice(key, n, (k,), replace=False)
+    cents = data[row_ids[idx]]
+
+    def assign_block(c, blk, sq_blk):
+        sq_c = jnp.sum(c * c, axis=-1)[None, :]
+        return jnp.argmin(sq_blk - 2.0 * (blk @ c.T) + sq_c, axis=-1)
+
+    nb = block_rows or max(2**27 // k, 512)
+    nblk = -(-n // nb)
+    npad = nblk * nb
+    rpad = row_ids if npad == n else jnp.pad(row_ids, (0, npad - n))
+    rblocks = rpad.reshape(nblk, nb)
+    w = (jnp.arange(npad) < n).astype(jnp.float32).reshape(nblk, nb)
+
+    def step(c, _):
+        def scan_blk(carry, xw):
+            sums, cnt = carry
+            rblk, wf = xw
+            blk = data[rblk]
+            sq_blk = jnp.sum(blk * blk, axis=-1, keepdims=True)
+            lab = assign_block(c, blk, sq_blk)
+            sums = sums + jax.ops.segment_sum(
+                blk * wf[:, None], lab, num_segments=k
+            )
+            cnt = cnt + jax.ops.segment_sum(wf, lab, num_segments=k)
+            return (sums, cnt), None
+
+        (sums, cnt), _ = jax.lax.scan(
+            scan_blk,
+            (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+            (rblocks, w),
+        )
+        c = jnp.where((cnt > 0)[:, None], sums / jnp.maximum(cnt, 1.0)[:, None], c)
+        return c, None
+
+    cents, _ = jax.lax.scan(step, cents, None, length=iters)
+
+    def lab_blk(_, rblk):
+        blk = data[rblk]
+        sq_blk = jnp.sum(blk * blk, axis=-1, keepdims=True)
+        return None, assign_block(cents, blk, sq_blk)
+
+    _, labs = jax.lax.scan(lab_blk, None, rblocks)
     return cents, labs.reshape(npad)[:n].astype(jnp.int32)

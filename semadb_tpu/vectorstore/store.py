@@ -161,23 +161,35 @@ def pq_fit(vectors: jax.Array, mask: jax.Array, m: int, k: int, seed: int = 0):
 
 
 @functools.partial(jax.jit, static_argnames=("m", "k", "metric"))
-def pq_encode(vectors: jax.Array, codebooks: jax.Array, m: int, k: int, metric: str):
+def pq_encode(
+    vectors: jax.Array, codebooks: jax.Array, m: int, k: int, metric: str,
+    row_ids=None,
+):
     """Assign each subvector to its nearest centroid **by the index metric**
     (product.go:136-158 uses pq.distFn). Returns u8[N, M].
 
     Blocked over rows past ~256 MB of [N, M, K] distance tensor: at
-    1M x 1536d (M=96, K=256) the unblocked tensor is 98 GB."""
-    n, d = vectors.shape
-    if n * m * k > 2**26:
+    1M x 1536d (M=96, K=256) the unblocked tensor is 98 GB. With
+    ``row_ids``, `vectors` is the full backing matrix and rows gather per
+    block (avoids a second [N, D] copy at peak HBM)."""
+    n = row_ids.shape[0] if row_ids is not None else vectors.shape[0]
+    d = vectors.shape[1]
+    if row_ids is not None or n * m * k > 2**26:
         nb = max(2**26 // (m * k), 256)
         nblk = -(-n // nb)
         npad = nblk * nb
-        vpad = vectors if npad == n else jnp.pad(vectors, ((0, npad - n), (0, 0)))
-
-        def blk(_, v):
-            return None, _pq_encode_block(v, codebooks, m, k, metric)
-
-        _, codes = jax.lax.scan(blk, None, vpad.reshape(nblk, nb, d))
+        if row_ids is not None:
+            rpad = row_ids if npad == n else jnp.pad(row_ids, (0, npad - n))
+            _, codes = jax.lax.scan(
+                lambda _, r: (None, _pq_encode_block(vectors[r], codebooks, m, k, metric)),
+                None, rpad.reshape(nblk, nb),
+            )
+        else:
+            vpad = vectors if npad == n else jnp.pad(vectors, ((0, npad - n), (0, 0)))
+            _, codes = jax.lax.scan(
+                lambda _, v: (None, _pq_encode_block(v, codebooks, m, k, metric)),
+                None, vpad.reshape(nblk, nb, d),
+            )
         return codes.reshape(npad, m)[:n]
     return _pq_encode_block(vectors, codebooks, m, k, metric)
 

@@ -514,3 +514,51 @@ def test_spill_relocation_keeps_overflow_empty():
         # every id is still findable (self-query hits itself)
         _, i_ = idx.search_batch(ds.train[:32], 1, num_probes=8)
         assert (i_[:, 0] == ids[:32]).mean() > 0.9
+
+
+def test_highdim_projected_traversal():
+    """Above PROJ_DIM the engine scores slabs in a random-orthonormal
+    projection (ADC table lookups are gather-bound on TPU: 242 QPS at
+    1M x 1536d vs ~30k projected, same recall) while the rerank stays
+    exact f32. Recall, persistence, and CRUD must hold; a product
+    quantizer config must route to the projected path too."""
+    from semadb_tpu.tools.datasets import embedding_like
+
+    N, D = 4000, 256
+    ds = embedding_like(N, D, 64, latent=32, seed=13, spread=0.5)
+    ids = np.arange(2, N + 2, dtype=np.int32)
+    dd = (
+        (ds.test[:, None, :].astype(np.float64) - ds.train[None].astype(np.float64))
+        ** 2
+    ).sum(-1)
+    gt = np.argsort(dd, 1)[:, :10] + 2
+
+    quant = Quantizer(
+        type="product",
+        product=ProductQuantizerParams(
+            num_centroids=256, num_subvectors=16, trigger_threshold=1000
+        ),
+    )
+    for q in (None, quant):
+        idx = make_index(dim=D, assign_copies=2, quantizer=q)
+        idx.insert_update_delete(zip(ids, ds.train))
+        assert idx._proj is not None and idx.slabs.shape[-1] == 128
+        assert not idx.pq_active  # ADC disabled above PROJ_DIM
+        d_, i_ = idx.search_batch(ds.test, 10, num_probes=16)
+        rec = np.mean([len(set(i_[b]) & set(gt[b])) / 10 for b in range(64)])
+        assert rec >= 0.95, rec
+
+    # roundtrip preserves the projection and results exactly
+    idx2 = IndexIVF.from_arrays(idx.params, idx.to_arrays())
+    _, a = idx.search_batch(ds.test, 10, num_probes=16)
+    _, b = idx2.search_batch(ds.test, 10, num_probes=16)
+    assert np.array_equal(a, b)
+
+    # CRUD through the projected path
+    idx.insert_update_delete([(2, None)])
+    _, i3 = idx.search_batch(ds.train[:4], 3, num_probes=16)
+    assert 2 not in set(i3.flatten().tolist())
+    nv = RNG.standard_normal(D).astype(np.float32)
+    idx.insert_update_delete([(70001, nv)])
+    _, i4 = idx.search_batch(nv, 1, num_probes=16)
+    assert i4[0][0] == 70001

@@ -224,10 +224,16 @@ def main() -> None:
         return
 
     from semadb_tpu.tools.annbench import run
-    from semadb_tpu.tools.datasets import embedding_like
+    from semadb_tpu.tools.datasets import embedding_like, embedding_like_device
 
     t0 = time.time()
-    ds = embedding_like(N, DIM, N_QUERIES, spread=SPREAD)
+    if N * DIM >= 2**28 and MODE.startswith("ivf"):
+        # High-dim/large corpora generate on-device: the host generator
+        # takes 8-14 min at 1M x 1536d on one core and the corpus would
+        # then cost a 6 GB tunnel upload.
+        ds = embedding_like_device(N, DIM, N_QUERIES, spread=SPREAD)
+    else:
+        ds = embedding_like(N, DIM, N_QUERIES, spread=SPREAD)
     print(f"# bench dataset ready {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
     engine = "ivf" if MODE.startswith("ivf") else "vamana"
     out = run(

@@ -98,6 +98,23 @@ def _gather_project(vectors, rows, proj):
     return out.reshape(mpad, -1)[:m]
 
 
+def _pack_greedy(rows, col_clusters, fill, S, Cn):
+    """Greedy capacity-bounded packing of `rows` into `col_clusters`
+    (per-row target cluster): returns (placed rows, clusters, slots,
+    updated fill, leftover positions into `rows`). Vectorised: rank
+    within each target cluster via stable sort + searchsorted."""
+    order2 = np.argsort(col_clusters, kind="stable")
+    c2s = col_clusters[order2]
+    starts2 = np.searchsorted(c2s, np.arange(Cn))
+    rank2 = np.arange(len(rows)) - starts2[c2s]
+    slot2 = fill[c2s] + rank2
+    ok = slot2 < S
+    fill = fill + np.minimum(
+        np.bincount(col_clusters, minlength=Cn), np.maximum(S - fill, 0)
+    ).astype(np.int32)
+    return rows[order2[ok]], c2s[ok], slot2[ok], fill, order2[~ok]
+
+
 def _npow2(x: int, lo: int, hi: int) -> int:
     """Nearest power of two in [lo, hi] (geometric rounding): the cluster
     count drives the [B, C] probe-selection top_k, whose cost doubles per
@@ -493,6 +510,34 @@ class IndexIVF:
         # [n, D] device copy at peak memory time.
         data = fit_data
 
+        if self._proj is not None:
+            # Refit the traversal basis as the corpus' top-r PRINCIPAL
+            # subspace: a random-orthonormal projection keeps only ~r/D of
+            # every distance's energy (recall 0.81 at 1M x 1536d measured),
+            # while embedding corpora are effectively low-rank — the top-r
+            # eigenvectors carry nearly all neighbourhood structure. The
+            # second-moment matrix is accumulated on device from a ≤64k-row
+            # sample; the [D, D] eigendecomposition runs on host.
+            stride_p = max(n_pad // 2**16, 1)
+            sample_rows = (
+                self.vectors[jnp.asarray(pad_ids[::stride_p])]
+                if big
+                else (fit_data[::stride_p] if stride_p > 1 else fit_data)
+            )
+            cov = jax.lax.dot_general(
+                sample_rows, sample_rows,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            _, evecs = np.linalg.eigh(np.asarray(cov).astype(np.float64))
+            self._proj = jnp.asarray(
+                np.ascontiguousarray(evecs[:, -self.tdim:][:, ::-1]).astype(
+                    np.float32
+                )
+            )
+            del sample_rows
+
         order = np.argsort(lab, kind="stable")
         lab_sorted = lab[order]
         # rank of each point within its cluster
@@ -508,20 +553,7 @@ class IndexIVF:
         from semadb_tpu.vectorstore.kmeans import kmeans_assign
 
         def _pack(rows, col_clusters, fill):
-            """Greedy capacity-bounded packing of `rows` into
-            `col_clusters` (per-row target cluster): returns (placed rows,
-            clusters, slots, updated fill, leftover positions into
-            `rows`)."""
-            order2 = np.argsort(col_clusters, kind="stable")
-            c2s = col_clusters[order2]
-            starts2 = np.searchsorted(c2s, np.arange(Cn))
-            rank2 = np.arange(len(rows)) - starts2[c2s]
-            slot2 = fill[c2s] + rank2
-            ok = slot2 < S
-            fill = fill + np.minimum(
-                np.bincount(col_clusters, minlength=Cn), np.maximum(S - fill, 0)
-            ).astype(np.int32)
-            return rows[order2[ok]], c2s[ok], slot2[ok], fill, order2[~ok]
+            return _pack_greedy(rows, col_clusters, fill, S, Cn)
 
         # Spill relocation (any assignCopies): a primary that misses its
         # full home cluster moves to the next-nearest cluster with a free
@@ -854,6 +886,150 @@ class IndexIVF:
             if len(o_js):
                 self.ovf_ids = self.ovf_ids.at[o_js].set(NIL)
                 self._ovf_free.extend(int(j) for j in o_js)
+        if self._should_refit():
+            self._refit()
+        self._sq_cache = {}
+
+
+    def insert_bulk(self, ids, vecs) -> None:
+        """Array bulk insert — no per-point Python, no host round-trip.
+
+        ``ids``: int array [n] of NEW node ids; ``vecs``: f32 [n, D]
+        (numpy or device-resident). Semantics match
+        :meth:`insert_update_delete` over fresh ids; batches containing
+        existing ids fall back to the generic path. The bulk-load flow
+        (empty index -> one big batch) goes: chunked scatter into
+        ``vectors`` -> placeholder locations -> one refit; a fitted index
+        takes the vectorised greedy packing used by refits.
+        """
+        ids_np = np.asarray(ids, np.int64)
+        n = len(ids_np)
+        if n == 0:
+            return
+        if (ids_np <= 1).any():
+            raise ValueError("cannot modify point with reserved id")
+        if len(np.unique(ids_np)) != n or any(
+            int(i) in self._loc for i in ids_np
+        ):
+            self.insert_update_delete(zip(ids_np.tolist(), np.asarray(vecs)))
+            return
+        self._ensure_capacity(int(ids_np.max()))
+        ids_dev = jnp.asarray(ids_np.astype(np.int32))
+        if isinstance(vecs, jnp.ndarray):
+            self.vectors = self.vectors.at[ids_dev].set(vecs.astype(jnp.float32))
+        else:
+            CH = 131072
+            for off in range(0, n, CH):
+                self.vectors = self.vectors.at[ids_np[off : off + CH]].set(
+                    jnp.asarray(np.asarray(vecs[off : off + CH], np.float32))
+                )
+        fitted = self._n_at_fit > 0
+        if not fitted:
+            self._loc.update((int(i), ("o", -1)) for i in ids_np)
+            if len(self._loc) >= MIN_FIT:
+                self._refit()
+            else:
+                # tiny pre-fit corpus: materialise real overflow entries so
+                # searches before the first fit still see the points
+                for i in ids_np:
+                    self._loc.pop(int(i))
+                self.insert_update_delete(
+                    zip(ids_np.tolist(), np.asarray(jax.device_get(vecs)))
+                )
+            self._sq_cache = {}
+            return
+
+        from semadb_tpu.vectorstore.kmeans import kmeans_assign
+
+        Cn = self.centroids.shape[0]
+        S = self.slab
+        copies = min(self.params.assign_copies, Cn)
+        t_ins = min(max(copies, 2), Cn)
+        topt = np.asarray(kmeans_assign(self.vectors, self.centroids, t_ins, row_ids=ids_dev))
+        fill = self._fill
+        placed_cols = []  # (rows(pos into ids_np), clusters, slots, is_primary)
+        pc = np.full(n, -1, np.int64)
+        still = np.arange(n)
+        for col in range(t_ins):
+            if not len(still):
+                break
+            placed, pcl, psl, fill, left = _pack_greedy(
+                still, topt[still, col], fill, S, Cn
+            )
+            placed_cols.append((placed, pcl, psl, True))
+            pc[placed] = pcl
+            still = still[left]
+        ovf_rows = still
+        if copies > 1:
+            for col in range(1, copies):
+                cand = np.nonzero((pc >= 0) & (topt[:, col] != pc))[0]
+                placed, pcl, psl, fill, _ = _pack_greedy(
+                    cand, topt[cand, col], fill, S, Cn
+                )
+                placed_cols.append((placed, pcl, psl, False))
+        self._fill = fill
+
+        all_rows = np.concatenate([p[0] for p in placed_cols])
+        all_cs = np.concatenate([p[1] for p in placed_cols])
+        all_ss = np.concatenate([p[2] for p in placed_cols])
+        if len(all_rows):
+            self.slab_ids = self.slab_ids.at[all_cs, all_ss].set(
+                ids_np[all_rows].astype(np.int32)
+            )
+            rows_dev = jnp.asarray(ids_np[all_rows].astype(np.int32))
+            if self.pq_active:
+                from semadb_tpu.vectorstore.store import pq_encode
+
+                codes = pq_encode(
+                    self.vectors, self.pq_codebook,
+                    self.pq_config.num_subvectors,
+                    self.pq_config.num_centroids, self.metric,
+                    row_ids=rows_dev,
+                )
+                self.slab_codes = self.slab_codes.at[all_cs, all_ss].set(codes)
+            elif self._proj is not None:
+                self.slabs = self.slabs.at[all_cs, all_ss].set(
+                    _gather_project(self.vectors, rows_dev, self._proj)
+                )
+            else:
+                self.slabs = self.slabs.at[all_cs, all_ss].set(
+                    self.vectors[rows_dev]
+                )
+        if len(ovf_rows):
+            slots = np.array(self._ovf_slots(len(ovf_rows)), np.int32)
+            o_dev = jnp.asarray(ids_np[ovf_rows].astype(np.int32))
+            if self.pq_active:
+                from semadb_tpu.vectorstore.store import pq_encode
+
+                self.ovf_codes = self.ovf_codes.at[slots].set(
+                    pq_encode(
+                        self.vectors, self.pq_codebook,
+                        self.pq_config.num_subvectors,
+                        self.pq_config.num_centroids, self.metric,
+                        row_ids=o_dev,
+                    )
+                )
+            else:
+                ov = (
+                    _gather_project(self.vectors, o_dev, self._proj)
+                    if self._proj is not None
+                    else self.vectors[o_dev]
+                )
+                self.ovf_vecs = self.ovf_vecs.at[slots].set(ov)
+            self.ovf_ids = self.ovf_ids.at[slots].set(
+                ids_np[ovf_rows].astype(np.int32)
+            )
+            for r, j in zip(ovf_rows, slots):
+                self._loc[int(ids_np[r])] = ("o", int(j))
+        for placed, pcl, psl, primary in placed_cols:
+            if primary:
+                for r, c, sl in zip(placed, pcl, psl):
+                    self._loc[int(ids_np[r])] = ("s", int(c), int(sl))
+            else:
+                for r, c, sl in zip(placed, pcl, psl):
+                    self._loc2.setdefault(int(ids_np[r]), []).append(
+                        (int(c), int(sl))
+                    )
         if self._should_refit():
             self._refit()
         self._sq_cache = {}

@@ -64,10 +64,16 @@ class VamanaBench:
         )
         self.index = IndexVamana(params)
 
-    def fit(self, train: np.ndarray) -> float:
+    def fit(self, train) -> float:
         ids = np.arange(2, len(train) + 2, dtype=np.int32)
         t0 = time.time()
-        self.index.insert_update_delete(zip(ids, train))
+        if hasattr(self.index, "insert_bulk"):
+            # Array bulk load: no per-point Python, and device-resident
+            # datasets (tools.datasets.embedding_like_device) never round-
+            # trip through the host at all.
+            self.index.insert_bulk(ids, train)
+        else:
+            self.index.insert_update_delete(zip(ids, np.asarray(train)))
         return time.time() - t0
 
     def query_batch(

@@ -179,10 +179,12 @@ def embedding_like_views(
 def compute_ground_truth(ds: AnnDataset, k: int, block: int = 256) -> np.ndarray:
     """Exact top-k train indices per test query (host, float64 accurate)."""
     out = np.empty((len(ds.test), k), np.int32)
-    tr = ds.train.astype(np.float64)
+    # np.asarray first: device-resident datasets would otherwise silently
+    # stay f32 (jax has no f64 by default) — this path is the f64-exact one
+    tr = np.asarray(ds.train).astype(np.float64)
     tr_sq = (tr * tr).sum(-1)
     for i in range(0, len(ds.test), block):
-        q = ds.test[i : i + block].astype(np.float64)
+        q = np.asarray(ds.test[i : i + block]).astype(np.float64)
         if ds.metric == "cosine":
             d = 1.0 - q @ tr.T
         else:
@@ -231,3 +233,48 @@ def compute_ground_truth_device(
             )
         outs.append(np.asarray(chunk_topk(jnp.asarray(q), corpus)))
     return np.concatenate(outs)[:nq].astype(np.int32)
+
+
+def embedding_like_device(
+    n: int,
+    dim: int,
+    n_queries: int,
+    latent: int = 64,
+    cluster_size: int = 100,
+    spread: float = 0.9,
+    ambient: float = 0.25,
+    metric: str = "euclidean",
+    seed: int = 42,
+) -> AnnDataset:
+    """:func:`embedding_like`, generated ON the accelerator.
+
+    Same mixture model (different RNG stream, so not bit-identical to the
+    host generator). At 1M x 1536d the host generator takes 8-14 minutes
+    on one core and the corpus then costs a 6 GB tunnel upload; on-device
+    generation is ~seconds and the train matrix never leaves the chip
+    (train/test are returned as device arrays — AnnDataset consumers
+    slice them lazily)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_clusters = max(n // cluster_size, 2)
+    kc, ke, kz1, kz2, ka1, ka2, kt1, kt2 = jax.random.split(
+        jax.random.PRNGKey(seed), 8
+    )
+    centers = jax.random.normal(kc, (n_clusters, latent), jnp.float32)
+    emb, _ = jnp.linalg.qr(jax.random.normal(ke, (dim, latent), jnp.float32))
+
+    def sample(m, kz, ka, kt):
+        assign = jax.random.randint(kt, (m,), 0, n_clusters)
+        z = centers[assign] + spread * jax.random.normal(kz, (m, latent), jnp.float32)
+        x = z @ emb.T + ambient * jax.random.normal(ka, (m, dim), jnp.float32)
+        return x
+
+    train = sample(n, kz1, ka1, kt1)
+    test = sample(n_queries, kz2, ka2, kt2)
+    if metric == "cosine":
+        train = train / jnp.maximum(jnp.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+        test = test / jnp.maximum(jnp.linalg.norm(test, axis=1, keepdims=True), 1e-12)
+    return AnnDataset(
+        name=f"embedding-like-dev-{n}x{dim}", metric=metric, train=train, test=test
+    )

@@ -891,7 +891,7 @@ class IndexIVF:
         self._sq_cache = {}
 
 
-    def insert_bulk(self, ids, vecs) -> None:
+    def insert_bulk(self, ids, vecs, defer_fit: bool = False) -> None:
         """Array bulk insert — no per-point Python, no host round-trip.
 
         ``ids``: int array [n] of NEW node ids; ``vecs``: f32 [n, D]
@@ -901,6 +901,12 @@ class IndexIVF:
         (empty index -> one big batch) goes: chunked scatter into
         ``vectors`` -> placeholder locations -> one refit; a fitted index
         takes the vectorised greedy packing used by refits.
+
+        ``defer_fit=True`` skips the trailing refit so the caller can
+        first release its own reference to ``vecs`` (Python keeps the
+        6 GB corpus alive through the whole call chain otherwise —
+        corpus + index during the refit OOMs a 16 GB chip at 1M x
+        1536d); call :meth:`flush_pending` afterwards.
         """
         ids_np = np.asarray(ids, np.int64)
         n = len(ids_np)
@@ -913,21 +919,41 @@ class IndexIVF:
         ):
             self.insert_update_delete(zip(ids_np.tolist(), np.asarray(vecs)))
             return
-        self._ensure_capacity(int(ids_np.max()))
         ids_dev = jnp.asarray(ids_np.astype(np.int32))
-        if isinstance(vecs, jnp.ndarray):
-            self.vectors = self.vectors.at[ids_dev].set(vecs.astype(jnp.float32))
+        contiguous = bool(
+            np.array_equal(ids_np, np.arange(ids_np[0], ids_np[0] + n))
+        )
+        if (
+            isinstance(vecs, jnp.ndarray)
+            and not self._loc
+            and contiguous
+            and len(self.vectors) == self.capacity
+        ):
+            # Adopt a device-resident corpus by padding rows into id
+            # positions: an eager scatter would hold old vectors + new
+            # vectors + the corpus simultaneously (19 GB at 1M x 1536d).
+            new_cap = self.capacity
+            while new_cap <= int(ids_np[-1]):
+                new_cap *= 2
+            lead = int(ids_np[0])
+            self.vectors = jnp.pad(
+                vecs.astype(jnp.float32), ((lead, new_cap - n - lead), (0, 0))
+            )
+            self.capacity = new_cap
         else:
+            self._ensure_capacity(int(ids_np.max()))
             CH = 131072
             for off in range(0, n, CH):
-                self.vectors = self.vectors.at[ids_np[off : off + CH]].set(
-                    jnp.asarray(np.asarray(vecs[off : off + CH], np.float32))
-                )
+                blk = vecs[off : off + CH]
+                if not isinstance(blk, jnp.ndarray):
+                    blk = jnp.asarray(np.asarray(blk, np.float32))
+                self.vectors = self.vectors.at[ids_np[off : off + CH]].set(blk)
         fitted = self._n_at_fit > 0
         if not fitted:
             self._loc.update((int(i), ("o", -1)) for i in ids_np)
             if len(self._loc) >= MIN_FIT:
-                self._refit()
+                if not defer_fit:
+                    self._refit()
             else:
                 # tiny pre-fit corpus: materialise real overflow entries so
                 # searches before the first fit still see the points
@@ -1030,9 +1056,15 @@ class IndexIVF:
                     self._loc2.setdefault(int(ids_np[r]), []).append(
                         (int(c), int(sl))
                     )
-        if self._should_refit():
+        if self._should_refit() and not defer_fit:
             self._refit()
         self._sq_cache = {}
+
+    def flush_pending(self) -> None:
+        """Run the refit a ``defer_fit`` bulk insert postponed."""
+        if self._should_refit():
+            self._refit()
+            self._sq_cache = {}
 
     # -- reads ---------------------------------------------------------------
     def _num_probes(self, requested: int = 0) -> int:

@@ -76,6 +76,23 @@ class VamanaBench:
             self.index.insert_update_delete(zip(ids, np.asarray(train)))
         return time.time() - t0
 
+    def fit_dataset(self, ds) -> float:
+        """:meth:`fit` that takes ownership of ``ds.train``: the corpus
+        reference is dropped BEFORE the deferred re-cluster runs, so a
+        device-resident corpus is not held in HBM next to the index being
+        built (OOMs at 1M x 1536d otherwise)."""
+        n = len(ds.train)
+        ids = np.arange(2, n + 2, dtype=np.int32)
+        t0 = time.time()
+        if hasattr(self.index, "insert_bulk"):
+            self.index.insert_bulk(ids, ds.train, defer_fit=True)
+            ds.train = None
+            self.index.flush_pending()
+        else:
+            self.index.insert_update_delete(zip(ids, np.asarray(ds.train)))
+            ds.train = None
+        return time.time() - t0
+
     def query_batch(
         self, test: np.ndarray, k: int, batch: int = 1024, search_size: int = 0
     ):
@@ -131,6 +148,7 @@ def run(
             gt = compute_ground_truth_device(gt_ds, k)
         else:
             gt = compute_ground_truth(gt_ds, k)
+        del gt_ds  # drop the extra train reference before the build
     stage(f"ground truth done ({n_gt} queries)")
     # Dataset difficulty diagnostic: mean distance to the k-th true
     # neighbour over mean random-pair distance (SIFT ≈ 0.45-0.5; higher
@@ -144,9 +162,10 @@ def run(
     rb = rng_m.integers(0, len(ds.train), 4096)
     drand = np.linalg.norm(ds.train[ra] - ds.train[rb], axis=1).mean()
     margin = float(dk / max(drand, 1e-12))
+    n_train = len(ds.train)
     bench = VamanaBench(dim=ds.train.shape[1], metric=ds.metric, **index_kw)
-    stage(f"fit start n={len(ds.train)}")
-    build_s = bench.fit(ds.train)
+    stage(f"fit start n={n_train}")
+    build_s = bench.fit_dataset(ds)
     stage(f"fit done {build_s:.1f}s")
     op = query_search_size or num_probes
     # warmup
@@ -160,7 +179,7 @@ def run(
     return {
         "dataset": ds.name,
         "metric": ds.metric,
-        "n": len(ds.train),
+        "n": n_train,
         "recall@10": round(recall, 4),
         "qps": round(len(ds.test) / wall, 1),
         "build_s": round(build_s, 1),

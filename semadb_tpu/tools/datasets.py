@@ -8,6 +8,7 @@ for the zero-egress environment.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -197,7 +198,7 @@ def compute_ground_truth(ds: AnnDataset, k: int, block: int = 256) -> np.ndarray
 
 
 def compute_ground_truth_device(
-    ds: AnnDataset, k: int, qchunk: int = 512
+    ds: AnnDataset, k: int, qchunk: int = 0
 ) -> np.ndarray:
     """Exact top-k train indices per test query, computed on the
     accelerator (chunked [qchunk, N] scan + top_k).
@@ -213,6 +214,11 @@ def compute_ground_truth_device(
     from semadb_tpu.ops.distance import pairwise_distance
 
     corpus = jnp.asarray(ds.train)
+    if not qchunk:
+        # top_k over [q, N] sorts with ~3x workspace; size the chunk so
+        # that stays ~1.5 GB even when a device-resident corpus already
+        # holds several GB of HBM.
+        qchunk = int(min(512, max(64, 2**27 // max(len(ds.train), 1))))
 
     # corpus must be an ARGUMENT, not a closure capture: captured arrays
     # are baked into the program as constants, and the axon tunnel ships
@@ -264,6 +270,10 @@ def embedding_like_device(
     centers = jax.random.normal(kc, (n_clusters, latent), jnp.float32)
     emb, _ = jnp.linalg.qr(jax.random.normal(ke, (dim, latent), jnp.float32))
 
+    # jit so the ambient-noise draw fuses into the output sum — eager
+    # dispatch would materialise noise + z@emb + x separately (3 x 6.1 GB
+    # transients at 1M x 1536d).
+    @functools.partial(jax.jit, static_argnames=("m",))
     def sample(m, kz, ka, kt):
         assign = jax.random.randint(kt, (m,), 0, n_clusters)
         z = centers[assign] + spread * jax.random.normal(kz, (m, latent), jnp.float32)

@@ -21,21 +21,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512  # ids per grid program
+TILE = 1024  # ids per grid program (matches XLA's 1-D s32 tile layout)
 NBUF = 16  # DMA descriptors in flight
 
 
 def _gather_kernel(ids_ref, hbm_ref, out_ref, sems):
-    """One grid program gathers TILE rows: ids_ref i32[n] (scalar-prefetch,
-    SMEM), hbm_ref f32[cap, D] (stays in HBM), out_ref f32[TILE, D] (VMEM
-    block). Row DMAs are issued NBUF ahead of the in-order wait so the DMA
-    engines always have a full queue."""
-    t = pl.program_id(0)
-    base = t * TILE
+    """One grid program gathers TILE rows: ids_ref i32[TILE] (this
+    program's id block, SMEM — the full id list would blow the 1 MB SMEM
+    as a scalar-prefetch operand), hbm_ref f32[cap, D] (stays in HBM),
+    out_ref f32[TILE, D] (VMEM block). Row DMAs are issued NBUF ahead of
+    the in-order wait so the DMA engines always have a full queue."""
 
     def dma(j):
         return pltpu.make_async_copy(
-            hbm_ref.at[ids_ref[base + j]],
+            hbm_ref.at[ids_ref[j]],
             out_ref.at[j],
             sems.at[jax.lax.rem(j, NBUF)],
         )
@@ -69,19 +68,16 @@ def gather_rows(vectors: jax.Array, ids: jax.Array) -> jax.Array:
     n = ids.shape[0]
     assert n % TILE == 0, n
     d = vectors.shape[1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n // TILE,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (TILE, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((NBUF,))],
-    )
     return pl.pallas_call(
         _gather_kernel,
         out_shape=jax.ShapeDtypeStruct((n, d), vectors.dtype),
-        grid_spec=grid_spec,
+        grid=(n // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((TILE, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((NBUF,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ids, vectors)
 

@@ -140,9 +140,9 @@ def run(
         gt = ds.neighbors[:n_gt, :k]
     else:
         gt_ds = AnnDataset(ds.name, ds.metric, ds.train, ds.test[:n_gt])
-        if len(ds.train) * ds.train.shape[1] >= 5 * 10**7:
-            # Host f64 GT at this scale is hours on one core; the device
-            # scan is exact at f32 HIGHEST and takes ~a minute.
+        if len(ds.train) * ds.train.shape[1] >= 4 * 10**6:
+            # Host f64 GT past ~4M train elements is minutes-to-hours on
+            # one core; the device scan is exact at f32 HIGHEST.
             from semadb_tpu.tools.datasets import compute_ground_truth_device
 
             gt = compute_ground_truth_device(gt_ds, k)

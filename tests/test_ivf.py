@@ -597,3 +597,40 @@ def test_shard_ivf_assign_copies_e2e(tmp_path):
     res2 = sh2.search_points(req)
     assert res2[0].point.id == _uuid.UUID(int=6)
     sh2.close()
+
+
+def test_bf16_slab_traversal(monkeypatch):
+    """Past SLAB_BF16_BYTES the traversal slabs store bf16 (norms stay
+    f32, rerank exact f32): recall must hold, incremental inserts must
+    keep slab_sq consistent, and persistence must round-trip the dtype."""
+    import jax.numpy as jnp
+
+    import semadb_tpu.index.ivf as ivfmod
+    from semadb_tpu.tools.datasets import embedding_like
+
+    monkeypatch.setattr(ivfmod, "SLAB_BF16_BYTES", 1)
+    ds = embedding_like(6000, 32, 64, latent=16, seed=8, spread=0.5)
+    ids = np.arange(2, 6002, dtype=np.int32)
+    idx = ivfmod.IndexIVF(
+        VectorIVFParams(vector_size=32, distance_metric="euclidean", assign_copies=2)
+    )
+    idx.insert_update_delete(zip(ids, ds.train))
+    assert idx.slabs.dtype == jnp.bfloat16
+    dd = (
+        (ds.test[:, None, :].astype(np.float64) - ds.train[None].astype(np.float64))
+        ** 2
+    ).sum(-1)
+    gt = np.argsort(dd, 1)[:, :10] + 2
+    _, i_ = idx.search_batch(ds.test, 10, num_probes=16)
+    rec = np.mean([len(set(i_[b]) & set(gt[b])) / 10 for b in range(64)])
+    assert rec >= 0.98, rec
+    # post-fit inserts land in bf16 slabs with a consistent norm cache
+    nv = RNG.standard_normal(32).astype(np.float32)
+    idx.insert_update_delete([(90001, nv)])
+    _, hit = idx.search_batch(nv, 1, num_probes=24)
+    assert hit[0][0] == 90001
+    idx2 = ivfmod.IndexIVF.from_arrays(idx.params, idx.to_arrays())
+    assert idx2.slabs.dtype == jnp.bfloat16
+    _, a = idx.search_batch(ds.test, 10, num_probes=16)
+    _, b = idx2.search_batch(ds.test, 10, num_probes=16)
+    assert np.array_equal(a, b)

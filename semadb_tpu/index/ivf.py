@@ -82,6 +82,9 @@ PROJ_DIM = int(os.environ.get("SEMADB_IVF_PROJ_DIM", 128))
 # TPU-native storage type; norms stay f32 and the rerank is exact f32, so
 # only the coarse cross term carries rounding). Force with =0.
 SLAB_BF16_BYTES = int(os.environ.get("SEMADB_IVF_SLAB_BF16_BYTES", 2**32))
+# approx_max_k for probe selection (exact top_k over [B, C] dominates at
+# C >= 2^17); recall effect is a few borderline probes swapped
+APPROX_PROBE_MIN_C = int(os.environ.get("SEMADB_IVF_APPROX_PROBE_MIN_C", 2**17))
 # Full [B, O] overflow distance matrix cap before the scan chunks it
 OVF_CHUNK_BYTES = 2**26
 
@@ -200,7 +203,11 @@ def _ivf_query(
 
     # 1. probe selection: one dense [B, C] contraction on the MXU
     cd = cent_sq[None, :] - 2.0 * (qp @ centroids.T)
-    _, probe = jax.lax.top_k(-cd, p)  # [B, p]
+    if centroids.shape[0] >= APPROX_PROBE_MIN_C:
+        _, probe = jax.lax.approx_max_k(-cd, p)  # [B, p]
+        probe = probe.astype(jnp.int32)
+    else:
+        _, probe = jax.lax.top_k(-cd, p)  # [B, p]
 
     # 2. probe-chunked slab scoring (full [B,p,S,D] would be gigabytes)
     def score_chunk(_, pr):  # pr: [B, pchunk]
@@ -547,7 +554,9 @@ class IndexIVF:
         ids = np.fromiter(self._loc.keys(), np.int32, len(self._loc))
         n = len(ids)
         D = self.params.vector_size
-        Cn = _npow2(max(n // TARGET_CLUSTER_SIZE, 1), 16, 65536)
+        Cn = self.params.num_clusters or _npow2(
+            max(n // TARGET_CLUSTER_SIZE, 1), 16, 65536
+        )
         S = self.slab
         # Pad the fit input by tiling real point IDS (duplicates only nudge
         # centroid means): every distinct shape would otherwise recompile

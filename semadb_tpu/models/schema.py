@@ -125,6 +125,7 @@ class VectorIVFParams:
     vector_size: int
     distance_metric: str
     num_probes: int = 0  # 0 = auto
+    num_clusters: int = 0  # 0 = auto (N / 24, capped)
     slab_size: int = 0  # 0 = default (64)
     # SOAR-style spilled assignment: each point is stored in its
     # `assignCopies` nearest clusters (best-effort past the first), so
@@ -148,6 +149,10 @@ class VectorIVFParams:
         if self.num_probes and not (1 <= self.num_probes <= 1024):
             raise ValidationError(
                 f"numProbes must be between 1 and 1024, got {self.num_probes}"
+            )
+        if self.num_clusters and not (16 <= self.num_clusters <= 2**18):
+            raise ValidationError(
+                f"numClusters must be between 16 and 262144, got {self.num_clusters}"
             )
         if self.quantizer is not None and self.quantizer.type not in (
             C.QUANTIZER_NONE, C.QUANTIZER_PRODUCT
@@ -181,6 +186,7 @@ class VectorIVFParams:
             vector_size=int(d["vectorSize"]),
             distance_metric=d["distanceMetric"],
             num_probes=int(d.get("numProbes", 0)),
+            num_clusters=int(d.get("numClusters", 0)),
             slab_size=int(d.get("slabSize", 0)),
             assign_copies=int(d.get("assignCopies", 1)),
             quantizer=Quantizer.from_dict(d.get("quantizer")),
@@ -190,6 +196,8 @@ class VectorIVFParams:
         out: dict = {"vectorSize": self.vector_size, "distanceMetric": self.distance_metric}
         if self.num_probes:
             out["numProbes"] = self.num_probes
+        if self.num_clusters:
+            out["numClusters"] = self.num_clusters
         if self.slab_size:
             out["slabSize"] = self.slab_size
         if self.assign_copies != 1:

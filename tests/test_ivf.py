@@ -634,3 +634,23 @@ def test_bf16_slab_traversal(monkeypatch):
     _, a = idx.search_batch(ds.test, 10, num_probes=16)
     _, b = idx2.search_batch(ds.test, 10, num_probes=16)
     assert np.array_equal(a, b)
+
+
+def test_chunked_overflow_scan(monkeypatch):
+    """Past OVF_CHUNK_BYTES the overflow scan blocks the [B, O] distance
+    matrix and carries per-chunk top slices — results must stay exact for
+    self-queries (a pathological pool at 10M scale would otherwise need a
+    48 GB buffer and fail to compile)."""
+    import semadb_tpu.index.ivf as ivfmod
+
+    monkeypatch.setattr(ivfmod, "OVF_CHUNK_BYTES", 1)
+    vecs = RNG.standard_normal((300, 32)).astype(np.float32)
+    ids = np.arange(2, 302, dtype=np.int32)
+    idx = ivfmod.IndexIVF(
+        VectorIVFParams(vector_size=32, distance_metric="euclidean")
+    )
+    idx.insert_update_delete(zip(ids, vecs))  # below MIN_FIT: all overflow
+    d, i = idx.search_batch(vecs[:8], 5)
+    assert (i[:, 0] == ids[:8]).all()
+    exact = exact_top(vecs, ids, vecs[3], 5)
+    assert [int(x) for x in i[3]] == list(exact)

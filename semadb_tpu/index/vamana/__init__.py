@@ -193,6 +193,34 @@ class IndexVamana:
             if self.store.fitted:
                 self.store.encode_rows(self.state.vectors, ids)
 
+    def refine(self, passes: int = 1, batch: int = INSERT_CHUNK) -> None:
+        """Re-run the insert procedure (greedy search → robustPrune →
+        backedges) for every live node on the current graph.
+
+        MEASURED at 1M x 128d: this does NOT lift the fresh-build recall
+        plateau (0.9962 → 0.9911 after one pass) — re-pruning against the
+        complete graph's dense candidate pools strips long-range edges the
+        incremental build kept, a known failure mode of naive second
+        passes (BENCHMARKS.md negative results). Use it to re-link a graph
+        degraded by MASS DELETES (where repair only patched neighbourhoods
+        locally), not to polish a fresh build.
+        """
+        exists = np.asarray(self.state.exists)
+        ids = np.nonzero(exists)[0].astype(np.int32)
+        ids = ids[ids != START_ID]
+        if not len(ids):
+            return
+        # One bulk readback of the live vectors (per-chunk device slicing
+        # would cost a ~35ms tunnel roundtrip per chunk).
+        vecs = np.asarray(self.state.vectors[jnp.asarray(ids)])
+        for _ in range(passes):
+            for i in range(0, len(ids), batch):
+                self.state = insert_batch(
+                    self.state, ids[i : i + batch], vecs[i : i + batch],
+                    self.config, self.params.search_size,
+                )
+        self._entry_seeds = None
+
     # -- reads -------------------------------------------------------------
     def search_batch_async(
         self,

@@ -243,3 +243,43 @@ def test_mass_delete_many_components_terminates():
     # Every survivor is findable by exact-match search
     d, i = idx.search_batch(vecs[::per], k=1, search_size=64)
     assert list(i[:, 0]) == list(keep)
+
+
+def test_refine_keeps_invariants_and_recall():
+    """refine() re-links every node against the current graph: recall must
+    hold (within noise) and edges must stay valid/degree-bounded. (At 1M
+    scale a naive refine measurably HURTS a fresh build — see BENCHMARKS
+    negative results — but it must remain safe to run.)"""
+    import numpy as np
+
+    from semadb_tpu.index.vamana import IndexVamana
+    from semadb_tpu.models.schema import VectorVamanaParams
+    from semadb_tpu.tools.datasets import embedding_like
+
+    ds = embedding_like(8000, 32, 64, latent=16, seed=6, spread=0.5)
+    ids = np.arange(2, 8002, dtype=np.int32)
+    p = VectorVamanaParams(
+        vector_size=32, distance_metric="euclidean",
+        search_size=75, degree_bound=32, alpha=1.2,
+    )
+    idx = IndexVamana(p)
+    idx.insert_update_delete(zip(ids, ds.train))
+    dd = (
+        (ds.test[:, None, :].astype(np.float64) - ds.train[None].astype(np.float64))
+        ** 2
+    ).sum(-1)
+    gt = np.argsort(dd, 1)[:, :10] + 2
+
+    def rec():
+        _, i_ = idx.search_batch(ds.test, 10, search_size=75)
+        return np.mean([len(set(i_[b]) & set(gt[b])) / 10 for b in range(64)])
+
+    r0 = rec()
+    idx.refine()
+    r1 = rec()
+    assert r1 >= r0 - 0.01, (r0, r1)
+    adj = np.asarray(idx.state.adjacency)
+    ex = np.asarray(idx.state.exists)
+    live_edges = adj[ids]
+    ok = (live_edges == -1) | ex[np.clip(live_edges, 0, len(ex) - 1)]
+    assert ok.all(), "edge to non-existent node after refine"

@@ -69,7 +69,9 @@ def _preflight() -> None:
     import subprocess
 
     probe = "import jax; jax.numpy.zeros(8).block_until_ready(); print('ok')"
-    for attempt in range(6):
+    # 20 attempts: a crashed/restarting TPU worker (observed after OOM
+    # stress) can take ~25 minutes to come back.
+    for attempt in range(20):
         r = subprocess.run(
             [sys.executable, "-c", probe], capture_output=True, timeout=300
         )
@@ -77,7 +79,7 @@ def _preflight() -> None:
             return
         print(
             f"# tpu preflight attempt {attempt + 1} failed, retrying in 60s",
-            file=sys.stderr,
+            file=sys.stderr, flush=True,
         )
         time.sleep(60)
 

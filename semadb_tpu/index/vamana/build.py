@@ -46,6 +46,13 @@ from semadb_tpu.ops.topk import INF, sort_by_distance
 
 # Chunk sizes for fixed-shape repair kernels (host loops over chunks)
 OVERFLOW_CHUNK = 1024
+# Forward-edge slack: robustPrune stops at degree_bound - FWD_SLACK edges,
+# leaving reserved row slots for symmetric backedges (inbound edges are
+# what make a point FINDABLE; when fresh rows are full, backedges go
+# through the overflow re-prune, which can drop them). Experiment knob.
+import os as _os
+
+FWD_SLACK = int(_os.environ.get("SEMADB_VAMANA_FWD_SLACK", 0))
 DELETE_CHUNK = 256
 
 # Build counters for the bench/profiling harness (the reference logs
@@ -97,6 +104,7 @@ def robust_prune_batch(
     """
     B, C = cand_i.shape
     R = config.degree_bound
+    r_stop = max(R - FWD_SLACK, 8)
     alpha = jnp.float32(config.alpha)
     jidx = jnp.arange(C, dtype=jnp.int32)
 
@@ -111,11 +119,11 @@ def robust_prune_batch(
 
     def not_done(carry):
         dead, count, adj = carry
-        return jnp.any(~dead & (count < R)[:, None])
+        return jnp.any(~dead & (count < r_stop)[:, None])
 
     def body(carry):
         dead, count, adj = carry
-        live = ~dead & (count < R)[:, None]
+        live = ~dead & (count < r_stop)[:, None]
         sel = jnp.any(live, axis=-1)  # [B]
         pos = jnp.argmax(live, axis=-1)  # first live candidate per row
         cid = jnp.take_along_axis(cand_i, pos[:, None], axis=-1)[:, 0]

@@ -4,38 +4,54 @@ No reference counterpart: SemaDB ships flat + Vamana only. This index
 exists because the TPU prefers dense contraction over pointer chasing: a
 graph walk gathers scattered 512-byte rows (measured ~42 GB/s, issue-bound
 at ~13 ns/row), while IVF reads whole cluster *slabs* — contiguous
-[S, D] blocks that gather at ~4x the row rate — and burns the rest on the
-MXU. Measured head-to-head on 100k x 128d (one v5e chip): IVF 107k QPS @
-recall 1.000 vs Vamana 80k @ 0.9998 at the same moment.
+[S, tdim] blocks — and burns the rest on the MXU. Measured on one v5e:
+1M x 128d recall 1.0000 at 22-27x the reference's published SIFT1M QPS;
+1M x 1536d recall 0.9999 at 145x its dbpedia v2-PQ row; 10M x 128d
+serves from a single chip (BENCHMARKS.md).
 
-Layout:
-  - ``centroids f32[C, D]``  — k-means coarse quantizer
-    (vectorstore.kmeans.kmeans_fit_large, single-dispatch segment-sum fit)
-  - ``slabs f32[C, S, D]``   — cluster members, zero-padded to S slots
-  - ``slab_ids i32[C, S]``   — node id per slot (-1 = empty)
-  - overflow pool ``f32[O, D]`` + ids — cluster spill + not-yet-clustered
-    inserts; scanned densely (one matmul) on every query, so correctness
-    never depends on the clustering being fresh.
+Layout (traversal state is separate from the exact-rerank state):
+  - ``vectors f32[cap, D]``   — per-node full-precision rows, the source
+    of truth for CRUD/refits and the exact rerank
+  - ``centroids f32[C, D]``   — k-means coarse quantizer
+    (vectorstore.kmeans.kmeans_fit_large, row-blocked assignment)
+  - ``slabs [C, S, tdim]``    — cluster members, zero-padded to S slots;
+    f32 or bf16 (auto past SLAB_BF16_BYTES), stored PROJECTED to the
+    corpus' top-``PROJ_DIM`` principal subspace when D > PROJ_DIM (ADC
+    table lookups are random-access-bound on TPU: 242 vs 35,009 QPS
+    measured at 1M x 1536d)
+  - ``slab_sq f32[C, S]``     — per-slot norms (computed from f32 rows)
+  - ``slab_ids i32[C, S]``    — node id per slot (-1 = empty)
+  - overflow pool + ids       — points whose home AND relocation clusters
+    were all full, plus not-yet-clustered inserts; scanned densely (and
+    chunked past OVF_CHUNK_BYTES) so correctness never depends on the
+    clustering being fresh. Spill RELOCATION (next-nearest cluster with
+    room, up to RELOC_T candidates) keeps this pool near-empty — it is a
+    dense every-query matmul (5x QPS loss measured when 6.5% spilled).
 
-Query = one [B, C] centroid matmul -> top-p probe ids -> slab gather +
-exact distances (probe-chunked so the gathered block stays ~1 GB) ->
-overflow scan -> coarse top-R pool -> exact f32 rerank -> top-k. The
-default-precision scoring matmul runs in bf16 passes; the f32 rerank
-restores exact ordering (recall 0.9925 -> 1.000 measured).
+Placement: each point lands in its nearest cluster with room; with
+``assignCopies`` > 1, SOAR-style secondary copies go to the next-nearest
+clusters best-effort (boundary points are the dominant probe-miss mode;
+copies=2 lifted 1M recall 0.982 -> 1.000). The query pool dedups copies.
 
-With a product quantizer (IVF-PQ, the industry-standard layout for
-memory-bound corpora; reference quantizer: product.go:136-305), slabs and
-the overflow pool hold u8 PQ codes instead of f32 — D*4/M x smaller — and
-scoring is ADC table lookups (one f32[B, M, K] table per query batch)
-followed by the same exact f32 rerank from the per-node vectors matrix.
-The codebook fits once at the quantizer's trigger threshold.
+Query = one [B, C] centroid matmul in traversal space -> top-p probe ids
+(approx_max_k past APPROX_PROBE_MIN_C clusters) -> probe-chunked slab
+gather + MXU scoring -> overflow scan -> coarse pool -> EXACT f32 rerank
+from ``vectors`` -> top-k. Coarse scoring runs one-pass bf16; the rerank
+restores exact ordering.
 
-Writes go to the overflow pool or straight into a slab with room; the
-index refits (k-means + repack, all device-side except one [N] label
-readback) when the live count doubles or the overflow pool outgrows its
-share. Deletes blank the slot in place. All vector data lives on device:
-CRUD keeps only id->location host mirrors, and refits gather the corpus
-from the device-resident ``vectors`` matrix.
+With a product quantizer at D <= PROJ_DIM (IVF-PQ; reference quantizer:
+product.go:136-305), slabs hold u8 PQ codes and scoring is ADC table
+lookups followed by the same exact rerank. Above PROJ_DIM the projected
+path replaces ADC regardless of quantizer config (measured 145x faster
+at equal recall).
+
+Writes: ``insert_update_delete`` places per point (relocating on full
+homes); ``insert_bulk`` adopts whole arrays — device-resident corpora
+never round-trip through the host — with vectorised greedy packing and
+an optionally deferred first refit. The index refits (k-means + repack,
+gather-built slabs, all device-side except one [N] label readback) when
+the live count doubles or the overflow pool outgrows its share. Deletes
+blank every copy's slot in place.
 """
 
 from __future__ import annotations
@@ -52,7 +68,7 @@ from semadb_tpu.models.schema import VectorIVFParams
 from semadb_tpu.ops.distance import pairwise_distance
 from semadb_tpu.vectorstore.kmeans import kmeans_fit_large
 
-import os
+import os  # noqa: E402  (env-tunable engine knobs below)
 
 NIL = -1
 # Slab slots per cluster: ~2.5x the target mean cluster size, so only the

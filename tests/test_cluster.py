@@ -377,3 +377,66 @@ def test_hbm_budget_evicts_and_reloads(tmp_path):
         res = mgr.do_with_shard(col, f"s{s}", lambda sh: sh.search_points(req))
         assert res[0].point.id == uuid_mod.UUID(int=100 * s + 8), f"shard s{s}"
     mgr.unload_all()
+
+
+def test_hbm_budget_evicts_and_reloads_ivf(tmp_path):
+    """Same LRU budget contract for the IVF engine, whose device state now
+    carries SOAR copies, slab norms, and (at high dim) a PCA projection —
+    eviction must serialize all of it and reload with identical results."""
+    import uuid as uuid_mod
+
+    import numpy as np
+
+    from semadb_tpu.cluster.shardmgr import ShardManager
+    from semadb_tpu.models import (
+        Collection,
+        IndexSchema,
+        Point,
+        SearchRequest,
+        UserPlan,
+    )
+
+    schema = IndexSchema.from_dict(
+        {
+            "v": {
+                "type": "vectorIVF",
+                "vectorIVF": {
+                    "vectorSize": 160,  # > PROJ_DIM: projected traversal
+                    "distanceMetric": "euclidean",
+                    "assignCopies": 2,
+                },
+            }
+        }
+    )
+    col = Collection(user_id="u", id="c", index_schema=schema, user_plan=UserPlan())
+    mgr = ShardManager(str(tmp_path), shard_timeout=300.0, max_cache_size=200_000)
+    rng = np.random.default_rng(5)
+    vecs = {}
+
+    def insert(shard, base):
+        vs = rng.standard_normal((600, 160)).astype(np.float32)
+        vecs[base] = vs
+        pts = [
+            Point.from_map({"v": vs[i].tolist()}, uuid_mod.UUID(int=base + i + 1))
+            for i in range(len(vs))
+        ]
+        shard.insert_points(pts)
+
+    for s in range(3):
+        mgr.do_with_shard(col, f"s{s}", lambda sh, s=s: insert(sh, 1000 * (s + 1)))
+    assert mgr.hbm_budget.evictions > 0, "budget should have evicted indices"
+
+    for s in range(3):
+        base = 1000 * (s + 1)
+        req = SearchRequest.from_dict(
+            {
+                "query": {
+                    "property": "v",
+                    "vectorIVF": {"vector": vecs[base][7].tolist(), "limit": 1},
+                },
+                "limit": 1,
+            }
+        )
+        res = mgr.do_with_shard(col, f"s{s}", lambda sh: sh.search_points(req))
+        assert res[0].point.id == uuid_mod.UUID(int=base + 8), f"shard s{s}"
+    mgr.unload_all()

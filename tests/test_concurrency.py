@@ -206,3 +206,55 @@ def search_req_vec(v, limit=5):
             "limit": limit,
         }
     )
+
+
+def test_ivf_search_while_insert():
+    """The IVF engine under concurrent readers/writers through the shard
+    API: searches must always answer with valid live points while another
+    thread streams inserts (triggering at least one device-side refit)."""
+    ivf_schema = IndexSchema.from_dict(
+        {
+            "v": {
+                "type": "vectorIVF",
+                "vectorIVF": {
+                    "vectorSize": 8,
+                    "distanceMetric": "euclidean",
+                    "assignCopies": 2,
+                },
+            }
+        }
+    )
+    shard = Shard(
+        open_store(""),
+        Collection(user_id="u", id="c", index_schema=ivf_schema, user_plan=UserPlan()),
+    )
+    base = [
+        Point.from_map({"v": RNG.standard_normal(8).astype(float).tolist()},
+                       uuid.UUID(int=i + 1))
+        for i in range(700)
+    ]
+    shard.insert_points(base)  # past MIN_FIT: fitted state
+
+    stop = threading.Event()
+    def writer():
+        for r in range(6):
+            more = [
+                Point.from_map({"v": RNG.standard_normal(8).astype(float).tolist()},
+                               uuid.UUID(int=10_000 + r * 100 + i))
+                for i in range(100)
+            ]
+            shard.insert_points(more)
+        stop.set()
+
+    def reader():
+        req = SearchRequest.from_dict(
+            {"query": {"property": "v", "vectorIVF": {
+                "vector": [0.0] * 8, "limit": 5}}, "limit": 5}
+        )
+        while not stop.is_set():
+            res = shard.search_points(req)
+            assert 1 <= len(res) <= 5
+            assert all(r.point.id is not None for r in res)
+
+    run_threads([writer, reader, reader])
+    shard.close()

@@ -26,7 +26,6 @@ from jax.sharding import PartitionSpec as P
 
 from semadb_tpu.index.vamana.graph import GraphConfig, GraphState
 from semadb_tpu.index.vamana.search import search as local_search
-from semadb_tpu.ops.topk import sort_by_distance
 from semadb_tpu.parallel.mesh import SHARD_AXIS
 
 

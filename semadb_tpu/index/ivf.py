@@ -255,7 +255,14 @@ def _ivf_query(
             ovf_ids if opad == O
             else jnp.pad(ovf_ids, (0, opad - O), constant_values=NIL)
         )
-        keep = min(max(RERANK_POOL, RERANK_POOL_PQ if proj is not None else 0), ob)
+        # Per-chunk carry must never be shallower than the final rerank
+        # pool `rr` (below, incl. the 2*k floor) — a shallower slice
+        # could truncate true neighbours living in a huge pool before
+        # the exact rerank ever sees them.
+        keep = min(
+            max(RERANK_POOL_PQ if proj is not None else RERANK_POOL, 2 * k),
+            ob,
+        )
 
         def ovf_chunk(_, x):
             v, sq_, i_ = x
@@ -591,6 +598,11 @@ class IndexIVF:
             # this scale (doubling refit schedule) and pow2 padding would
             # waste up to 2x fit compute.
             n_pad = -(-n // 4096) * 4096
+        # A user numClusters override can exceed the (padded) fit row
+        # count on the first small fit — kmeans' replace=False centroid
+        # seeding needs Cn ≤ rows. Clamp like the auto path; later,
+        # larger refits restore the requested count.
+        Cn = min(Cn, n_pad)
         pad_ids = ids if n_pad == n else ids[np.arange(n_pad) % n]
         pad_ids_dev = jnp.asarray(pad_ids)
         # Past ~256 MB the [n_pad, D] gather copy meaningfully raises peak
@@ -930,14 +942,7 @@ class IndexIVF:
                 if not placed:
                     ovf_writes.append((node_id, j))
             if removals:
-                s_cs = np.array([l[1] for l in removals if l[0] == "s"], np.int32)
-                s_ss = np.array([l[2] for l in removals if l[0] == "s"], np.int32)
-                o_js = np.array([l[1] for l in removals if l[0] == "o"], np.int32)
-                if len(s_cs):
-                    self.slab_ids = self.slab_ids.at[s_cs, s_ss].set(NIL)
-                if len(o_js):
-                    self.ovf_ids = self.ovf_ids.at[o_js].set(NIL)
-                    self._ovf_free.extend(int(j) for j in o_js)
+                self._apply_removals(removals)
                 removals = []
             if ovf_writes:
                 if (
@@ -981,17 +986,33 @@ class IndexIVF:
                     np.array([w[0] for w in slab_writes], np.int32)
                 )
         if removals:
-            s_cs = np.array([l[1] for l in removals if l[0] == "s"], np.int32)
-            s_ss = np.array([l[2] for l in removals if l[0] == "s"], np.int32)
-            o_js = np.array([l[1] for l in removals if l[0] == "o"], np.int32)
-            if len(s_cs):
-                self.slab_ids = self.slab_ids.at[s_cs, s_ss].set(NIL)
-            if len(o_js):
-                self.ovf_ids = self.ovf_ids.at[o_js].set(NIL)
-                self._ovf_free.extend(int(j) for j in o_js)
+            self._apply_removals(removals)
         if self._should_refit():
             self._refit()
         self._sq_cache = {}
+
+    def _apply_removals(self, removals: list) -> None:
+        """Blank removed locations on device. Deferred-fit placeholders
+        ``("o", -1)`` have no device state — dropping them here is the
+        whole removal (a -1 would otherwise blank the LAST real overflow
+        slot via negative indexing and poison ``_ovf_free`` with -1)."""
+        s_cs = np.array([l[1] for l in removals if l[0] == "s"], np.int32)
+        s_ss = np.array([l[2] for l in removals if l[0] == "s"], np.int32)
+        o_js = np.array(
+            [l[1] for l in removals if l[0] == "o" and l[1] >= 0], np.int32
+        )
+        if len(s_cs):
+            self.slab_ids = self.slab_ids.at[s_cs, s_ss].set(NIL)
+        if len(o_js):
+            self.ovf_ids = self.ovf_ids.at[o_js].set(NIL)
+            self._ovf_free.extend(int(j) for j in o_js)
+
+    def _has_placeholders(self) -> bool:
+        """True while any deferred-fit ``("o", -1)`` location exists (a
+        bulk insert with ``defer_fit`` whose refit hasn't run yet)."""
+        return any(
+            l[0] == "o" and l[1] < 0 for l in self._loc.values()
+        )
 
 
     def insert_bulk(self, ids, vecs, defer_fit: bool = False) -> None:
@@ -1174,8 +1195,13 @@ class IndexIVF:
         self._sq_cache = {}
 
     def flush_pending(self) -> None:
-        """Run the refit a ``defer_fit`` bulk insert postponed."""
-        if self._should_refit():
+        """Run the refit a ``defer_fit`` bulk insert postponed.
+
+        Also forces a refit when placeholder ``("o", -1)`` locations
+        exist even if the doubling predicate doesn't fire (deletes can
+        shrink the live count below MIN_FIT while placeholders linger —
+        they carry no device state, so a search would miss them)."""
+        if self._should_refit() or self._has_placeholders():
             self._refit()
             self._sq_cache = {}
 
@@ -1326,6 +1352,10 @@ class IndexIVF:
 
     # -- persistence ----------------------------------------------------------
     def to_arrays(self) -> dict:
+        if self._has_placeholders():
+            # Deferred-fit placeholders have no device state — a snapshot
+            # taken now would silently drop those points. Materialise them.
+            self.flush_pending()
         out = {
             "centroids": np.asarray(self.centroids),
             "slabs": np.asarray(self.slabs),
@@ -1365,7 +1395,29 @@ class IndexIVF:
         if "proj" in arrays:
             idx._proj = jnp.asarray(arrays["proj"])
             idx.tdim = idx._proj.shape[1]
+        else:
+            # Pre-projection snapshot (or D ≤ PROJ_DIM): the stored
+            # slabs/centroids are in the snapshot's own traversal space —
+            # score there, never with this process' fresh random basis
+            # (a mismatched basis mis-scores every slab row).
+            idx._proj = None
+            idx.tdim = int(idx.slabs.shape[-1])
         if "pq_codebook" in arrays:
+            if idx.pq_config is None:
+                # Old snapshots encoded PQ above PROJ_DIM (where ADC is
+                # now disabled at construction): rebuild the config from
+                # the quantizer params so the codes stay readable.
+                from semadb_tpu.vectorstore.store import QuantConfig
+
+                q = params.quantizer
+                if q is None or q.type != C.QUANTIZER_PRODUCT:
+                    raise ValueError(
+                        "snapshot holds PQ codes but params carry no "
+                        "product quantizer config"
+                    )
+                idx.pq_config = QuantConfig.from_params(
+                    q, params.vector_size, idx.metric
+                )
             idx.pq_codebook = jnp.asarray(arrays["pq_codebook"])
             idx.slab_codes = jnp.asarray(arrays["slab_codes"])
             idx.ovf_codes = jnp.asarray(arrays["ovf_codes"])

@@ -30,7 +30,7 @@ from semadb_tpu.index.ivf import IndexIVF
 from semadb_tpu.index.text import IndexText
 from semadb_tpu.index.vamana import IndexVamana
 from semadb_tpu.models import constants as C
-from semadb_tpu.models.errors import ValidationError
+from semadb_tpu.models.errors import NotFoundError, ValidationError
 from semadb_tpu.models.point import SearchResult, access_nested, decode_point_data
 from semadb_tpu.models.query import Query
 from semadb_tpu.models.schema import IndexSchema
@@ -303,9 +303,12 @@ class IndexManager:
         rset: Set[int] = set()
         for v in ids:
             try:
-                nid = pointstore.get_point_node_id_by_uuid(bucket, uuid_mod.UUID(v))
-                rset.add(nid)
-            except Exception:
+                uid = uuid_mod.UUID(v)
+            except ValueError:
+                continue  # malformed UUID = no match (search.go:185-189)
+            try:
+                rset.add(pointstore.get_point_node_id_by_uuid(bucket, uid))
+            except NotFoundError:
                 continue  # missing points silently skipped (search.go:204)
         return rset, []
 

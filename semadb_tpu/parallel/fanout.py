@@ -190,7 +190,11 @@ def stack_ivf_states(indices, mesh) -> dict:
             "vectors": pad_to(idx.vectors, (max_cap, D)),
         }
         if idx._proj is not None:
-            out["proj"] = idx._proj  # identical across shards (same D)
+            # Per-shard basis: after a refit each shard derives its own
+            # PCA projection from its LOCAL sample. Stack + shard them —
+            # never broadcast one shard's basis, that would silently
+            # mis-score every other shard's (projected) slabs.
+            out["proj"] = idx._proj
         return out
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[one(i) for i in indices])

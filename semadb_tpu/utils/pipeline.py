@@ -96,14 +96,26 @@ def merge(*sources: Iterable[T]) -> Iterator[T]:
 
 
 def sink(source: Iterable[T], fn: Callable[[T], None]) -> Optional[Exception]:
-    """Drain the pipeline; returns the first error instead of raising
-    (SinkWithContext / MergeErrorsWithContext semantics)."""
+    """Drain the pipeline, RETURNING the first error instead of raising
+    (SinkWithContext / MergeErrorsWithContext semantics, pipeline.go:169-205).
+
+    The return value MUST be checked — ignoring it silently swallows the
+    error. Callers that want exception flow should use :func:`sink_raise`.
+    """
     try:
         for item in source:
             fn(item)
         return None
     except Exception as e:
         return e
+
+
+def sink_raise(source: Iterable[T], fn: Callable[[T], None]) -> None:
+    """Drain the pipeline, propagating the first error as an exception —
+    the misuse-proof form of :func:`sink` for callers without a Go-style
+    error-channel contract."""
+    for item in source:
+        fn(item)
 
 
 def collect(source: Iterable[T]) -> List[T]:

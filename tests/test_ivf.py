@@ -654,3 +654,84 @@ def test_chunked_overflow_scan(monkeypatch):
     assert (i[:, 0] == ids[:8]).all()
     exact = exact_top(vecs, ids, vecs[3], 5)
     assert [int(x) for x in i[3]] == list(exact)
+
+
+def test_deferred_fit_placeholder_delete_then_flush():
+    """Regression (advisor r2): a delete arriving between a defer_fit bulk
+    insert and flush_pending must not blank real overflow slots via the
+    ("o", -1) placeholder, and flush_pending must materialise the rest."""
+    idx = make_index(dim=8)
+    n = 600  # past MIN_FIT so bulk insert defers a real fit
+    vecs = clustered(n, dim=8)
+    ids = np.arange(2, 2 + n, dtype=np.int32)
+    idx.insert_bulk(ids, vecs, defer_fit=True)
+    assert idx._has_placeholders()
+    # Delete a handful of placeholder points before the deferred fit runs
+    idx.insert_update_delete([(int(i), None) for i in ids[:5]])
+    assert -1 not in idx._ovf_free, "placeholder leaked into the free list"
+    idx.flush_pending()
+    assert not idx._has_placeholders()
+    assert len(idx) == n - 5
+    # Remaining points are searchable; deleted ones are gone
+    d, i = idx.search_batch(vecs[5:10], k=1)
+    assert list(i[:, 0]) == list(ids[5:10])
+    d, i = idx.search_batch(vecs[:5], k=3)
+    assert not (set(ids[:5].tolist()) & set(i.ravel().tolist()))
+
+
+def test_deferred_fit_to_arrays_materialises():
+    """to_arrays during the placeholder window must not silently drop
+    points from the snapshot (advisor r2)."""
+    idx = make_index(dim=8)
+    n = 600
+    vecs = clustered(n, dim=8)
+    ids = np.arange(2, 2 + n, dtype=np.int32)
+    idx.insert_bulk(ids, vecs, defer_fit=True)
+    assert idx._has_placeholders()
+    snap = idx.to_arrays()
+    idx2 = IndexIVF.from_arrays(idx.params, snap)
+    assert len(idx2) == n
+    _, i = idx2.search_batch(vecs[:5], k=1)
+    assert list(i[:, 0]) == list(ids[:5])
+
+
+def test_from_arrays_highdim_snapshot_without_proj():
+    """Pre-round-2 snapshot compatibility (advisor r2): a snapshot with
+    full-D slabs and no stored projection must be scored full-D, not with
+    this process' fresh random basis."""
+    import jax.numpy as jnp
+
+    D = 160  # > PROJ_DIM(128): constructor would normally build a proj
+    idx = make_index(dim=D)
+    n = 700
+    vecs = clustered(n, dim=D)
+    ids = np.arange(2, 2 + n, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    snap = idx.to_arrays()
+    # Simulate an old snapshot: full-D traversal arrays, no "proj" key
+    assert "proj" in snap
+    del snap["proj"]
+    # Rebuild true full-D traversal state from the vectors matrix
+    vec_np = snap["vectors"]
+    slab_ids = snap["slab_ids"]
+    full = vec_np[np.clip(slab_ids, 0, vec_np.shape[0] - 1)]
+    full[slab_ids == -1] = 0.0
+    snap["slabs"] = full.astype(np.float32)
+    snap["slab_sq"] = np.sum(full.astype(np.float32) ** 2, axis=-1)
+    ovf_ids = snap["ovf_ids"]
+    ovf_full = vec_np[np.clip(ovf_ids, 0, vec_np.shape[0] - 1)].astype(np.float32)
+    ovf_full[ovf_ids == -1] = 0.0
+    snap["ovf_vecs"] = ovf_full
+    # centroids: recompute per-cluster means in full-D space
+    C_n = slab_ids.shape[0]
+    sums = np.zeros((C_n, D), np.float32)
+    cnt = np.zeros(C_n, np.float32)
+    for c in range(C_n):
+        live = slab_ids[c] != -1
+        cnt[c] = max(live.sum(), 1)
+        sums[c] = full[c][live].sum(axis=0)
+    snap["centroids"] = (sums / cnt[:, None]).astype(np.float32)
+    idx2 = IndexIVF.from_arrays(idx.params, snap)
+    assert idx2._proj is None and idx2.tdim == D
+    _, i = idx2.search_batch(vecs[:8], k=1)
+    assert list(i[:, 0]) == list(ids[:8])

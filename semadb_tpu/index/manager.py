@@ -313,9 +313,20 @@ class IndexManager:
         return rset, []
 
     def _search_combined(self, queries: List[Query], disjunction: bool):
-        """searchParallel (search.go:211-298): execute children, AND/OR the
-        sets, dedup results summing hybrid scores."""
-        outs = [self.search(sub) for sub in queries]
+        """searchParallel (search.go:211-298): execute children in parallel
+        threads, AND/OR the sets, dedup results summing hybrid scores.
+
+        Thread fan-out mirrors the reference's goroutine-per-child. Device
+        searches release the GIL during XLA compute and host-side bucket
+        reads are read-only within this transaction, so children genuinely
+        overlap; results are merged in query order (deterministic)."""
+        if len(queries) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(queries)) as ex:
+                outs = list(ex.map(self.search, queries))
+        else:
+            outs = [self.search(sub) for sub in queries]
         if len(outs) == 1:
             return outs[0]
         sets = [s for s, _ in outs]

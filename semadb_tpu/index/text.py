@@ -29,7 +29,25 @@ STOP_WORDS = frozenset(
     "that the their then there these they this to was will with".split()
 )
 
-_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+# UAX #29 word segmentation, the way bleve's "standard" tokenizer does it
+# (text.go:69-96 → blevesearch/segment). The practically load-bearing
+# rules, as a regex over explicit script classes:
+#   - katakana runs stay one token (Katakana × Katakana)
+#   - Han/Hiragana ideographs tokenize ONE PER CHARACTER (they carry no
+#     ALetter property, so every boundary breaks)
+#   - apostrophes (' ’) and periods are MidNumLet: they JOIN when medial
+#     between alphanumerics ("don't", "john's", "example.com" are single
+#     tokens; trailing/leading ones split)
+#   - comma is MidNum: joins digits only ("1,000" one token, "a,b" two)
+#   - everything else (hyphens, whitespace, punctuation) breaks
+_CJK = "一-鿿㐀-䶿豈-﫿぀-ゟ゠-ヿㇰ-ㇿ"
+_ALNUM = rf"[^\W_{_CJK}]"  # unicode letters+digits minus CJK scripts
+_TOKEN_RE = re.compile(
+    rf"[゠-ヿㇰ-ㇿ]+"  # katakana run
+    rf"|[一-鿿㐀-䶿豈-﫿぀-ゟ]"  # han/hiragana, 1/char
+    rf"|{_ALNUM}+(?:['’.]{_ALNUM}+|(?<=\d),(?=\d)\d+)*",
+    re.UNICODE,
+)
 
 NUM_DOCS_KEY = b"_numDocs"
 _SET_PREFIX = b"t"  # t<term>s → postings (text.go key layout)

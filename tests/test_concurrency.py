@@ -258,3 +258,65 @@ def test_ivf_search_while_insert():
 
     run_threads([writer, reader, reader])
     shard.close()
+
+
+def test_parallel_subquery_fanout_deterministic():
+    """_and/_or children now run in a thread pool (search.go:211-241
+    goroutine parity): repeated combined queries — themselves issued from
+    multiple threads — must agree with each other and respect the AND
+    semantics."""
+    import msgpack
+
+    shard = make_shard()
+    pts = [
+        Point(
+            id=uuid.uuid4(),
+            data=msgpack.packb({"v": [float(i), float(i)], "n": i}),
+        )
+        for i in range(40)
+    ]
+    shard.insert_points(pts)
+    req = SearchRequest.from_dict(
+        {
+            "query": {
+                "property": "_and",
+                "_and": [
+                    {
+                        "property": "v",
+                        "vectorVamana": {
+                            "vector": [5.0, 5.0],
+                            "operator": "near",
+                            "searchSize": 36,
+                            "limit": 15,
+                        },
+                    },
+                    {"property": "n", "integer": {"value": 10, "operator": "lessThan"}},
+                    {"property": "n", "integer": {"value": 2, "operator": "greaterThan"}},
+                ],
+            },
+            "limit": 10,
+        }
+    )
+    results = []
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(5):
+                res = shard.search_points(req)
+                results.append([str(r.point.id) for r in res])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(results) == 20
+    first = results[0]
+    assert all(r == first for r in results), "non-deterministic fan-out"
+    res = shard.search_points(req)
+    for r in res:
+        assert 2 < r.point.as_map()["n"] < 10

@@ -85,6 +85,27 @@ def test_analyser():
     assert tokens == ["quick", "brown", "fox", "lazy", "dog"]
 
 
+@pytest.mark.parametrize(
+    "text,want",
+    [
+        # UAX #29 word-segmentation parity with bleve's standard analyser
+        # (text.go:69-96): apostrophes/periods join when medial
+        ("don't stop now", ["don't", "stop", "now"]),
+        ("John's book", ["john's", "book"]),
+        ("dogs' bones", ["dogs", "bones"]),  # trailing ' breaks
+        ("visit example.com today", ["visit", "example.com", "today"]),
+        ("3.14 and 1,000", ["3.14", "1,000"]),
+        # CJK: Han/Hiragana tokenize per character, Katakana runs join
+        ("機械学習の本", ["機", "械", "学", "習", "の", "本"]),
+        ("カタカナ テスト", ["カタカナ", "テスト"]),
+        ("naïve café", ["naïve", "café"]),
+        ("state-of-the-art", ["state", "art"]),  # hyphens break, stops drop
+    ],
+)
+def test_analyser_unicode_segmentation(text, want):
+    assert analyse(text) == want
+
+
 def test_text_tfidf_ranking():
     t = IndexText(Bucket())
     t.insert(1, "gandalf the wizard")

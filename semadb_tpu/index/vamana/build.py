@@ -96,16 +96,19 @@ def robust_prune_batch(
     cand_pd: jax.Array,  # f32[B, C, C] pairwise among candidates
     self_ids: jax.Array,  # i32[B]
     config: GraphConfig,
+    alpha=None,  # optional traced f32 override (two-pass alpha schedule)
 ) -> jax.Array:
     """Vectorised robustPrune (search.go:106-138) over a batch of nodes.
 
     Returns new adjacency rows i32[B, R]. Candidates must be sorted by
-    distance to the owning node; NIL/INF slots are ignored.
+    distance to the owning node; NIL/INF slots are ignored. ``alpha``
+    overrides ``config.alpha`` as a TRACED scalar so the two-pass build
+    (pass 1 at alpha=1.0) reuses the compiled kernels.
     """
     B, C = cand_i.shape
     R = config.degree_bound
     r_stop = max(R - FWD_SLACK, 8)
-    alpha = jnp.float32(config.alpha)
+    alpha = jnp.float32(config.alpha) if alpha is None else alpha
     jidx = jnp.arange(C, dtype=jnp.int32)
 
     # Self / NIL / non-finite candidates are dead from the start; the loop
@@ -147,7 +150,9 @@ def robust_prune_batch(
     return adj
 
 
-@functools.partial(jax.jit, static_argnames=("config", "search_size", "intra_k"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "search_size", "intra_k", "keep_current")
+)
 def _insert_core(
     state: GraphState,
     new_ids: jax.Array,  # i32[B]
@@ -156,8 +161,17 @@ def _insert_core(
     config: GraphConfig,
     search_size: int,
     intra_k: int,
+    keep_current: bool = False,
+    alpha=None,  # traced f32 override for the prune
 ):
     """Search + prune new rows + phase-A backedge scatter.
+
+    ``keep_current``: union the node's EXISTING out-edges into its prune
+    candidate pool (V ∪ N_out(p), the canonical DiskANN second-pass rule).
+    A re-prune from the fresh visited set alone strips the long-range
+    edges the incremental build kept — measured 0.9962 → 0.9911 recall at
+    1M (the refuted naive refine); keeping them in the pool lets alpha
+    decide, which is the whole point of the two-pass schedule.
 
     Returns (state', flat_targets i32[E], flat_sources i32[E], inbound_rank
     i32[E]) for the host-driven overflow phase.
@@ -166,6 +180,8 @@ def _insert_core(
     B = new_ids.shape[0]
     R = config.degree_bound
     safe_ids = jnp.where(valid, new_ids, 0)
+    # Existing rows must be read BEFORE this batch rewrites them
+    own_edges = state.adjacency[safe_ids] if keep_current else None  # [B, R]
 
     # 1. Write vectors; mark existence. New nodes have no inbound edges yet
     #    so searches cannot reach them (mirrors insert.go:35-37 note).
@@ -195,9 +211,28 @@ def _insert_core(
         cand_i = jnp.concatenate([cand_i, nb_i], axis=-1)
         cand_d, cand_i = sort_by_distance(cand_d, cand_i)
 
+    if keep_current:
+        from semadb_tpu.ops.topk import dedup_by_id
+
+        own_ok = (own_edges != NIL) & valid[:, None]
+        od = gather_distance(
+            state.vectors, jnp.clip(own_edges, 0, cap - 1), new_vecs,
+            config.metric,
+        )
+        od = jnp.where(own_ok, od, INF)
+        oi = jnp.where(own_ok, own_edges, NIL)
+        cand_d = jnp.concatenate([cand_d, od], axis=-1)
+        cand_i = jnp.concatenate([cand_i, oi], axis=-1)
+        # Old edges can also appear in the visited set: dedup before prune
+        # (duplicate candidates would otherwise fill two row slots).
+        cand_d, cand_i = dedup_by_id(cand_d, cand_i)
+        cand_d, cand_i = sort_by_distance(cand_d, cand_i)
+
     # 4. Robust prune → new adjacency rows
     pd = _pairwise_among(state.vectors, cand_i, config.metric)
-    new_rows = robust_prune_batch(cand_d, cand_i, pd, safe_ids, config)  # [B, R]
+    new_rows = robust_prune_batch(
+        cand_d, cand_i, pd, safe_ids, config, alpha
+    )  # [B, R]
     new_rows = jnp.where(valid[:, None], new_rows, NIL)
     adjacency = state.adjacency.at[safe_ids].set(
         jnp.where(valid[:, None], new_rows, state.adjacency[safe_ids])
@@ -252,6 +287,7 @@ def _overflow_body(
     config: GraphConfig,
     chunk: int,
     k_in: int,
+    alpha=None,  # traced f32 override for the prune
 ):
     """Merge-and-prune one chunk of overflowing backedge targets.
 
@@ -299,7 +335,7 @@ def _overflow_body(
 
     n_cand = jnp.sum(ci != NIL, axis=-1)
     pd = _pairwise_among(state.vectors, ci, config.metric)
-    pruned = robust_prune_batch(cd, ci, pd, sel_safe, config)  # [chunk, R]
+    pruned = robust_prune_batch(cd, ci, pd, sel_safe, config, alpha)  # [chunk, R]
     # Plain append when the pool fits (insert.go:58-62): the sorted pool's
     # first R entries ARE the appended list in that case.
     appended = jnp.where(jnp.arange(R + k_in)[None, :] < R, ci, NIL)[:, :R]
@@ -332,8 +368,10 @@ def _overflow_chunk(
     return _overflow_body(state, targets, sources, pending, config, chunk, k_in)
 
 
+
 @functools.partial(
-    jax.jit, static_argnames=("config", "search_size", "intra_k", "chunk")
+    jax.jit,
+    static_argnames=("config", "search_size", "intra_k", "chunk", "keep_current"),
 )
 def _insert_step(
     state: GraphState,
@@ -344,6 +382,8 @@ def _insert_step(
     search_size: int,
     intra_k: int,
     chunk: int,
+    keep_current: bool = False,
+    alpha=None,  # traced f32 override for the prune (two-pass schedule)
 ):
     """Full insert step: search + prune + backedges + ALL overflow rounds.
 
@@ -353,7 +393,8 @@ def _insert_step(
     dominate build time. One dispatch per batch, no host readbacks.
     """
     state, targets, sources, pending = _insert_core(
-        state, new_ids, new_vecs, valid, config, search_size, intra_k
+        state, new_ids, new_vecs, valid, config, search_size, intra_k,
+        keep_current, alpha,
     )
     k_in = config.degree_bound
 
@@ -367,7 +408,7 @@ def _insert_step(
             vectors=state.vectors, adjacency=adjacency, exists=state.exists
         )
         st, pending = _overflow_body(
-            st, targets, sources, pending, config, chunk, k_in
+            st, targets, sources, pending, config, chunk, k_in, alpha
         )
         return st.adjacency, pending
 
@@ -398,12 +439,15 @@ def insert_batch(
     config: GraphConfig,
     search_size: int = 0,
     intra_k: int = 8,
+    keep_current: bool = False,
+    alpha: float | None = None,
 ) -> GraphState:
     """Insert a batch of points (host orchestration of jitted kernels).
 
     ``new_ids`` i32[B] must be unique, != 0/1, within capacity. The batch is
     padded to a power-of-two size so kernel shapes (and hence XLA
-    compilations) are reused across calls.
+    compilations) are reused across calls. ``alpha`` overrides the prune
+    alpha as a traced scalar (no recompile across the two-pass schedule).
     """
     search_size = search_size or config.search_size
     B = int(new_ids.shape[0])
@@ -426,6 +470,8 @@ def insert_batch(
         search_size,
         intra_k,
         chunk,
+        keep_current,
+        jnp.float32(config.alpha if alpha is None else alpha),
     )
     BUILD_TIMERS["batches"] += 1
     return state

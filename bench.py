@@ -39,6 +39,11 @@ SPREAD = float(os.environ.get("BENCH_SPREAD", 0.5))
 # ~1 min at 1M x 128d for all queries) — no need to subsample by default.
 GT_QUERIES = int(os.environ.get("BENCH_GT_QUERIES", N_QUERIES))
 MODE = os.environ.get("BENCH_MODE", "ivf")  # ivf | ivfpq | plain | bq | pq
+# Distance family. "cosine" is the GloVe-100-angular analog: vectors are
+# L2-normalized by the generator, indices run the cosine contraction, and
+# the baseline switches to the reference's angular rows (its most-published
+# results, README.md:191-195). Default remains the sift-euclidean analog.
+METRIC = os.environ.get("BENCH_METRIC", "euclidean")  # euclidean | cosine
 # IVF's slab gather works best at 4096-query batches (larger batches blow
 # up the gathered intermediate); the graph walk prefers 8192.
 QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 4096 if MODE.startswith("ivf") else 8192))
@@ -58,7 +63,16 @@ BASELINES = {
     # multi-index pipeline on dbpedia (519.9, README.md:192).
     "hybrid": 519.9,
 }
-BASELINE_QPS = BASELINES.get(MODE, 1537.7)
+# Angular rows (README.md:191-195): glove-100-angular v1 = 973.6 QPS at
+# recall 0.924; v2-PQ glove-100 = 628.6; the closest published angular BQ
+# row is dbpedia-openai-100k-angular v2-BQ = 978.6.
+BASELINES_COSINE = {
+    "ivf": 973.6, "ivfpq": 628.6, "plain": 973.6, "bq": 978.6, "pq": 628.6,
+    "hybrid": 519.9,
+}
+BASELINE_QPS = (
+    BASELINES_COSINE if METRIC == "cosine" else BASELINES
+).get(MODE, 1537.7)
 
 
 def _preflight() -> None:
@@ -231,6 +245,81 @@ def _run_hybrid(jax) -> None:
     )
 
 
+def _run_write(jax) -> None:
+    """Sustained-write workload: 1k-point insert transactions against a
+    fitted 1M-point IVF index with 4096-query search batches interleaved
+    (a serving node taking writes). Reports write txn/s (points/s) with
+    the concurrent search QPS alongside. Exercises the vectorised
+    incremental placement path (IndexIVF._place_fitted)."""
+    import numpy as np
+
+    from semadb_tpu.index.ivf import IndexIVF
+    from semadb_tpu.models.schema import VectorIVFParams
+    from semadb_tpu.tools.datasets import embedding_like
+
+    n_txns = int(os.environ.get("BENCH_WRITE_TXNS", 100))
+    txn_pts = int(os.environ.get("BENCH_WRITE_TXN_POINTS", 1000))
+    ds = embedding_like(N + n_txns * txn_pts, DIM, N_QUERIES, spread=SPREAD)
+    extra = ds.train[N:]
+    base = ds.train[:N]
+    idx = IndexIVF(
+        VectorIVFParams(vector_size=DIM, distance_metric=METRIC, assign_copies=2)
+    )
+    ids = np.arange(2, N + 2, dtype=np.int32)
+    t0 = time.time()
+    idx.insert_bulk(ids, base)
+    build_s = time.time() - t0
+    # warmup both paths
+    idx.search_batch(ds.test[:QUERY_BATCH], 10)
+    idx.insert_update_delete(
+        zip(range(N + 2, N + 4), extra[:2])
+    )
+    t0 = time.time()
+    searches = 0
+    for t in range(n_txns):
+        lo = t * txn_pts
+        nid0 = N + 4 + lo
+        idx.insert_update_delete(
+            zip(range(nid0, nid0 + txn_pts), extra[lo : lo + txn_pts])
+        )
+        q = ds.test[(t * QUERY_BATCH) % max(len(ds.test) - QUERY_BATCH, 1) :][:QUERY_BATCH]
+        idx.search_batch_async(q, 10)
+        searches += len(q)
+    # drain the async searches
+    d, _ = idx.search_batch(ds.test[:8], 10)
+    wall = time.time() - t0
+    total_pts = n_txns * txn_pts
+    # recall spot check on the final index (base points only — extra
+    # points aren't in the GT set, exclude ids >= N+2 from matches)
+    from semadb_tpu.tools.datasets import AnnDataset, compute_ground_truth_device
+
+    n_gt = min(2048, len(ds.test))
+    gt = compute_ground_truth_device(
+        AnnDataset(ds.name, ds.metric, ds.train, ds.test[:n_gt]), 10
+    )
+    _, ids_out = idx.search_batch(ds.test[:n_gt], 10)
+    recall = float(
+        np.mean([len(set(ids_out[i] - 2) & set(gt[i])) / 10 for i in range(n_gt)])
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"embed{N//1000}k_d{DIM}_sustained_write_pts_per_s",
+                "value": round(total_pts / wall, 1),
+                "unit": "points/s",
+                "vs_baseline": round((total_pts / wall) / 1537.7, 2),
+                "write_txns": n_txns,
+                "txn_points": txn_pts,
+                "interleaved_search_qps": round(searches / wall, 1),
+                "recall@10_after_writes": round(recall, 4),
+                "build_s": round(build_s, 1),
+                "n": N,
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     _preflight()
@@ -242,6 +331,9 @@ def main() -> None:
     if MODE == "hybrid":
         _run_hybrid(jax)
         return
+    if MODE == "write":
+        _run_write(jax)
+        return
 
     from semadb_tpu.tools.annbench import run
     from semadb_tpu.tools.datasets import embedding_like, embedding_like_device
@@ -251,9 +343,9 @@ def main() -> None:
         # High-dim/large corpora generate on-device: the host generator
         # takes 8-14 min at 1M x 1536d on one core and the corpus would
         # then cost a 6 GB tunnel upload.
-        ds = embedding_like_device(N, DIM, N_QUERIES, spread=SPREAD)
+        ds = embedding_like_device(N, DIM, N_QUERIES, spread=SPREAD, metric=METRIC)
     else:
-        ds = embedding_like(N, DIM, N_QUERIES, spread=SPREAD)
+        ds = embedding_like(N, DIM, N_QUERIES, spread=SPREAD, metric=METRIC)
     print(f"# bench dataset ready {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
     engine = "ivf" if MODE.startswith("ivf") else "vamana"
     out = run(
@@ -265,6 +357,8 @@ def main() -> None:
         "ivf": "ivf", "ivfpq": "ivfpq", "plain": "vamana",
         "bq": "vamana_bq", "pq": "vamana_pq",
     }[MODE]
+    if METRIC == "cosine":
+        name += "_cos"
     print(
         json.dumps(
             {

@@ -866,125 +866,43 @@ class IndexIVF:
                 up_dev = jnp.asarray(up_vecs)
                 self.vectors = self.vectors.at[up_ids].set(up_dev)
 
-            def up_rows(rows: np.ndarray) -> jax.Array:
-                """Batch rows as a device array (from the upload if it is
-                still resident, else re-gathered from `vectors`)."""
-                if up_dev is not None:
-                    return up_dev[jnp.asarray(rows)] if len(rows) != len(ups) else up_dev
-                return self.vectors[jnp.asarray(up_ids[rows])]
-
-            def up_rows_t(rows: np.ndarray) -> jax.Array:
-                """Traversal-space rows (projected when D > PROJ_DIM)."""
-                if self._proj is None:
-                    return up_rows(rows)
-                if up_dev is None:
-                    return _gather_project(
-                        self.vectors, jnp.asarray(up_ids[rows]), self._proj
-                    )
-                return up_rows(rows) @ self._proj
-
-            fitted = self._n_at_fit > 0
-            assign = None
-            assign2 = None  # [n_ups, copies-1] secondary clusters
-            up_codes = None  # u8[n_ups, M] PQ codes for this batch
-            if fitted:
-                from semadb_tpu.vectorstore.kmeans import kmeans_assign
-
-                # Row-blocked internally: [chunk, C] stays ≤ 256 MB
-                # (unblocked at 1M x 32768 clusters would be 137 GB).
-                # t ≥ 2 even at assignCopies=1: the extra columns are
-                # relocation candidates when the home cluster is full.
-                copies = min(self.params.assign_copies, self.centroids.shape[0])
-                t_ins = min(max(copies, 2), self.centroids.shape[0])
-                topt = np.asarray(
-                    kmeans_assign(up_rows(np.arange(len(ups))), self.centroids, t_ins)
-                )
-                assign = topt[:, 0]
-                if t_ins > 1:
-                    assign2 = topt[:, 1:]
-                if self.pq_active:
-                    from semadb_tpu.vectorstore.store import pq_encode
-
-                    up_codes = pq_encode(
-                        up_rows(np.arange(len(ups))), self.pq_codebook,
-                        self.pq_config.num_subvectors,
-                        self.pq_config.num_centroids, self.metric,
-                    )
-            slab_writes: list[tuple[int, int, int, int]] = []  # (nid, c, s, batch_row)
-            ovf_writes: list[tuple[int, int]] = []  # (nid, batch_row)
-            for j, (node_id, vec) in enumerate(ups):
-                old = self._loc.pop(node_id, None)  # update = replace
+            # update = replace: pop every old location before placement
+            for node_id, _ in ups:
+                old = self._loc.pop(node_id, None)
                 if old is not None:
                     removals.append(old)
                 for c2, s2 in self._loc2.pop(node_id, ()):
                     removals.append(("s", c2, s2))
-                placed = 0
-                if fitted:
-                    # First cluster with room hosts the primary (spill
-                    # relocation — overflow is a dense every-query scan);
-                    # further clusters with room take SOAR copies, up to
-                    # assignCopies placements total.
-                    cands = [int(assign[j])]
-                    if assign2 is not None:
-                        cands += [int(x) for x in assign2[j]]
-                    for c in cands:
-                        if placed >= copies:
-                            break
-                        if self._fill[c] < self.slab:
-                            s = int(self._fill[c])
-                            self._fill[c] += 1
-                            slab_writes.append((node_id, c, s, j))
-                            if not placed:
-                                self._loc[node_id] = ("s", c, s)
-                            else:
-                                self._loc2.setdefault(node_id, []).append((c, s))
-                            placed += 1
-                if not placed:
-                    ovf_writes.append((node_id, j))
             if removals:
                 self._apply_removals(removals)
                 removals = []
-            if ovf_writes:
-                if (
-                    self._n_at_fit == 0
-                    and len(self._loc) + len(ovf_writes) >= MIN_FIT
-                ):
-                    # Bulk-load fast path: this batch triggers the FIRST
-                    # fit at the end of this call (the refit predicate is
-                    # exactly this condition), which rebuilds slabs and
-                    # overflow from `vectors` — materialising a full-size
-                    # overflow pool first is pure waste (12.9 GB of
-                    # transient HBM at 1M x 1536d). Locations are
-                    # placeholders the refit immediately replaces.
-                    for node_id, _ in ovf_writes:
-                        self._loc[node_id] = ("o", -1)
-                else:
-                    slots = np.array(self._ovf_slots(len(ovf_writes)), np.int32)
-                    rows = np.array([w[1] for w in ovf_writes], np.int32)
-                    if self.pq_active:
-                        self.ovf_codes = self.ovf_codes.at[slots].set(up_codes[rows])
-                    else:
-                        self.ovf_vecs = self.ovf_vecs.at[slots].set(up_rows_t(rows))
-                    self.ovf_ids = self.ovf_ids.at[slots].set(
-                        np.array([w[0] for w in ovf_writes], np.int32)
-                    )
-                    for (node_id, _), j in zip(ovf_writes, slots):
-                        self._loc[node_id] = ("o", int(j))
-            if slab_writes:
-                cs = np.array([w[1] for w in slab_writes], np.int32)
-                ss = np.array([w[2] for w in slab_writes], np.int32)
-                rows = np.array([w[3] for w in slab_writes], np.int32)
-                if self.pq_active:
-                    self.slab_codes = self.slab_codes.at[cs, ss].set(up_codes[rows])
-                else:
-                    rows_t = up_rows_t(rows)
-                    self.slabs = self.slabs.at[cs, ss].set(
-                        rows_t.astype(self.slabs.dtype)
-                    )
-                    self.slab_sq = self.slab_sq.at[cs, ss].set(self._sq(rows_t))
-                self.slab_ids = self.slab_ids.at[cs, ss].set(
-                    np.array([w[0] for w in slab_writes], np.int32)
+            if self._n_at_fit > 0:
+                # Vectorised device placement (same greedy column packing
+                # as insert_bulk/_refit — no per-point Python)
+                self._place_fitted(up_ids.astype(np.int64))
+            elif len(self._loc) + len(ups) >= MIN_FIT:
+                # Bulk-load fast path: this batch triggers the FIRST fit
+                # at the end of this call (the refit predicate is exactly
+                # this condition), which rebuilds slabs and overflow from
+                # `vectors` — materialising a full-size overflow pool
+                # first is pure waste (12.9 GB of transient HBM at 1M x
+                # 1536d). Locations are placeholders the refit replaces.
+                self._loc.update((int(i), ("o", -1)) for i in up_ids)
+            else:
+                # tiny pre-fit corpus: real overflow entries so searches
+                # before the first fit still see the points
+                slots = np.array(self._ovf_slots(len(ups)), np.int32)
+                rows_dev = (
+                    up_dev
+                    if up_dev is not None
+                    else self.vectors[jnp.asarray(up_ids)]
                 )
+                if self._proj is not None:
+                    rows_dev = rows_dev @ self._proj
+                self.ovf_vecs = self.ovf_vecs.at[slots].set(rows_dev)
+                self.ovf_ids = self.ovf_ids.at[slots].set(up_ids)
+                for nid, j in zip(up_ids, slots):
+                    self._loc[int(nid)] = ("o", int(j))
         if removals:
             self._apply_removals(removals)
         if self._should_refit():
@@ -1043,7 +961,6 @@ class IndexIVF:
         ):
             self.insert_update_delete(zip(ids_np.tolist(), np.asarray(vecs)))
             return
-        ids_dev = jnp.asarray(ids_np.astype(np.int32))
         contiguous = bool(
             np.array_equal(ids_np, np.arange(ids_np[0], ids_np[0] + n))
         )
@@ -1095,8 +1012,22 @@ class IndexIVF:
             self._sq_cache = {}
             return
 
+        self._place_fitted(ids_np)
+        if self._should_refit() and not defer_fit:
+            self._refit()
+        self._sq_cache = {}
+
+    def _place_fitted(self, ids_np: np.ndarray) -> None:
+        """Vectorised placement of already-scattered ``vectors`` rows into
+        slabs/overflow: per-column greedy capacity packing (primaries with
+        spill relocation, then SOAR copies), one device scatter per array.
+        Shared by :meth:`insert_bulk` and the incremental write path — the
+        old per-point Python pack capped sustained-write throughput.
+        """
         from semadb_tpu.vectorstore.kmeans import kmeans_assign
 
+        n = len(ids_np)
+        ids_dev = jnp.asarray(ids_np.astype(np.int32))
         Cn = self.centroids.shape[0]
         S = self.slab
         copies = min(self.params.assign_copies, Cn)
@@ -1190,9 +1121,6 @@ class IndexIVF:
                     self._loc2.setdefault(int(ids_np[r]), []).append(
                         (int(c), int(sl))
                     )
-        if self._should_refit() and not defer_fit:
-            self._refit()
-        self._sq_cache = {}
 
     def flush_pending(self) -> None:
         """Run the refit a ``defer_fit`` bulk insert postponed.

@@ -103,6 +103,18 @@ SLAB_BF16_BYTES = int(os.environ.get("SEMADB_IVF_SLAB_BF16_BYTES", 2**32))
 APPROX_PROBE_MIN_C = int(os.environ.get("SEMADB_IVF_APPROX_PROBE_MIN_C", 2**17))
 # Full [B, O] overflow distance matrix cap before the scan chunks it
 OVF_CHUNK_BYTES = 2**26
+# Full [B, C] probe-selection matrix cap before chunking over C (needed
+# at two-level cluster counts: [4096, 262144] would be 4.3 GB)
+PROBE_CHUNK_BYTES = int(os.environ.get("SEMADB_IVF_PROBE_CHUNK_BYTES", 2**30))
+PROBE_CHUNK_C = int(os.environ.get("SEMADB_IVF_PROBE_CHUNK_C", 16384))
+# Cluster counts past this use the two-level (hierarchical) coarse
+# quantizer: the flat kmeans fit crashes the TPU worker past ~65536
+# clusters (round-2 negative result), and two-level fit/assign keeps all
+# scoring dense per super. Flat centroid layout is preserved (children of
+# super s at rows [s*kc, (s+1)*kc)) so the query path is unchanged apart
+# from chunked probe selection.
+TWO_LEVEL_MIN_C = int(os.environ.get("SEMADB_IVF_TWO_LEVEL_MIN_C", 65537))
+TWO_LEVEL_SUPERS = int(os.environ.get("SEMADB_IVF_TWO_LEVEL_SUPERS", 512))
 
 
 @jax.jit
@@ -217,13 +229,52 @@ def _ivf_query(
     cap = vectors.shape[0]
     qp = queries if proj is None else (queries @ proj)
 
-    # 1. probe selection: one dense [B, C] contraction on the MXU
-    cd = cent_sq[None, :] - 2.0 * (qp @ centroids.T)
-    if centroids.shape[0] >= APPROX_PROBE_MIN_C:
-        _, probe = jax.lax.approx_max_k(-cd, p)  # [B, p]
-        probe = probe.astype(jnp.int32)
+    # 1. probe selection: dense [B, C] contraction on the MXU. Past
+    # PROBE_CHUNK_BYTES of [B, C] the matrix is chunked over C with a
+    # per-chunk approx top-p carry (the full [4096, 262144] matrix at
+    # two-level cluster counts would be 4.3 GB) — dense chunked matmuls,
+    # never per-query centroid gathers (gathers lose to the MXU here,
+    # same measurement as the slab design).
+    Cn_ = centroids.shape[0]
+    if B * Cn_ * 4 > PROBE_CHUNK_BYTES:
+        cb_ = min(PROBE_CHUNK_C, Cn_)
+        cpad = -(-Cn_ // cb_) * cb_
+        cents_p = (
+            centroids if cpad == Cn_
+            else jnp.pad(centroids, ((0, cpad - Cn_), (0, 0)))
+        )
+        # Padding rows carry a huge norm term so they are never probed
+        # (works for all metrics — dot/cosine pass cent_sq = 0).
+        csq_p = jnp.pad(
+            cent_sq, (0, cpad - Cn_), constant_values=np.float32(1e30)
+        ) if cpad != Cn_ else cent_sq
+
+        def probe_chunk(off, x):
+            c_blk, csq_blk = x
+            dd = csq_blk[None, :] - 2.0 * (qp @ c_blk.T)
+            nv_, pos_ = jax.lax.approx_max_k(-dd, min(p, cb_))
+            return off + cb_, (-nv_, pos_.astype(jnp.int32) + off)
+
+        nchunk_c = cpad // cb_
+        _, (pd_c, pi_c) = jax.lax.scan(
+            probe_chunk, jnp.int32(0),
+            (
+                cents_p.reshape(nchunk_c, cb_, -1),
+                csq_p.reshape(nchunk_c, cb_),
+            ),
+        )
+        pdist = jnp.moveaxis(pd_c, 0, 1).reshape(B, -1)
+        pids = jnp.moveaxis(pi_c, 0, 1).reshape(B, -1)
+        _, sel = jax.lax.top_k(-pdist, min(p, pdist.shape[1]))
+        probe = jnp.take_along_axis(pids, sel, axis=-1)
+        probe = jnp.clip(probe, 0, Cn_ - 1)
     else:
-        _, probe = jax.lax.top_k(-cd, p)  # [B, p]
+        cd = cent_sq[None, :] - 2.0 * (qp @ centroids.T)
+        if Cn_ >= APPROX_PROBE_MIN_C:
+            _, probe = jax.lax.approx_max_k(-cd, p)  # [B, p]
+            probe = probe.astype(jnp.int32)
+        else:
+            _, probe = jax.lax.top_k(-cd, p)  # [B, p]
 
     # 2. probe-chunked slab scoring (full [B,p,S,D] would be gigabytes)
     def score_chunk(_, pr):  # pr: [B, pchunk]
@@ -506,6 +557,9 @@ class IndexIVF:
         # slabs/overflow hold u8 codes and scoring is ADC + f32 rerank.
         self.pq_config = None
         self.pq_codebook = None  # f32[M, K, D/M]
+        # Two-level coarse quantizer: super centroids (traversal space)
+        # when the cluster count exceeds TWO_LEVEL_MIN_C, else None
+        self._sup_cents = None
         self.slab_codes = jnp.zeros((1, self.slab, 1), jnp.uint8)
         self.ovf_codes = jnp.zeros((8, 1), jnp.uint8)
         q = params.quantizer
@@ -562,6 +616,30 @@ class IndexIVF:
             self._ovf_free.extend(range(old, old + grow))
         return [self._ovf_free.pop() for _ in range(n)]
 
+    def _assign_top(self, cents, t, row_ids=None, rows=None):
+        """Top-t nearest clusters as flat ids: grouped two-level scoring
+        when a super layer exists (cluster counts past the flat ceiling),
+        blocked flat scoring otherwise. ``rows`` = explicit data matrix;
+        ``row_ids`` = gather rows from ``self.vectors`` per block."""
+        from semadb_tpu.vectorstore.kmeans import (
+            kmeans_assign,
+            kmeans_assign_two_level,
+        )
+
+        if self._sup_cents is not None and cents.shape[0] >= TWO_LEVEL_MIN_C:
+            if rows is not None:
+                return np.asarray(
+                    kmeans_assign_two_level(rows, self._sup_cents, cents, t)
+                )
+            return np.asarray(
+                kmeans_assign_two_level(
+                    self.vectors, self._sup_cents, cents, t, row_ids=row_ids
+                )
+            )
+        if rows is not None:
+            return np.asarray(kmeans_assign(rows, cents, t))
+        return np.asarray(kmeans_assign(self.vectors, cents, t, row_ids=row_ids))
+
     def _should_refit(self) -> bool:
         n = len(self._loc)
         if n < MIN_FIT:
@@ -580,7 +658,7 @@ class IndexIVF:
         n = len(ids)
         D = self.params.vector_size
         Cn = self.params.num_clusters or _npow2(
-            max(n // TARGET_CLUSTER_SIZE, 1), 16, 65536
+            max(n // TARGET_CLUSTER_SIZE, 1), 16, 262144
         )
         S = self.slab
         # Pad the fit input by tiling real point IDS (duplicates only nudge
@@ -610,7 +688,18 @@ class IndexIVF:
         # 16 GB chip at 1M x 1536d): gather rows per block inside the
         # blocked kernels instead.
         big = n_pad * D * 4 >= 2**28
-        if big:
+        two_level = Cn >= TWO_LEVEL_MIN_C
+        self._sup_cents = None
+        if two_level:
+            from semadb_tpu.vectorstore.kmeans import kmeans_fit_two_level
+
+            fit_data = None if big else self.vectors[pad_ids_dev]
+            cents, lab, self._sup_cents = kmeans_fit_two_level(
+                self.vectors if big else fit_data, Cn, iters=KMEANS_ITERS,
+                row_ids=pad_ids_dev if big else None,
+                supers=min(TWO_LEVEL_SUPERS, Cn),
+            )
+        elif big:
             fit_data = None
             cents, lab = kmeans_fit_large(
                 self.vectors, Cn, iters=KMEANS_ITERS, row_ids=pad_ids_dev
@@ -664,7 +753,6 @@ class IndexIVF:
 
         copies = min(self.params.assign_copies, Cn)
         fill = np.minimum(np.bincount(lab, minlength=Cn), S).astype(np.int32)
-        from semadb_tpu.vectorstore.kmeans import kmeans_assign
 
         def _pack(rows, col_clusters, fill):
             return _pack_greedy(rows, col_clusters, fill, S, Cn)
@@ -688,14 +776,14 @@ class IndexIVF:
         pc[sel] = lab[sel]
         pri_rows, pri_cs, pri_ss = sel, cs.astype(np.int64), ss.astype(np.int64)
         if len(spill) and copies > 1:
-            topt = np.asarray(
-                kmeans_assign(self.vectors, cents, t_all, row_ids=pad_ids_dev)
-                if big else kmeans_assign(fit_data, cents, t_all)
+            topt = (
+                self._assign_top(cents, t_all, row_ids=pad_ids_dev)
+                if big else self._assign_top(cents, t_all, rows=fit_data)
             )[:n]
             topt_sp = topt[spill]
         elif len(spill):
-            topt_sp = np.asarray(
-                kmeans_assign(self.vectors[jnp.asarray(ids[spill])], cents, RELOC_T)
+            topt_sp = self._assign_top(
+                cents, RELOC_T, rows=self.vectors[jnp.asarray(ids[spill])]
             )
         else:
             topt_sp = np.empty((0, t_all), np.int64)
@@ -726,9 +814,9 @@ class IndexIVF:
         sec_ss = np.empty(0, np.int64)
         if copies > 1:
             if topt is None:
-                topt = np.asarray(
-                    kmeans_assign(self.vectors, cents, t_all, row_ids=pad_ids_dev)
-                    if big else kmeans_assign(fit_data, cents, t_all)
+                topt = (
+                    self._assign_top(cents, t_all, row_ids=pad_ids_dev)
+                    if big else self._assign_top(cents, t_all, rows=fit_data)
                 )[:n]
             for col in range(1, copies):
                 cand = np.nonzero((pc >= 0) & (topt[:, col] != pc))[0]
@@ -1024,15 +1112,13 @@ class IndexIVF:
         Shared by :meth:`insert_bulk` and the incremental write path — the
         old per-point Python pack capped sustained-write throughput.
         """
-        from semadb_tpu.vectorstore.kmeans import kmeans_assign
-
         n = len(ids_np)
         ids_dev = jnp.asarray(ids_np.astype(np.int32))
         Cn = self.centroids.shape[0]
         S = self.slab
         copies = min(self.params.assign_copies, Cn)
         t_ins = min(max(copies, 2), Cn)
-        topt = np.asarray(kmeans_assign(self.vectors, self.centroids, t_ins, row_ids=ids_dev))
+        topt = self._assign_top(self.centroids, t_ins, row_ids=ids_dev)
         fill = self._fill
         placed_cols = []  # (rows(pos into ids_np), clusters, slots, is_primary)
         pc = np.full(n, -1, np.int64)
@@ -1296,6 +1382,8 @@ class IndexIVF:
         }
         if self._proj is not None:
             out["proj"] = np.asarray(self._proj)
+        if self._sup_cents is not None:
+            out["sup_cents"] = np.asarray(self._sup_cents)
         if self.pq_active:
             out["pq_codebook"] = np.asarray(self.pq_codebook)
             out["slab_codes"] = np.asarray(self.slab_codes)
@@ -1330,6 +1418,8 @@ class IndexIVF:
             # (a mismatched basis mis-scores every slab row).
             idx._proj = None
             idx.tdim = int(idx.slabs.shape[-1])
+        if "sup_cents" in arrays:
+            idx._sup_cents = jnp.asarray(arrays["sup_cents"])
         if "pq_codebook" in arrays:
             if idx.pq_config is None:
                 # Old snapshots encoded PQ above PROJ_DIM (where ADC is

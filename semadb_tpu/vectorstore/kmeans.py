@@ -295,3 +295,249 @@ def _kmeans_fit_gather(data, row_ids, k, seed, iters, block_rows):
 
     _, labs = jax.lax.scan(lab_blk, None, rblocks)
     return cents, labs.reshape(npad)[:n].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Two-level (hierarchical) coarse quantization — cluster counts past the
+# flat fit's practical ceiling (~65536 on one chip: the remote TPU worker
+# crashes in the flat fit past that, BENCHMARKS.md round-2 negative result).
+# Fit `supers` super-centroids, then `k/supers` children per super on its
+# own members. Scoring stays DENSE throughout: members are grouped by super
+# on host and each group is a plain [m, kc] matmul — per-row gathers of
+# child blocks lose to the MXU (the same measurement that shaped the slab
+# layout). The returned centroid array is FLAT: children of super s occupy
+# rows [s*kc, (s+1)*kc), so the whole query/insert path downstream is
+# unchanged except for chunked probe selection.
+# ---------------------------------------------------------------------------
+
+
+def _group_rows(labels: "np.ndarray", n_groups: int, maxm: int):
+    """Host-side grouping: row positions per label, padded/subsampled to
+    ``maxm`` columns. Returns (rows i32[G, maxm], w f32[G, maxm],
+    cnt i32[G]). Groups larger than maxm are strided-subsampled; empty
+    groups point at row 0 with weight 0."""
+    import numpy as np
+
+    order = np.argsort(labels, kind="stable")
+    ls = labels[order]
+    starts = np.searchsorted(ls, np.arange(n_groups))
+    ends = np.searchsorted(ls, np.arange(n_groups) + 1)
+    rows = np.zeros((n_groups, maxm), np.int32)
+    w = np.zeros((n_groups, maxm), np.float32)
+    for g in range(n_groups):
+        mem = order[starts[g] : ends[g]]
+        m = len(mem)
+        if m == 0:
+            continue
+        if m > maxm:
+            mem = mem[np.linspace(0, m - 1, maxm).astype(np.int64)]
+            m = maxm
+        rows[g, :m] = mem
+        w[g, :m] = 1.0
+    return rows, w, (ends - starts).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("kc", "iters"))
+def _kmeans_grouped(
+    data: jax.Array,      # f32[cap, D] full backing matrix
+    rows: jax.Array,      # i32[G, maxm] member row ids (padded)
+    w: jax.Array,         # f32[G, maxm] member weights (0 = padding)
+    cnt: jax.Array,       # i32[G]
+    kc: int,
+    iters: int,
+):
+    """Weighted Lloyd's vmapped over member groups → cents f32[G, kc, D].
+    Init is a stride over each group's true members (deterministic);
+    empty clusters keep their previous centroid."""
+    G, maxm = rows.shape
+    mem = data[rows]  # [G, maxm, D]
+
+    # Strided init within the live member range
+    pick = (
+        jnp.arange(kc)[None, :] * jnp.maximum(cnt, 1)[:, None] // kc
+    ).astype(jnp.int32)  # [G, kc]
+    cents = jnp.take_along_axis(mem, pick[:, :, None], axis=1)  # [G, kc, D]
+
+    sq_m = jnp.sum(mem * mem, axis=-1)  # [G, maxm]
+
+    def step(c, _):
+        sq_c = jnp.sum(c * c, axis=-1)  # [G, kc]
+        cross = jnp.einsum(
+            "gmd,gkd->gmk", mem, c, preferred_element_type=jnp.float32
+        )
+        lab = jnp.argmin(
+            sq_m[:, :, None] - 2.0 * cross + sq_c[:, None, :], axis=-1
+        )  # [G, maxm]
+        sums = jax.vmap(
+            lambda r, l, wf: jax.ops.segment_sum(r * wf[:, None], l, num_segments=kc)
+        )(mem, lab, w)
+        cnts = jax.vmap(
+            lambda l, wf: jax.ops.segment_sum(wf, l, num_segments=kc)
+        )(lab, w)
+        c = jnp.where(
+            (cnts > 0)[:, :, None], sums / jnp.maximum(cnts, 1.0)[:, :, None], c
+        )
+        return c, None
+
+    cents, _ = jax.lax.scan(step, cents, None, length=iters)
+    return cents
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def _grouped_child_top(
+    data: jax.Array,   # f32[cap, D]
+    rows: jax.Array,   # i32[G, maxm]
+    w: jax.Array,      # f32[G, maxm]
+    child: jax.Array,  # f32[G, kc, D] children of each group's super
+    t: int,
+):
+    """Per-member top-t children within the group's own super:
+    → (dists f32[G, maxm, t], child idx i32[G, maxm, t])."""
+    mem = data[rows]
+    sq_c = jnp.sum(child * child, axis=-1)
+    cross = jnp.einsum(
+        "gmd,gkd->gmk", mem, child, preferred_element_type=jnp.float32
+    )
+    dd = jnp.sum(mem * mem, axis=-1)[:, :, None] - 2.0 * cross + sq_c[:, None, :]
+    nv, idx = jax.lax.top_k(-dd, t)
+    return -nv, idx.astype(jnp.int32)
+
+
+def kmeans_fit_two_level(
+    data: jax.Array,
+    k: int,
+    seed: int = 0,
+    iters: int = 15,
+    row_ids=None,
+    supers: int = 512,
+    fit_maxm: int = 32768,
+):
+    """Hierarchical fit → (centroids f32[k, d] FLAT, labels i32[N],
+    sup_cents f32[supers, d]).
+
+    ``k`` must be a multiple of ``supers``. ``labels`` are flat cluster
+    ids (super*kc + child). Boundary points whose true nearest child
+    lives in a different super get their second-nearest super's children
+    considered by :func:`kmeans_assign_two_level` (used for SOAR copies /
+    spill relocation), not here — primary labels are own-super.
+    """
+    import numpy as np
+
+    assert k % supers == 0, (k, supers)
+    kc = k // supers
+    n = row_ids.shape[0] if row_ids is not None else data.shape[0]
+    d = data.shape[1]
+
+    # 1. super fit on a ≤2^18-row subsample (supers ≤ 512: tiny problem)
+    stride = max(n // 2**18, 1)
+    if row_ids is not None:
+        sub_ids = row_ids[::stride]
+        sup_cents, _ = kmeans_fit_large(data, supers, seed, iters, row_ids=sub_ids)
+    else:
+        sub = data[::stride]
+        sup_cents, _ = kmeans_fit_large(sub, supers, seed, iters)
+
+    # 2. assign every row to its nearest super (blocked dense matmul)
+    lab_sup = np.asarray(
+        kmeans_assign(data, sup_cents, 1, row_ids=row_ids)
+    )[:, 0]
+
+    # 3. children per super, grouped weighted Lloyd in G-chunks sized so
+    #    the [G, maxm, D] member gather stays ~256 MB
+    gchunk = max(2**26 // max(fit_maxm * d, 1), 1)
+    rows_np, w_np, cnt_np = _group_rows(lab_sup, supers, fit_maxm)
+    if row_ids is not None:
+        rid = np.asarray(row_ids)
+        rows_np = rid[rows_np]
+    child_parts = []
+    for g0 in range(0, supers, gchunk):
+        child_parts.append(
+            _kmeans_grouped(
+                data,
+                jnp.asarray(rows_np[g0 : g0 + gchunk]),
+                jnp.asarray(w_np[g0 : g0 + gchunk]),
+                jnp.asarray(cnt_np[g0 : g0 + gchunk]),
+                kc,
+                iters,
+            )
+        )
+    child = jnp.concatenate(child_parts, axis=0)  # [supers, kc, D]
+
+    # 4. final flat labels: argmin over own super's children (all members
+    #    this time — groups chunked by the true max member count)
+    all_maxm = int(cnt_np.max())
+    rows_all, w_all, _ = _group_rows(lab_sup, supers, all_maxm)
+    pos_all = rows_all.copy()
+    if row_ids is not None:
+        rows_all = rid[rows_all]
+    gchunk2 = max(2**26 // max(all_maxm * d, 1), 1)
+    labels = np.zeros(n, np.int64)
+    for g0 in range(0, supers, gchunk2):
+        _, cidx = _grouped_child_top(
+            data,
+            jnp.asarray(rows_all[g0 : g0 + gchunk2]),
+            jnp.asarray(w_all[g0 : g0 + gchunk2]),
+            child[g0 : g0 + gchunk2],
+            1,
+        )
+        cidx = np.asarray(cidx)[:, :, 0]
+        for gg in range(cidx.shape[0]):
+            g = g0 + gg
+            live = w_all[g] > 0
+            labels[pos_all[g][live]] = g * kc + cidx[gg][live]
+    return child.reshape(k, d), jnp.asarray(labels.astype(np.int32)), sup_cents
+
+
+def kmeans_assign_two_level(
+    data: jax.Array,
+    sup_cents: jax.Array,   # f32[Cs, D]
+    child_flat: jax.Array,  # f32[Cs*kc, D]
+    t: int,
+    row_ids=None,
+    n_sup: int = 2,
+):
+    """Top-t flat cluster ids per row, considering the children of each
+    row's ``n_sup`` nearest supers (grouped dense scoring per super) —
+    the two-level replacement for :func:`kmeans_assign` at cluster counts
+    where the flat [N, C] scoring no longer fits. Returns i32[N, t]."""
+    import numpy as np
+
+    n = row_ids.shape[0] if row_ids is not None else data.shape[0]
+    Cs = sup_cents.shape[0]
+    d = data.shape[1]
+    kc = child_flat.shape[0] // Cs
+    child = child_flat.reshape(Cs, kc, d)
+    t_in = min(t, kc)
+
+    sup_t = np.asarray(kmeans_assign(data, sup_cents, n_sup, row_ids=row_ids))
+    rid = np.asarray(row_ids) if row_ids is not None else None
+
+    cand_d = np.full((n, n_sup * t_in), np.inf, np.float32)
+    cand_i = np.zeros((n, n_sup * t_in), np.int64)
+    for col in range(n_sup):
+        lab = sup_t[:, col]
+        maxm = int(np.bincount(lab, minlength=Cs).max())
+        rows_g, w_g, _ = _group_rows(lab, Cs, maxm)
+        pos_g = rows_g.copy()
+        rows_dev = rid[rows_g] if rid is not None else rows_g
+        gchunk = max(2**26 // max(maxm * d, 1), 1)
+        for g0 in range(0, Cs, gchunk):
+            dd, cidx = _grouped_child_top(
+                data,
+                jnp.asarray(rows_dev[g0 : g0 + gchunk]),
+                jnp.asarray(w_g[g0 : g0 + gchunk]),
+                child[g0 : g0 + gchunk],
+                t_in,
+            )
+            dd = np.asarray(dd)
+            cidx = np.asarray(cidx)
+            for gg in range(dd.shape[0]):
+                g = g0 + gg
+                live = w_g[g] > 0
+                p = pos_g[g][live]
+                cand_d[p, col * t_in : (col + 1) * t_in] = dd[gg][live]
+                cand_i[p, col * t_in : (col + 1) * t_in] = (
+                    g * kc + cidx[gg][live]
+                )
+    order = np.argsort(cand_d, axis=1, kind="stable")[:, :t]
+    return np.take_along_axis(cand_i, order, axis=1)

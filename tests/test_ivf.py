@@ -735,3 +735,45 @@ def test_from_arrays_highdim_snapshot_without_proj():
     assert idx2._proj is None and idx2.tdim == D
     _, i = idx2.search_batch(vecs[:8], k=1)
     assert list(i[:, 0]) == list(ids[:8])
+
+
+def test_two_level_coarse_quantizer(monkeypatch):
+    """Cluster counts past the flat-fit ceiling use the hierarchical
+    (super -> children) fit + grouped assignment; the flat centroid
+    layout keeps the query path identical, probe selection chunks over
+    C, and recall must hold up vs the exact scan."""
+    import semadb_tpu.index.ivf as ivfmod
+
+    monkeypatch.setattr(ivfmod, "TWO_LEVEL_MIN_C", 64)
+    monkeypatch.setattr(ivfmod, "TWO_LEVEL_SUPERS", 8)
+    monkeypatch.setattr(ivfmod, "PROBE_CHUNK_BYTES", 1)
+    monkeypatch.setattr(ivfmod, "PROBE_CHUNK_C", 32)
+    idx = ivfmod.IndexIVF(
+        VectorIVFParams(
+            vector_size=16, distance_metric="euclidean",
+            num_clusters=128, assign_copies=2,
+        )
+    )
+    vecs = clustered(4000, dim=16, k=30)
+    ids = np.arange(2, 4002, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    assert idx._sup_cents is not None, "two-level path not taken"
+    assert idx.centroids.shape[0] == 128
+    queries = vecs[:32]
+    d, i = idx.search_batch(queries, k=10, num_probes=24)
+    hits = sum(
+        len(set(exact_top(vecs, ids, queries[b], 10)) & set(i[b])) / 10
+        for b in range(32)
+    )
+    assert hits / 32 >= 0.95, f"two-level recall too low: {hits/32}"
+    # incremental insert via the two-level assign path
+    nv = RNG.standard_normal(16).astype(np.float32)
+    idx.insert_update_delete([(9000, nv)])
+    _, hit = idx.search_batch(nv, 1, num_probes=24)
+    assert hit[0][0] == 9000
+    # persistence carries the super layer
+    idx2 = ivfmod.IndexIVF.from_arrays(idx.params, idx.to_arrays())
+    assert idx2._sup_cents is not None
+    _, a = idx.search_batch(queries, 10, num_probes=16)
+    _, b = idx2.search_batch(queries, 10, num_probes=16)
+    assert np.array_equal(a, b)

@@ -33,6 +33,7 @@ QUANTIZER = {
                 "numCentroids": {"type": "integer", "minimum": 2, "maximum": 256},
                 "numSubVectors": {"type": "integer", "minimum": 2},
                 "triggerThreshold": {"type": "integer", "minimum": 1000, "maximum": 10000},
+                "opq": {"type": "boolean"},
             },
             "required": ["numCentroids", "numSubVectors", "triggerThreshold"],
         },

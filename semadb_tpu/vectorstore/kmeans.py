@@ -443,8 +443,9 @@ def kmeans_fit_two_level(
     )[:, 0]
 
     # 3. children per super, grouped weighted Lloyd in G-chunks sized so
-    #    the [G, maxm, D] member gather stays ~256 MB
-    gchunk = max(2**26 // max(fit_maxm * d, 1), 1)
+    #    the larger of the [G, maxm, D] member gather and the
+    #    [G, maxm, kc] distance/cross tensors stays ~256 MB
+    gchunk = max(2**26 // max(fit_maxm * max(d, kc), 1), 1)
     rows_np, w_np, cnt_np = _group_rows(lab_sup, supers, fit_maxm)
     if row_ids is not None:
         rid = np.asarray(row_ids)
@@ -470,7 +471,7 @@ def kmeans_fit_two_level(
     pos_all = rows_all.copy()
     if row_ids is not None:
         rows_all = rid[rows_all]
-    gchunk2 = max(2**26 // max(all_maxm * d, 1), 1)
+    gchunk2 = max(2**26 // max(all_maxm * max(d, kc), 1), 1)
     labels = np.zeros(n, np.int64)
     for g0 in range(0, supers, gchunk2):
         _, cidx = _grouped_child_top(
@@ -520,7 +521,7 @@ def kmeans_assign_two_level(
         rows_g, w_g, _ = _group_rows(lab, Cs, maxm)
         pos_g = rows_g.copy()
         rows_dev = rid[rows_g] if rid is not None else rows_g
-        gchunk = max(2**26 // max(maxm * d, 1), 1)
+        gchunk = max(2**26 // max(maxm * max(d, kc), 1), 1)
         for g0 in range(0, Cs, gchunk):
             dd, cidx = _grouped_child_top(
                 data,

@@ -45,13 +45,22 @@ lookups followed by the same exact rerank. Above PROJ_DIM the projected
 path replaces ADC regardless of quantizer config (measured 145x faster
 at equal recall).
 
-Writes: ``insert_update_delete`` places per point (relocating on full
-homes); ``insert_bulk`` adopts whole arrays — device-resident corpora
-never round-trip through the host — with vectorised greedy packing and
-an optionally deferred first refit. The index refits (k-means + repack,
-gather-built slabs, all device-side except one [N] label readback) when
-the live count doubles or the overflow pool outgrows its share. Deletes
-blank every copy's slot in place.
+Writes: ``insert_update_delete`` and ``insert_bulk`` share the
+vectorised greedy placement (``_place_fitted``: one multi-cluster
+assignment, per-column capacity packing, one device scatter per array);
+bulk loads adopt whole arrays — device-resident corpora never
+round-trip through the host — with an optionally deferred first refit.
+The index refits (k-means + repack, gather-built slabs, all device-side
+except one [N] label readback) when the live count doubles or the
+overflow pool outgrows its share. Deletes blank every copy's slot in
+place.
+
+Scale: cluster counts past TWO_LEVEL_MIN_C use a two-level coarse
+quantizer — ~512 supers fit first, then k/supers children per super
+with grouped dense scoring (vectorstore.kmeans.kmeans_fit_two_level).
+The centroid array stays FLAT (children of super s contiguous), so only
+probe selection changes: the [B, C] matrix chunks over C with a
+per-chunk approx top-p carry.
 """
 
 from __future__ import annotations

@@ -666,8 +666,14 @@ class IndexIVF:
         ids = np.fromiter(self._loc.keys(), np.int32, len(self._loc))
         n = len(ids)
         D = self.params.vector_size
+        # Auto cap 131072, not the schema's 262144 maximum: slab slots
+        # scale with C (C × S × tdim), and at 10M × 128d the 262144
+        # geometry's bf16 slabs alone are 8.6 GB — resident state would
+        # reach ~14.4 GB and the ≤1 GB query gather transient OOMs a
+        # 16 GB chip. 131072 (mean cluster ~76 at 10M) halves that;
+        # an explicit numClusters override can still ask for more.
         Cn = self.params.num_clusters or _npow2(
-            max(n // TARGET_CLUSTER_SIZE, 1), 16, 262144
+            max(n // TARGET_CLUSTER_SIZE, 1), 16, 131072
         )
         S = self.slab
         # Pad the fit input by tiling real point IDS (duplicates only nudge

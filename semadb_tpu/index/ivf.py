@@ -204,6 +204,56 @@ def _npow2(x: int, lo: int, hi: int) -> int:
     return p
 
 
+def _select_probes(qp, centroids, cent_sq, p: int) -> jax.Array:
+    """Top-p probe cluster ids per query: one dense [B, C] contraction on
+    the MXU. Past PROBE_CHUNK_BYTES the matrix is chunked over C with a
+    per-chunk approx top-p carry (the full [4096, 262144] matrix at
+    two-level cluster counts would be 4.3 GB) — dense chunked matmuls,
+    never per-query centroid gathers (gathers lose to the MXU here, same
+    measurement as the slab design). Traced inline by the query kernels.
+    """
+    B = qp.shape[0]
+    Cn_ = centroids.shape[0]
+    if B * Cn_ * 4 > PROBE_CHUNK_BYTES:
+        cb_ = min(PROBE_CHUNK_C, Cn_)
+        cpad = -(-Cn_ // cb_) * cb_
+        cents_p = (
+            centroids if cpad == Cn_
+            else jnp.pad(centroids, ((0, cpad - Cn_), (0, 0)))
+        )
+        # Padding rows carry a huge norm term so they are never probed
+        # (works for all metrics — dot/cosine pass cent_sq = 0).
+        csq_p = jnp.pad(
+            cent_sq, (0, cpad - Cn_), constant_values=np.float32(1e30)
+        ) if cpad != Cn_ else cent_sq
+
+        def probe_chunk(off, x):
+            c_blk, csq_blk = x
+            dd = csq_blk[None, :] - 2.0 * (qp @ c_blk.T)
+            nv_, pos_ = jax.lax.approx_max_k(-dd, min(p, cb_))
+            return off + cb_, (-nv_, pos_.astype(jnp.int32) + off)
+
+        nchunk_c = cpad // cb_
+        _, (pd_c, pi_c) = jax.lax.scan(
+            probe_chunk, jnp.int32(0),
+            (
+                cents_p.reshape(nchunk_c, cb_, -1),
+                csq_p.reshape(nchunk_c, cb_),
+            ),
+        )
+        pdist = jnp.moveaxis(pd_c, 0, 1).reshape(B, -1)
+        pids = jnp.moveaxis(pi_c, 0, 1).reshape(B, -1)
+        _, sel = jax.lax.top_k(-pdist, min(p, pdist.shape[1]))
+        probe = jnp.take_along_axis(pids, sel, axis=-1)
+        return jnp.clip(probe, 0, Cn_ - 1)
+    cd = cent_sq[None, :] - 2.0 * (qp @ centroids.T)
+    if Cn_ >= APPROX_PROBE_MIN_C:
+        _, probe = jax.lax.approx_max_k(-cd, p)  # [B, p]
+        return probe.astype(jnp.int32)
+    _, probe = jax.lax.top_k(-cd, p)  # [B, p]
+    return probe
+
+
 @functools.partial(jax.jit, static_argnames=("p", "k", "pchunk", "metric", "dedup"))
 def _ivf_query(
     centroids: jax.Array,   # f32[C, D]
@@ -238,52 +288,9 @@ def _ivf_query(
     cap = vectors.shape[0]
     qp = queries if proj is None else (queries @ proj)
 
-    # 1. probe selection: dense [B, C] contraction on the MXU. Past
-    # PROBE_CHUNK_BYTES of [B, C] the matrix is chunked over C with a
-    # per-chunk approx top-p carry (the full [4096, 262144] matrix at
-    # two-level cluster counts would be 4.3 GB) — dense chunked matmuls,
-    # never per-query centroid gathers (gathers lose to the MXU here,
-    # same measurement as the slab design).
-    Cn_ = centroids.shape[0]
-    if B * Cn_ * 4 > PROBE_CHUNK_BYTES:
-        cb_ = min(PROBE_CHUNK_C, Cn_)
-        cpad = -(-Cn_ // cb_) * cb_
-        cents_p = (
-            centroids if cpad == Cn_
-            else jnp.pad(centroids, ((0, cpad - Cn_), (0, 0)))
-        )
-        # Padding rows carry a huge norm term so they are never probed
-        # (works for all metrics — dot/cosine pass cent_sq = 0).
-        csq_p = jnp.pad(
-            cent_sq, (0, cpad - Cn_), constant_values=np.float32(1e30)
-        ) if cpad != Cn_ else cent_sq
-
-        def probe_chunk(off, x):
-            c_blk, csq_blk = x
-            dd = csq_blk[None, :] - 2.0 * (qp @ c_blk.T)
-            nv_, pos_ = jax.lax.approx_max_k(-dd, min(p, cb_))
-            return off + cb_, (-nv_, pos_.astype(jnp.int32) + off)
-
-        nchunk_c = cpad // cb_
-        _, (pd_c, pi_c) = jax.lax.scan(
-            probe_chunk, jnp.int32(0),
-            (
-                cents_p.reshape(nchunk_c, cb_, -1),
-                csq_p.reshape(nchunk_c, cb_),
-            ),
-        )
-        pdist = jnp.moveaxis(pd_c, 0, 1).reshape(B, -1)
-        pids = jnp.moveaxis(pi_c, 0, 1).reshape(B, -1)
-        _, sel = jax.lax.top_k(-pdist, min(p, pdist.shape[1]))
-        probe = jnp.take_along_axis(pids, sel, axis=-1)
-        probe = jnp.clip(probe, 0, Cn_ - 1)
-    else:
-        cd = cent_sq[None, :] - 2.0 * (qp @ centroids.T)
-        if Cn_ >= APPROX_PROBE_MIN_C:
-            _, probe = jax.lax.approx_max_k(-cd, p)  # [B, p]
-            probe = probe.astype(jnp.int32)
-        else:
-            _, probe = jax.lax.top_k(-cd, p)  # [B, p]
+    # 1. probe selection (shared helper; chunked over C past
+    # PROBE_CHUNK_BYTES of [B, C])
+    probe = _select_probes(qp, centroids, cent_sq, p)
 
     # 2. probe-chunked slab scoring (full [B,p,S,D] would be gigabytes)
     def score_chunk(_, pr):  # pr: [B, pchunk]
@@ -432,9 +439,8 @@ def _ivf_query_pq(
     flat_table = table.reshape(B, M * kq)
     m_off = jnp.arange(M, dtype=jnp.int32) * kq  # [M]
 
-    # 1. probe selection (same dense contraction as the f32 engine)
-    cd = cent_sq[None, :] - 2.0 * (queries @ centroids.T)
-    _, probe = jax.lax.top_k(-cd, p)  # [B, p]
+    # 1. probe selection (shared helper, chunked at large C)
+    probe = _select_probes(queries, centroids, cent_sq, p)
 
     # 2. probe-chunked ADC slab scoring
     def score_chunk(_, pr):  # pr: [B, pchunk]

@@ -283,3 +283,61 @@ def test_refine_keeps_invariants_and_recall():
     live_edges = adj[ids]
     ok = (live_edges == -1) | ex[np.clip(live_edges, 0, len(ex) - 1)]
     assert ok.all(), "edge to non-existent node after refine"
+
+
+def test_insert_bulk_two_pass_invariants_and_recall():
+    """insert_bulk runs the two-pass alpha schedule (pass 1 at alpha=1.0,
+    pass 2 keep_current re-insertion): the result must beat-or-match the
+    single-pass incremental build's recall and hold every graph
+    invariant (1M measured: 0.9960 -> 1.0000 at L=75, BENCHMARKS)."""
+    import numpy as np
+
+    from semadb_tpu.index.vamana import IndexVamana
+    from semadb_tpu.models.schema import VectorVamanaParams
+    from semadb_tpu.tools.datasets import embedding_like
+
+    n = 6000
+    ds = embedding_like(n, 32, 64, latent=16, seed=9, spread=0.5)
+    ids = np.arange(2, n + 2, dtype=np.int32)
+    p = VectorVamanaParams(
+        vector_size=32, distance_metric="euclidean",
+        search_size=75, degree_bound=32, alpha=1.2,
+    )
+    dd = (
+        (ds.test[:, None, :].astype(np.float64) - ds.train[None].astype(np.float64))
+        ** 2
+    ).sum(-1)
+    gt = np.argsort(dd, 1)[:, :10] + 2
+
+    def rec(ix):
+        _, i_ = ix.search_batch(ds.test, 10, search_size=75)
+        return np.mean([len(set(i_[b]) & set(gt[b])) / 10 for b in range(64)])
+
+    import semadb_tpu.index.vamana as V
+
+    assert V.TWO_PASS and n >= V.TWO_PASS_MIN  # two-pass engaged
+
+    idx1 = IndexVamana(p)
+    idx1.insert_update_delete(zip(ids, ds.train))  # single-pass incremental
+    idx2 = IndexVamana(p)
+    idx2.insert_bulk(ids, ds.train)  # two-pass
+    r1, r2 = rec(idx1), rec(idx2)
+    assert r2 >= r1 - 0.005, f"two-pass regressed recall: {r1} -> {r2}"
+
+    check_connectivity(idx2)
+    adj = np.asarray(idx2.state.adjacency)
+    ex = np.asarray(idx2.state.exists)
+    counts = (adj[ids] != NIL).sum(-1)
+    assert counts.max() <= idx2.config.degree_bound
+    live_edges = adj[ids]
+    ok = (live_edges == NIL) | ex[np.clip(live_edges, 0, len(ex) - 1)]
+    assert ok.all(), "edge to non-existent node after two-pass build"
+    # no self edges, no duplicate edges within a row
+    for r, nid in zip(live_edges[:200], ids[:200]):
+        e = r[r != NIL]
+        assert nid not in e
+        assert len(set(e.tolist())) == len(e)
+    # CRUD still works on the bulk-built graph
+    idx2.insert_update_delete([(int(ids[0]), None)])
+    _, i_ = idx2.search_batch(ds.train[:1], 1, search_size=36)
+    assert i_[0][0] != ids[0]

@@ -194,6 +194,12 @@ class V2Handlers:
 
 def register_routes(router, node: ClusterNode, prefix: str = "/v2"):
     h = V2Handlers(node)
+    # /v2/ping (handlers.go:32 handlePing — same payload as v1's)
+    router.add(
+        "GET", f"{prefix}/ping",
+        lambda ctx, body: (200, {"message": "pong from semadb"}),
+        auth=False,
+    )
     router.add("GET", f"{prefix}/collections", h.list_collections)
     router.add("POST", f"{prefix}/collections", h.create_collection)
     router.add("GET", f"{prefix}/collections/{{collectionId}}", h.get_collection)

@@ -76,6 +76,13 @@ def test_v1_ping_no_auth(server):
     assert "pong" in r.json()["message"]
 
 
+def test_v2_ping_no_auth(server):
+    # handlers.go:32: v2 exposes /ping as well
+    r = requests.get(f"{server}/v2/ping")
+    assert r.status_code == 200
+    assert "pong" in r.json()["message"]
+
+
 def test_collection_crud(server):
     assert make_collection(server).status_code == 200
     # duplicate

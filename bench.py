@@ -274,7 +274,8 @@ def _run_write(jax) -> None:
     t0 = time.time()
     idx.insert_bulk(ids, base)
     build_s = time.time() - t0
-    # warmup both paths
+    # warmup both paths (extra rows keep node id = train index + 2 so the
+    # recall mapping below stays uniform; txn 0 re-updates these two)
     idx.search_batch(ds.test[:QUERY_BATCH], 10)
     idx.insert_update_delete(
         zip(range(N + 2, N + 4), extra[:2])
@@ -283,7 +284,7 @@ def _run_write(jax) -> None:
     searches = 0
     for t in range(n_txns):
         lo = t * txn_pts
-        nid0 = N + 4 + lo
+        nid0 = N + 2 + lo
         idx.insert_update_delete(
             zip(range(nid0, nid0 + txn_pts), extra[lo : lo + txn_pts])
         )

@@ -661,7 +661,9 @@ class IndexIVF:
             return False
         if self._n_at_fit == 0:
             return True
-        n_ovf = sum(1 for l in self._loc.values() if l[0] == "o")
+        # Occupied overflow slots = pool size − free list, O(1). (A scan
+        # of _loc here cost O(n) Python per WRITE TXN at 1M+ points.)
+        n_ovf = self.ovf_ids.shape[0] - len(self._ovf_free)
         return n >= 2 * self._n_at_fit or n_ovf > max(64, n // 4)
 
     def _refit(self) -> None:

@@ -46,7 +46,10 @@ MODE = os.environ.get("BENCH_MODE", "ivf")  # ivf | ivfpq | plain | bq | pq
 METRIC = os.environ.get("BENCH_METRIC", "euclidean")  # euclidean | cosine
 # IVF's slab gather works best at 4096-query batches (larger batches blow
 # up the gathered intermediate); the graph walk prefers 8192.
-QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 4096 if MODE.startswith("ivf") else 8192))
+QUERY_BATCH = int(os.environ.get(
+    "BENCH_QUERY_BATCH",
+    4096 if (MODE.startswith("ivf") or MODE == "hybrid") else 8192,
+))
 # Search-time operating point on the recall/QPS pareto (build stays at the
 # reference's searchSize 75). Quantized modes keep L=75: the rerank can
 # only recover neighbours that made the candidate list. IVF probes
@@ -141,11 +144,11 @@ def _run_hybrid(jax) -> None:
     idx1 = IndexIVF(
         VectorIVFParams(vector_size=DIM, distance_metric="euclidean", assign_copies=2)
     )
-    idx1.insert_update_delete(zip(ids, ds1.train))
+    idx1.insert_bulk(ids, ds1.train)
     idx2 = IndexIVF(
         VectorIVFParams(vector_size=d2, distance_metric="euclidean", assign_copies=2)
     )
-    idx2.insert_update_delete(zip(ids, ds2.train))
+    idx2.insert_bulk(ids, ds2.train)
     build_s = time.time() - t0
 
     # Exact hybrid ground truth on device (chunked combined-score scan —
@@ -192,6 +195,10 @@ def _run_hybrid(jax) -> None:
     # view — a deeper per-view pool is the direct fix (the exact
     # dual-space rerank makes pool depth cost only a larger gather).
     POOL = int(os.environ.get("BENCH_HYBRID_POOL", 256))
+    # Per-view probe count: combined-score misses are candidates whose
+    # OWN-view rank is poor — they need wider per-view cluster coverage,
+    # not just a deeper pool (pool 100 -> 256 alone: 0.9827 -> 0.9834).
+    H_PROBES = PROBES or int(os.environ.get("BENCH_HYBRID_PROBES", 48))
 
     @_jax.jit
     def hybrid_rerank(v1, v2, i1, i2, q1, q2):
@@ -215,8 +222,8 @@ def _run_hybrid(jax) -> None:
             nb = min(QUERY_BATCH, N_QUERIES - i)
             q1 = np.ascontiguousarray(ds1.test[i : i + QUERY_BATCH])
             q2 = np.ascontiguousarray(ds2.test[i : i + QUERY_BATCH])
-            _, i1 = idx1.search_batch_async(q1, POOL, PROBES)
-            _, i2 = idx2.search_batch_async(q2, POOL, PROBES)
+            _, i1 = idx1.search_batch_async(q1, POOL, H_PROBES)
+            _, i2 = idx2.search_batch_async(q2, POOL, H_PROBES)
             B = i1.shape[0]
             top = hybrid_rerank(
                 idx1.vectors, idx2.vectors, i1, i2,

@@ -1169,9 +1169,6 @@ class IndexIVF:
         all_cs = np.concatenate([p[1] for p in placed_cols])
         all_ss = np.concatenate([p[2] for p in placed_cols])
         if len(all_rows):
-            self.slab_ids = self.slab_ids.at[all_cs, all_ss].set(
-                ids_np[all_rows].astype(np.int32)
-            )
             rows_dev = jnp.asarray(ids_np[all_rows].astype(np.int32))
             if self.pq_active:
                 from semadb_tpu.vectorstore.store import pq_encode
@@ -1195,6 +1192,14 @@ class IndexIVF:
                 self.slab_sq = self.slab_sq.at[all_cs, all_ss].set(
                     self._sq(rows_f)
                 )
+            # slab_ids LAST: the id write is what makes a slot visible to
+            # concurrent searches — writing it before the slab vectors
+            # exposes zero-filled rows that score spuriously close
+            # (search-while-insert regression, caught by
+            # test_ivf_search_while_insert).
+            self.slab_ids = self.slab_ids.at[all_cs, all_ss].set(
+                ids_np[all_rows].astype(np.int32)
+            )
         if len(ovf_rows):
             slots = np.array(self._ovf_slots(len(ovf_rows)), np.int32)
             o_dev = jnp.asarray(ids_np[ovf_rows].astype(np.int32))

@@ -28,7 +28,7 @@ import numpy as np
 from semadb_tpu.index.manager import IndexManager, IndexPointChange
 from semadb_tpu.models import constants as C
 from semadb_tpu.models.collection import Collection
-from semadb_tpu.models.errors import ExistsError, ValidationError
+from semadb_tpu.models.errors import ExistsError, NotFoundError, ValidationError
 from semadb_tpu.models.point import Point, SearchResult, decode_point_data
 from semadb_tpu.models.query import SearchRequest
 from semadb_tpu.shard import pointstore
@@ -310,13 +310,29 @@ class Shard:
             # result set but not in ordered results is appended unranked
             # (shard.go:350-371)
             covered = set()
+            # Tolerant resolution: the device index is shared and mutated
+            # in place by a concurrent write TRANSACTION, so a search can
+            # surface a node id whose point record hasn't committed to
+            # the store yet (the reference can't hit this — its index and
+            # pointstore share one bbolt snapshot). Such ids are dropped
+            # from this result set; they become visible the moment the
+            # writer commits. Deletes are the mirror case (index entry
+            # gone first) and already invisible to search.
             for r in results:
-                sp = pointstore.get_point_by_node_id(b_points, r.node_id, with_data)
+                try:
+                    sp = pointstore.get_point_by_node_id(
+                        b_points, r.node_id, with_data
+                    )
+                except NotFoundError:
+                    continue
                 r.point = sp.point
                 covered.add(r.node_id)
                 final_results.append(r)
             for nid in sorted(rset - covered):
-                sp = pointstore.get_point_by_node_id(b_points, nid, with_data)
+                try:
+                    sp = pointstore.get_point_by_node_id(b_points, nid, with_data)
+                except NotFoundError:
+                    continue
                 final_results.append(SearchResult(point=sp.point, node_id=nid))
 
         # shard.go:460 logs search duration

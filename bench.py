@@ -269,9 +269,13 @@ def _run_write(jax) -> None:
     from semadb_tpu.models.schema import VectorIVFParams
     from semadb_tpu.tools.datasets import embedding_like
 
+    def stage(msg):
+        print(f"# write {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
     n_txns = int(os.environ.get("BENCH_WRITE_TXNS", 100))
     txn_pts = int(os.environ.get("BENCH_WRITE_TXN_POINTS", 1000))
     ds = embedding_like(N + n_txns * txn_pts, DIM, N_QUERIES, spread=SPREAD)
+    stage("dataset ready")
     extra = ds.train[N:]
     base = ds.train[:N]
     idx = IndexIVF(
@@ -281,12 +285,14 @@ def _run_write(jax) -> None:
     t0 = time.time()
     idx.insert_bulk(ids, base)
     build_s = time.time() - t0
+    stage(f"build done {build_s:.1f}s")
     # warmup both paths (extra rows keep node id = train index + 2 so the
     # recall mapping below stays uniform; txn 0 re-updates these two)
     idx.search_batch(ds.test[:QUERY_BATCH], 10)
     idx.insert_update_delete(
         zip(range(N + 2, N + 4), extra[:2])
     )
+    stage("warmup done")
     t0 = time.time()
     searches = 0
     for t in range(n_txns):
@@ -298,6 +304,8 @@ def _run_write(jax) -> None:
         q = ds.test[(t * QUERY_BATCH) % max(len(ds.test) - QUERY_BATCH, 1) :][:QUERY_BATCH]
         idx.search_batch_async(q, 10)
         searches += len(q)
+        if t % 20 == 19:
+            stage(f"txn {t+1}/{n_txns} elapsed {time.time()-t0:.1f}s")
     # drain the async searches
     d, _ = idx.search_batch(ds.test[:8], 10)
     wall = time.time() - t0

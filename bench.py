@@ -292,6 +292,13 @@ def _run_write(jax) -> None:
     idx.insert_update_delete(
         zip(range(N + 2, N + 4), extra[:2])
     )
+    # Pre-grow capacity past the loop's max id: the growth doubles the
+    # vectors matrix mid-loop and recompiles every kernel (~minutes on
+    # TPU) — that's a one-time cost, not sustained-write throughput.
+    idx.insert_update_delete(
+        [(N + 2 + n_txns * txn_pts + 1, extra[-1])]
+    )
+    idx.search_batch(ds.test[:QUERY_BATCH], 10)  # recompile search now
     stage("warmup done")
     t0 = time.time()
     searches = 0

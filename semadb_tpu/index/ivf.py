@@ -194,6 +194,27 @@ def _pack_greedy(rows, col_clusters, fill, S, Cn):
     return rows[order2[ok]], c2s[ok], slot2[ok], fill, order2[~ok]
 
 
+def _pad_dup(a: np.ndarray, lo: int = 64) -> np.ndarray:
+    """Pad a host array to the next power-of-two length (min ``lo``) by
+    repeating its LAST element.
+
+    Shape bucketing for the incremental write path: every device op in a
+    write txn (scatter sizes = however many points packed into slabs vs
+    overflow that txn) otherwise compiles fresh XLA per distinct length —
+    measured ~25 compiles PER 1k-point TXN at steady state, which capped
+    sustained writes at ~150 points/s on TPU (6.4 s/txn was compile
+    latency, not compute). Repeating the last element is idempotent for
+    every use here: duplicate scatter indices write the same value, and
+    duplicate assignment rows just re-score the same point."""
+    n = len(a)
+    m = lo
+    while m < n:
+        m *= 2
+    if m == n:
+        return a
+    return np.concatenate([a, np.repeat(a[-1:], m - n, axis=0)], axis=0)
+
+
 def _npow2(x: int, lo: int, hi: int) -> int:
     """Nearest power of two in [lo, hi] (geometric rounding): the cluster
     count drives the [B, C] probe-selection top_k, whose cost doubles per
@@ -642,13 +663,21 @@ class IndexIVF:
         )
 
         if self._sup_cents is not None and cents.shape[0] >= TWO_LEVEL_MIN_C:
+            # n_sup=4: with the default 2, 6.5% of assignments miss the
+            # globally nearest cluster (measured 64k×64d/C=1024) — SOAR
+            # copies and spill relocation then land in the wrong
+            # neighbourhood. 4 supers brings rank-0 agreement to 0.974
+            # at ~2× the (cheap) grouped-scoring cost.
             if rows is not None:
                 return np.asarray(
-                    kmeans_assign_two_level(rows, self._sup_cents, cents, t)
+                    kmeans_assign_two_level(
+                        rows, self._sup_cents, cents, t, n_sup=4
+                    )
                 )
             return np.asarray(
                 kmeans_assign_two_level(
-                    self.vectors, self._sup_cents, cents, t, row_ids=row_ids
+                    self.vectors, self._sup_cents, cents, t,
+                    row_ids=row_ids, n_sup=4,
                 )
             )
         if rows is not None:
@@ -971,11 +1000,13 @@ class IndexIVF:
             if len(ups) > CH:
                 up_dev = None
                 for off in range(0, len(ups), CH):
-                    blk = jnp.asarray(up_vecs[off : off + CH])
-                    self.vectors = self.vectors.at[up_ids[off : off + CH]].set(blk)
+                    blk = jnp.asarray(_pad_dup(up_vecs[off : off + CH]))
+                    self.vectors = self.vectors.at[
+                        _pad_dup(up_ids[off : off + CH])
+                    ].set(blk)
             else:
-                up_dev = jnp.asarray(up_vecs)
-                self.vectors = self.vectors.at[up_ids].set(up_dev)
+                up_dev = jnp.asarray(_pad_dup(up_vecs))
+                self.vectors = self.vectors.at[_pad_dup(up_ids)].set(up_dev)
 
             # update = replace: pop every old location before placement
             for node_id, _ in ups:
@@ -1004,14 +1035,16 @@ class IndexIVF:
                 # before the first fit still see the points
                 slots = np.array(self._ovf_slots(len(ups)), np.int32)
                 rows_dev = (
-                    up_dev
+                    up_dev  # already padded to the same bucket as slots
                     if up_dev is not None
-                    else self.vectors[jnp.asarray(up_ids)]
+                    else self.vectors[jnp.asarray(_pad_dup(up_ids))]
                 )
                 if self._proj is not None:
                     rows_dev = rows_dev @ self._proj
-                self.ovf_vecs = self.ovf_vecs.at[slots].set(rows_dev)
-                self.ovf_ids = self.ovf_ids.at[slots].set(up_ids)
+                self.ovf_vecs = self.ovf_vecs.at[_pad_dup(slots)].set(rows_dev)
+                self.ovf_ids = self.ovf_ids.at[_pad_dup(slots)].set(
+                    _pad_dup(up_ids)
+                )
                 for nid, j in zip(up_ids, slots):
                     self._loc[int(nid)] = ("o", int(j))
         if removals:
@@ -1031,9 +1064,11 @@ class IndexIVF:
             [l[1] for l in removals if l[0] == "o" and l[1] >= 0], np.int32
         )
         if len(s_cs):
-            self.slab_ids = self.slab_ids.at[s_cs, s_ss].set(NIL)
+            self.slab_ids = self.slab_ids.at[
+                _pad_dup(s_cs), _pad_dup(s_ss)
+            ].set(NIL)
         if len(o_js):
-            self.ovf_ids = self.ovf_ids.at[o_js].set(NIL)
+            self.ovf_ids = self.ovf_ids.at[_pad_dup(o_js)].set(NIL)
             self._ovf_free.extend(int(j) for j in o_js)
 
     def _has_placeholders(self) -> bool:
@@ -1136,12 +1171,14 @@ class IndexIVF:
         old per-point Python pack capped sustained-write throughput.
         """
         n = len(ids_np)
-        ids_dev = jnp.asarray(ids_np.astype(np.int32))
+        # Shape-bucketed assignment (see _pad_dup): duplicate rows just
+        # re-score the same point; slice back to the true count.
+        ids_dev = jnp.asarray(_pad_dup(ids_np.astype(np.int32)))
         Cn = self.centroids.shape[0]
         S = self.slab
         copies = min(self.params.assign_copies, Cn)
         t_ins = min(max(copies, 2), Cn)
-        topt = self._assign_top(self.centroids, t_ins, row_ids=ids_dev)
+        topt = self._assign_top(self.centroids, t_ins, row_ids=ids_dev)[:n]
         fill = self._fill
         placed_cols = []  # (rows(pos into ids_np), clusters, slots, is_primary)
         pc = np.full(n, -1, np.int64)
@@ -1169,6 +1206,11 @@ class IndexIVF:
         all_cs = np.concatenate([p[1] for p in placed_cols])
         all_ss = np.concatenate([p[2] for p in placed_cols])
         if len(all_rows):
+            # Joint duplicate-pad keeps (row, cluster, slot) aligned: the
+            # padded tail rewrites the last slot with its own value.
+            all_rows = _pad_dup(all_rows)
+            all_cs = _pad_dup(all_cs)
+            all_ss = _pad_dup(all_ss)
             rows_dev = jnp.asarray(ids_np[all_rows].astype(np.int32))
             if self.pq_active:
                 from semadb_tpu.vectorstore.store import pq_encode
@@ -1202,11 +1244,12 @@ class IndexIVF:
             )
         if len(ovf_rows):
             slots = np.array(self._ovf_slots(len(ovf_rows)), np.int32)
-            o_dev = jnp.asarray(ids_np[ovf_rows].astype(np.int32))
+            slots_d = _pad_dup(slots)
+            o_dev = jnp.asarray(_pad_dup(ids_np[ovf_rows].astype(np.int32)))
             if self.pq_active:
                 from semadb_tpu.vectorstore.store import pq_encode
 
-                self.ovf_codes = self.ovf_codes.at[slots].set(
+                self.ovf_codes = self.ovf_codes.at[slots_d].set(
                     pq_encode(
                         self.vectors, self.pq_codebook,
                         self.pq_config.num_subvectors,
@@ -1220,10 +1263,8 @@ class IndexIVF:
                     if self._proj is not None
                     else self.vectors[o_dev]
                 )
-                self.ovf_vecs = self.ovf_vecs.at[slots].set(ov)
-            self.ovf_ids = self.ovf_ids.at[slots].set(
-                ids_np[ovf_rows].astype(np.int32)
-            )
+                self.ovf_vecs = self.ovf_vecs.at[slots_d].set(ov)
+            self.ovf_ids = self.ovf_ids.at[slots_d].set(o_dev)
             for r, j in zip(ovf_rows, slots):
                 self._loc[int(ids_np[r])] = ("o", int(j))
         for placed, pcl, psl, primary in placed_cols:

@@ -376,10 +376,13 @@ def main() -> None:
         ds = embedding_like(N, DIM, N_QUERIES, spread=SPREAD, metric=METRIC)
     print(f"# bench dataset ready {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
     engine = "ivf" if MODE.startswith("ivf") else "vamana"
+    sweep_ops = [
+        int(x) for x in os.environ.get("BENCH_SWEEP", "").split(",") if x
+    ]
     out = run(
         ds, k=10, batch=QUERY_BATCH, query_search_size=SEARCH_L,
         quantizer=_quantizer(), engine=engine,
-        gt_queries=GT_QUERIES, num_probes=PROBES,
+        gt_queries=GT_QUERIES, num_probes=PROBES, sweep_ops=sweep_ops,
     )
     name = {
         "ivf": "ivf", "ivfpq": "ivfpq", "plain": "vamana",
@@ -401,6 +404,7 @@ def main() -> None:
                 "gt_queries": GT_QUERIES,
                 "margin_d10_over_drand": out["margin"],
                 "platform": jax.devices()[0].platform,
+                **({"sweep": out["sweep"]} if "sweep" in out else {}),
             }
         )
     )

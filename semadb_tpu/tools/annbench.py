@@ -119,7 +119,7 @@ class VamanaBench:
 
 def run(
     ds: AnnDataset, k: int = 10, batch: int = 1024, query_search_size: int = 0,
-    gt_queries: int = 0, num_probes: int = 0,
+    gt_queries: int = 0, num_probes: int = 0, sweep_ops=(),
     **index_kw,
 ) -> dict:
     """``query_search_size``: search-time L operating point (ann-benchmarks
@@ -183,7 +183,24 @@ def run(
     recall = float(
         np.mean([len(set(ids[i]) & set(gt[i])) / k for i in range(n_gt)])
     )
-    return {
+    # Extra operating points on the SAME build (a 10M build costs ~4 min;
+    # the recall/QPS pareto needs several probe/L values per build).
+    sweep = []
+    for op2 in sweep_ops:
+        if op2 == op:
+            continue
+        ids2, w2 = bench.query_batch(ds.test, k, batch, op2)
+        ids3, w3 = bench.query_batch(ds.test, k, batch, op2)
+        if w3 < w2:
+            ids2, w2 = ids3, w3
+        r2 = float(
+            np.mean([len(set(ids2[i]) & set(gt[i])) / k for i in range(n_gt)])
+        )
+        row = {"op": op2, "recall@10": round(r2, 4),
+               "qps": round(len(ds.test) / w2, 1)}
+        stage(f"sweep {row}")
+        sweep.append(row)
+    out = {
         "dataset": ds.name,
         "metric": ds.metric,
         "n": n_train,
@@ -192,6 +209,9 @@ def run(
         "build_s": round(build_s, 1),
         "margin": round(margin, 3),
     }
+    if sweep:
+        out["sweep"] = sweep
+    return out
 
 
 def main(argv=None) -> int:

@@ -110,6 +110,10 @@ def embedding_like(
     a friendly-data artefact.
     """
     rng = np.random.default_rng(seed)
+    # Narrow corpora (glove-25-angular analog): the orthonormal embedding
+    # needs latent <= dim; clamping keeps the same mixture model with a
+    # full-rank map instead of crashing the QR.
+    latent = min(latent, dim)
     n_clusters = max(n // cluster_size, 2)
     centers = rng.standard_normal((n_clusters, latent), dtype=np.float32)
     # Orthonormal embedding map D x r
@@ -150,6 +154,7 @@ def embedding_like_views(
     orthonormal embedding map and ambient noise — the realistic regime
     where per-index top candidates overlap and hybrid fusion works."""
     rng = np.random.default_rng(seed)
+    latent = min([latent, *dims])
     n_clusters = max(n // cluster_size, 2)
     centers = rng.standard_normal((n_clusters, latent), dtype=np.float32)
     r_tr = np.random.default_rng(seed + 1)
@@ -263,6 +268,7 @@ def embedding_like_device(
     import jax
     import jax.numpy as jnp
 
+    latent = min(latent, dim)  # same clamp as the host generator
     n_clusters = max(n // cluster_size, 2)
     kc, ke, kz1, kz2, ka1, ka2, kt1, kt2 = jax.random.split(
         jax.random.PRNGKey(seed), 8

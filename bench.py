@@ -48,7 +48,8 @@ METRIC = os.environ.get("BENCH_METRIC", "euclidean")  # euclidean | cosine
 # up the gathered intermediate); the graph walk prefers 8192.
 QUERY_BATCH = int(os.environ.get(
     "BENCH_QUERY_BATCH",
-    4096 if (MODE.startswith("ivf") or MODE == "hybrid") else 8192,
+    4096 if (MODE.startswith("ivf") or MODE in ("hybrid", "filtered", "write"))
+    else 8192,
 ))
 # Search-time operating point on the recall/QPS pareto (build stays at the
 # reference's searchSize 75). Quantized modes keep L=75: the rerank can
@@ -257,6 +258,107 @@ def _run_hybrid(jax) -> None:
     )
 
 
+def _run_filtered(jax) -> None:
+    """Filtered-search workload: vector search restricted to a random
+    subset of points (the reference's filter queries — a roaring bitmap
+    ANDed into every index search, shard/index/search.go:52-168). Two
+    selectivities exercise both TPU paths: a broad 10% filter (widened
+    probing with the mask applied in-kernel) and a selective 0.5% filter
+    (exact member-gather scan). Recall is measured against the exact
+    filtered ground truth."""
+    import numpy as np
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from semadb_tpu.index.ivf import IndexIVF
+    from semadb_tpu.models.schema import VectorIVFParams
+    from semadb_tpu.tools.datasets import embedding_like
+
+    ds = embedding_like(N, DIM, N_QUERIES, spread=SPREAD, metric=METRIC)
+    ids = np.arange(2, N + 2, dtype=np.int32)
+    idx = IndexIVF(
+        VectorIVFParams(vector_size=DIM, distance_metric=METRIC, assign_copies=2)
+    )
+    t0 = time.time()
+    idx.insert_bulk(ids, ds.train)
+    build_s = time.time() - t0
+
+    tr = jnp.asarray(ds.train)
+    sq = jnp.sum(tr * tr, -1)
+
+    @_jax.jit
+    def gt_chunk(q, member):
+        hp = _jax.lax.Precision.HIGHEST
+        dd = sq[None, :] - 2.0 * jnp.matmul(q, tr.T, precision=hp)
+        dd = jnp.where(member[None, :], dd, jnp.inf)
+        _, top = _jax.lax.top_k(-dd, 10)
+        return top
+
+    rng = np.random.default_rng(7)
+    rows = {}
+    n_gt = min(GT_QUERIES, N_QUERIES)
+    for sel in (0.10, 0.005):
+        member = rng.random(N) < sel  # over train rows
+        mask = np.zeros(idx.capacity, bool)
+        mask[ids[member]] = True
+        gt = np.empty((n_gt, 10), np.int64)
+        GB = 1024
+        for i in range(0, n_gt, GB):
+            j = min(i + GB, n_gt)
+            q = jnp.asarray(
+                np.pad(ds.test[i:j], ((0, GB - (j - i)), (0, 0)))
+            )
+            gt[i:j] = np.asarray(gt_chunk(q, jnp.asarray(member)))[: j - i]
+
+        def query_all():
+            outs = []
+            t0 = time.time()
+            for i in range(0, N_QUERIES, QUERY_BATCH):
+                nb = min(QUERY_BATCH, N_QUERIES - i)
+                _, got = idx.search_batch_async(
+                    ds.test[i : i + QUERY_BATCH], 10, filter_mask=mask
+                )
+                outs.append((i, nb, got))
+            res = np.full((N_QUERIES, 10), -1, np.int64)
+            for i, nb, got in outs:
+                res[i : i + nb] = np.asarray(got)[:nb] - 2
+            return res, time.time() - t0
+
+        query_all()  # warmup
+        out, wall = query_all()
+        out2, w2 = query_all()
+        if w2 < wall:
+            out, wall = out2, w2
+        recall = float(
+            np.mean([len(set(out[i]) & set(gt[i])) / 10 for i in range(n_gt)])
+        )
+        rows[f"sel_{sel}"] = {
+            "recall@10": round(recall, 4),
+            "qps": round(N_QUERIES / wall, 1),
+        }
+        print(f"# filtered sel={sel}: {rows[f'sel_{sel}']}",
+              file=sys.stderr, flush=True)
+
+    main_row = rows["sel_0.1"]
+    print(
+        json.dumps(
+            {
+                "metric": f"embed{N//1000}k_d{DIM}_filtered_qps",
+                "value": main_row["qps"],
+                "unit": "qps",
+                "vs_baseline": round(main_row["qps"] / BASELINE_QPS, 2),
+                "recall@10": main_row["recall@10"],
+                "selective": rows["sel_0.005"],
+                "build_s": round(build_s, 1),
+                "n": N,
+                "query_batch": QUERY_BATCH,
+                "gt_queries": n_gt,
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
 def _run_write(jax) -> None:
     """Sustained-write workload: 1k-point insert transactions against a
     fitted 1M-point IVF index with 4096-query search batches interleaved
@@ -361,6 +463,9 @@ def main() -> None:
         return
     if MODE == "write":
         _run_write(jax)
+        return
+    if MODE == "filtered":
+        _run_filtered(jax)
         return
 
     from semadb_tpu.tools.annbench import run

@@ -880,7 +880,13 @@ class IndexIVF:
         all_cs = np.concatenate([pri_cs, sec_cs])
         all_ss = np.concatenate([pri_ss, sec_ss])
 
-        O = max(int(2 ** np.ceil(np.log2(max(len(spill) * 2, 8)))), 8)
+        # Floor the pool at 4096 once the corpus is large: the pool size
+        # is an operand shape of the query kernel, so a write workload
+        # regrowing a post-refit pool from 8 slots recompiles the search
+        # ~9 times (~30 s each on TPU). 4096 overflow rows cost one tiny
+        # chunk in the dense overflow scan.
+        o_min = 4096 if n >= 2**17 else 8
+        O = max(int(2 ** np.ceil(np.log2(max(len(spill) * 2, 8)))), o_min)
         ovf_ids = np.full((O,), NIL, np.int32)
         ovf_ids[: len(spill)] = ids[spill]
         slab_ids = np.full((Cn, S), NIL, np.int32)

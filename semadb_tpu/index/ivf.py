@@ -215,6 +215,25 @@ def _pad_dup(a: np.ndarray, lo: int = 64) -> np.ndarray:
     return np.concatenate([a, np.repeat(a[-1:], m - n, axis=0)], axis=0)
 
 
+def _auto_slab(copies: int, n: int, Cn: int, tdim: int, current: int) -> int:
+    """Slab depth for a refit: grow past the configured default when SOAR
+    copies would otherwise saturate the slot budget.
+
+    At 10M × 128d / C=131072 / copies=2, the default S=128 offers 16.8M
+    slots for 20M placements — a third of the copies get dropped and
+    primaries relocate far from home, capping recall ~0.96 at p=24. Sizing
+    S to copies·n/Cn with 25% heavy-tail headroom (rounded up to 64, the
+    gather-friendly granule) keeps both placements resident. Bounded by a
+    ~7 GB bf16 slab budget (16 GB chip: vectors f32 + slabs + 1 GB query
+    transient must co-reside); never shrinks below the configured value."""
+    if n <= 0:
+        return current
+    need = int(np.ceil(copies * n / Cn * 1.25 / 64.0)) * 64
+    budget = int(os.environ.get("SEMADB_IVF_SLAB_BYTES", 7 * 2**30))
+    cap = max((budget // (Cn * tdim * 2)) // 64 * 64, 64)
+    return max(current, min(need, cap))
+
+
 def _npow2(x: int, lo: int, hi: int) -> int:
     """Nearest power of two in [lo, hi] (geometric rounding): the cluster
     count drives the [B, C] probe-selection top_k, whose cost doubles per
@@ -712,6 +731,13 @@ class IndexIVF:
         Cn = self.params.num_clusters or _npow2(
             max(n // TARGET_CLUSTER_SIZE, 1), 16, 131072
         )
+        # Slab depth may grow with the corpus (see _auto_slab); the refit
+        # rebuilds every slab-shaped array, so this is the one safe point
+        # to change it. Explicit slabSize in the schema stays fixed.
+        if not self.params.slab_size:
+            self.slab = _auto_slab(
+                min(self.params.assign_copies, Cn), n, Cn, self.tdim, self.slab
+            )
         S = self.slab
         # Pad the fit input by tiling real point IDS (duplicates only nudge
         # centroid means): every distinct shape would otherwise recompile

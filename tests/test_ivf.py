@@ -777,3 +777,47 @@ def test_two_level_coarse_quantizer(monkeypatch):
     _, a = idx.search_batch(queries, 10, num_probes=16)
     _, b = idx2.search_batch(queries, 10, num_probes=16)
     assert np.array_equal(a, b)
+
+
+def test_auto_slab_growth():
+    """Refit grows the slab depth when SOAR copies would saturate the slot
+    pool (the 10M recall fix), bounded by the HBM slab budget; explicit
+    slabSize stays fixed."""
+    from semadb_tpu.index.ivf import _auto_slab
+
+    # 10M x 128d / C=131072 / copies=2: need = ceil(2*10e6/131072*1.25/64)*64
+    # = 256, capped by the 7 GiB bf16 budget at 192.
+    assert _auto_slab(2, 10_000_000, 131072, 128, 128) == 192
+    # Small corpora never shrink below the configured depth.
+    assert _auto_slab(2, 1000, 128, 16, 128) == 128
+    # Plenty of budget at small C: need wins.
+    assert _auto_slab(2, 1_000_000, 4096, 128, 64) == 640
+    # n=0 (pre-fit refit) leaves the depth untouched.
+    assert _auto_slab(2, 0, 128, 16, 128) == 128
+
+    # Integration: auto-slab index (no explicit slabSize) grows on refit
+    # when copies*n/C overflows the default depth.
+    idx = IndexIVF(
+        VectorIVFParams(
+            vector_size=16, distance_metric="euclidean",
+            num_clusters=16, assign_copies=2,
+        )
+    )
+    assert idx.slab == 128  # DEFAULT_SLAB * copies
+    vecs = clustered(4096, dim=16, k=16)
+    idx.insert_update_delete(zip(np.arange(2, 4098, dtype=np.int32), vecs))
+    # 2 * 4096 / 16 * 1.25 = 640 placements/cluster -> slab grew
+    assert idx.slab >= 640
+    assert idx.slabs.shape[1] == idx.slab
+    _, i = idx.search_batch(vecs[:8], k=1, num_probes=8)
+    assert np.array_equal(i[:, 0], np.arange(2, 10))
+
+    # Explicit slabSize is never auto-grown.
+    idx2 = IndexIVF(
+        VectorIVFParams(
+            vector_size=16, distance_metric="euclidean",
+            num_clusters=16, assign_copies=2, slab_size=512,
+        )
+    )
+    idx2.insert_update_delete(zip(np.arange(2, 4098, dtype=np.int32), vecs))
+    assert idx2.slab == 512

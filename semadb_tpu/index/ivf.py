@@ -75,7 +75,10 @@ import numpy as np
 from semadb_tpu.models import constants as C
 from semadb_tpu.models.schema import VectorIVFParams
 from semadb_tpu.ops.distance import pairwise_distance
+from semadb_tpu.utils.logging import get_logger
 from semadb_tpu.vectorstore.kmeans import kmeans_fit_large
+
+log = get_logger("ivf")
 
 import os  # noqa: E402  (env-tunable engine knobs below)
 
@@ -768,24 +771,26 @@ class IndexIVF:
         big = n_pad * D * 4 >= 2**28
         two_level = Cn >= TWO_LEVEL_MIN_C
         self._sup_cents = None
-        if two_level:
-            from semadb_tpu.vectorstore.kmeans import kmeans_fit_two_level
+        with log.timed("refit kmeans", n=n, clusters=Cn, slab=S,
+                       two_level=two_level):
+            if two_level:
+                from semadb_tpu.vectorstore.kmeans import kmeans_fit_two_level
 
-            fit_data = None if big else self.vectors[pad_ids_dev]
-            cents, lab, self._sup_cents = kmeans_fit_two_level(
-                self.vectors if big else fit_data, Cn, iters=KMEANS_ITERS,
-                row_ids=pad_ids_dev if big else None,
-                supers=min(TWO_LEVEL_SUPERS, Cn),
-            )
-        elif big:
-            fit_data = None
-            cents, lab = kmeans_fit_large(
-                self.vectors, Cn, iters=KMEANS_ITERS, row_ids=pad_ids_dev
-            )
-        else:
-            fit_data = self.vectors[pad_ids_dev]  # device gather
-            cents, lab = kmeans_fit_large(fit_data, Cn, iters=KMEANS_ITERS)
-        lab = np.asarray(lab)[:n]
+                fit_data = None if big else self.vectors[pad_ids_dev]
+                cents, lab, self._sup_cents = kmeans_fit_two_level(
+                    self.vectors if big else fit_data, Cn, iters=KMEANS_ITERS,
+                    row_ids=pad_ids_dev if big else None,
+                    supers=min(TWO_LEVEL_SUPERS, Cn),
+                )
+            elif big:
+                fit_data = None
+                cents, lab = kmeans_fit_large(
+                    self.vectors, Cn, iters=KMEANS_ITERS, row_ids=pad_ids_dev
+                )
+            else:
+                fit_data = self.vectors[pad_ids_dev]  # device gather
+                cents, lab = kmeans_fit_large(fit_data, Cn, iters=KMEANS_ITERS)
+            lab = np.asarray(lab)[:n]
         # All row selections below (sel/spill) index < n, so the padded
         # matrix can be used directly — slicing [:n] would cost another
         # [n, D] device copy at peak memory time.
@@ -799,25 +804,26 @@ class IndexIVF:
             # eigenvectors carry nearly all neighbourhood structure. The
             # second-moment matrix is accumulated on device from a ≤64k-row
             # sample; the [D, D] eigendecomposition runs on host.
-            stride_p = max(n_pad // 2**16, 1)
-            sample_rows = (
-                self.vectors[jnp.asarray(pad_ids[::stride_p])]
-                if big
-                else (fit_data[::stride_p] if stride_p > 1 else fit_data)
-            )
-            cov = jax.lax.dot_general(
-                sample_rows, sample_rows,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            _, evecs = np.linalg.eigh(np.asarray(cov).astype(np.float64))
-            self._proj = jnp.asarray(
-                np.ascontiguousarray(evecs[:, -self.tdim:][:, ::-1]).astype(
-                    np.float32
+            with log.timed("refit pca basis"):
+                stride_p = max(n_pad // 2**16, 1)
+                sample_rows = (
+                    self.vectors[jnp.asarray(pad_ids[::stride_p])]
+                    if big
+                    else (fit_data[::stride_p] if stride_p > 1 else fit_data)
                 )
-            )
-            del sample_rows
+                cov = jax.lax.dot_general(
+                    sample_rows, sample_rows,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                _, evecs = np.linalg.eigh(np.asarray(cov).astype(np.float64))
+                self._proj = jnp.asarray(
+                    np.ascontiguousarray(
+                        evecs[:, -self.tdim:][:, ::-1]
+                    ).astype(np.float32)
+                )
+                del sample_rows
 
         order = np.argsort(lab, kind="stable")
         lab_sorted = lab[order]
@@ -853,33 +859,35 @@ class IndexIVF:
         pc = np.full(n, -1, np.int64)  # placed (primary) cluster per row
         pc[sel] = lab[sel]
         pri_rows, pri_cs, pri_ss = sel, cs.astype(np.int64), ss.astype(np.int64)
-        if len(spill) and copies > 1:
-            topt = (
-                self._assign_top(cents, t_all, row_ids=pad_ids_dev)
-                if big else self._assign_top(cents, t_all, rows=fit_data)
-            )[:n]
-            topt_sp = topt[spill]
-        elif len(spill):
-            topt_sp = self._assign_top(
-                cents, RELOC_T, rows=self.vectors[jnp.asarray(ids[spill])]
-            )
-        else:
-            topt_sp = np.empty((0, t_all), np.int64)
-        still = spill  # rows still unplaced; still_topt stays row-aligned
-        still_topt = topt_sp
-        for col in range(1, t_all):
-            if not len(still):
-                break
-            placed, pcl, psl, fill, left_pos = _pack(
-                still, still_topt[:, col], fill
-            )
-            pri_rows = np.concatenate([pri_rows, placed])
-            pri_cs = np.concatenate([pri_cs, pcl])
-            pri_ss = np.concatenate([pri_ss, psl])
-            pc[placed] = pcl
-            still = still[left_pos]
-            still_topt = still_topt[left_pos]
-        spill = still
+        with log.timed("refit assign_top", spill=len(spill)):
+            if len(spill) and copies > 1:
+                topt = (
+                    self._assign_top(cents, t_all, row_ids=pad_ids_dev)
+                    if big else self._assign_top(cents, t_all, rows=fit_data)
+                )[:n]
+                topt_sp = topt[spill]
+            elif len(spill):
+                topt_sp = self._assign_top(
+                    cents, RELOC_T, rows=self.vectors[jnp.asarray(ids[spill])]
+                )
+            else:
+                topt_sp = np.empty((0, t_all), np.int64)
+        with log.timed("refit relocation pack"):
+            still = spill  # rows still unplaced; still_topt stays row-aligned
+            still_topt = topt_sp
+            for col in range(1, t_all):
+                if not len(still):
+                    break
+                placed, pcl, psl, fill, left_pos = _pack(
+                    still, still_topt[:, col], fill
+                )
+                pri_rows = np.concatenate([pri_rows, placed])
+                pri_cs = np.concatenate([pri_cs, pcl])
+                pri_ss = np.concatenate([pri_ss, psl])
+                pc[placed] = pcl
+                still = still[left_pos]
+                still_topt = still_topt[left_pos]
+            spill = still
 
         # SOAR-style secondary copies (assignCopies > 1): each point also
         # lands in its 2nd..t-th nearest cluster, best-effort into the
@@ -891,17 +899,21 @@ class IndexIVF:
         sec_cs = np.empty(0, np.int64)
         sec_ss = np.empty(0, np.int64)
         if copies > 1:
-            if topt is None:
-                topt = (
-                    self._assign_top(cents, t_all, row_ids=pad_ids_dev)
-                    if big else self._assign_top(cents, t_all, rows=fit_data)
-                )[:n]
-            for col in range(1, copies):
-                cand = np.nonzero((pc >= 0) & (topt[:, col] != pc))[0]
-                placed, pcl, psl, fill, _ = _pack(cand, topt[cand, col], fill)
-                sec_rows = np.concatenate([sec_rows, placed])
-                sec_cs = np.concatenate([sec_cs, pcl])
-                sec_ss = np.concatenate([sec_ss, psl])
+            with log.timed("refit copies pack"):
+                if topt is None:
+                    topt = (
+                        self._assign_top(cents, t_all, row_ids=pad_ids_dev)
+                        if big
+                        else self._assign_top(cents, t_all, rows=fit_data)
+                    )[:n]
+                for col in range(1, copies):
+                    cand = np.nonzero((pc >= 0) & (topt[:, col] != pc))[0]
+                    placed, pcl, psl, fill, _ = _pack(
+                        cand, topt[cand, col], fill
+                    )
+                    sec_rows = np.concatenate([sec_rows, placed])
+                    sec_cs = np.concatenate([sec_cs, pcl])
+                    sec_ss = np.concatenate([sec_ss, psl])
         all_rows = np.concatenate([pri_rows, sec_rows]).astype(np.int64)
         all_cs = np.concatenate([pri_cs, sec_cs])
         all_ss = np.concatenate([pri_ss, sec_ss])
@@ -972,33 +984,53 @@ class IndexIVF:
             self.slabs = jnp.zeros((1, S, self.tdim), jnp.float32)
             self.ovf_vecs = jnp.zeros((1, self.tdim), jnp.float32)
         else:
-            bf16 = Cn * S * self.tdim * 4 > SLAB_BF16_BYTES
-            self.slabs, self.slab_sq = _slabs_from_ids(
-                self.vectors, jnp.asarray(slab_ids), self._proj,
-                out_dtype=jnp.bfloat16 if bf16 else jnp.float32,
-                want_sq=self.metric == C.DISTANCE_EUCLIDEAN,
-            )
-            ovf_vecs = jnp.zeros((O, self.tdim), jnp.float32)
-            if len(spill):
-                sp_v = self.vectors[jnp.asarray(ids[spill])] if big else data[spill]
-                if self._proj is not None:
-                    sp_v = sp_v @ self._proj
-                ovf_vecs = ovf_vecs.at[: len(spill)].set(sp_v)
-            self.ovf_vecs = ovf_vecs
+            with log.timed("refit slab build"):
+                bf16 = Cn * S * self.tdim * 4 > SLAB_BF16_BYTES
+                self.slabs, self.slab_sq = _slabs_from_ids(
+                    self.vectors, jnp.asarray(slab_ids), self._proj,
+                    out_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                    want_sq=self.metric == C.DISTANCE_EUCLIDEAN,
+                )
+                ovf_vecs = jnp.zeros((O, self.tdim), jnp.float32)
+                if len(spill):
+                    sp_v = (
+                        self.vectors[jnp.asarray(ids[spill])]
+                        if big else data[spill]
+                    )
+                    if self._proj is not None:
+                        sp_v = sp_v @ self._proj
+                    ovf_vecs = ovf_vecs.at[: len(spill)].set(sp_v)
+                self.ovf_vecs = ovf_vecs
+                # Force execution so the timer reflects the device work
+                # (block_until_ready does not await remote execution
+                # through the tunnel; a scalar readback does).
+                jax.device_get(self.slabs[0, 0, 0])
 
         self.centroids = cents
         self.slab_ids = jnp.asarray(slab_ids)
         self._fill = fill  # HWM incl. secondary copies
         self.ovf_ids = jnp.asarray(ovf_ids)
         self._ovf_free = list(range(len(spill), O))
-        self._loc = {}
-        for c, s, i in zip(pri_cs, pri_ss, ids[pri_rows]):
-            self._loc[int(i)] = ("s", int(c), int(s))
-        for j, i in enumerate(ids[spill]):
-            self._loc[int(i)] = ("o", int(j))
-        self._loc2 = {}
-        for r, c, s in zip(sec_rows, sec_cs, sec_ss):
-            self._loc2.setdefault(int(ids[r]), []).append((int(c), int(s)))
+        # .tolist() upfront: per-element int() over numpy scalars costs
+        # 3-6x more than one C-loop conversion (10M-iteration build on a
+        # 1-vCPU host).
+        with log.timed("refit loc maps"):
+            self._loc = dict(
+                zip(
+                    ids[pri_rows].tolist(),
+                    zip(
+                        ("s",) * len(pri_rows), pri_cs.tolist(),
+                        pri_ss.tolist(),
+                    ),
+                )
+            )
+            for j, i in enumerate(ids[spill].tolist()):
+                self._loc[i] = ("o", j)
+            self._loc2 = {}
+            for i, c, s in zip(
+                ids[sec_rows].tolist(), sec_cs.tolist(), sec_ss.tolist()
+            ):
+                self._loc2.setdefault(i, []).append((c, s))
         self._n_at_fit = n
         self._sq_cache = {}
 

@@ -1,0 +1,256 @@
+"""Fused multi-vector hybrid search: exact weighted score fusion as ONE
+inner-product search in an augmented space.
+
+The reference fuses multi-index hybrid queries by summing the scores a
+candidate happened to earn in each child index's own top list
+(/root/reference/shard/index/search.go:211-298) — partial-score fusion
+that mis-ranks candidates strong in the COMBINED score but mediocre in
+every single view. Our round-2/3 pooled-rerank hybrid (bench.py
+_run_hybrid) fixes the ranking but still only sees candidates surfaced
+by some single view, capping measured recall at ~0.985-0.99 vs the
+exact combined-score ground truth.
+
+This module removes the structural miss entirely, the TPU-first way:
+for weighted sums of per-view distances the fused score is LINEAR in an
+augmented point feature, so one MXU matmul computes exact fused scores
+for arbitrary *per-query* weights:
+
+  euclidean view i:  w_i * |x_i - q_i|^2
+                   = w_i*|x_i|^2 - 2*w_i*(x_i . q_i) + w_i*|q_i|^2
+  dot view i:        w_i * -(x_i . q_i)
+  cosine view i:     w_i * (1 - x_i . q_i)        (normalized inputs)
+
+Per-query constants (w_i*|q_i|^2, w_i) never change ranks, so with
+
+  phi(x)  = [ a_1*x_1, ..., a_V*x_V,  s_i*|x_i|^2 for euclidean views ]
+  psi(q,w)= [ c_i*(w_i/a_i)*q_i ... ,  w_i/s_i    for euclidean views ]
+            c_i = -2 for euclidean, -1 for dot/cosine
+
+the fused distance is  phi(x) . psi(q,w) + const(q, w)  exactly — i.e.
+hybrid search IS single-vector search with metric "dot" over phi. All
+of IndexIVF's machinery (SOAR copies, spill relocation, PCA-128
+traversal when dim(phi) > 128, bf16 slabs, exact f32 rerank, filters,
+async batching) applies unchanged; the exact rerank runs in phi space,
+so returned scores are exact fused distances up to the per-query
+constant (which ``search_batch`` adds back for reporting parity).
+
+Scaling knobs (both fixed at build time, persisted):
+- a_i = sqrt(default_weight_i): bakes the *default* weighting into the
+  clustering geometry so k-means partitions by expected fused distance;
+  queries remain exact for any weights because psi divides a_i back out.
+- s_i = 1/(2*mean|x_i|) from the first fitted batch: brings the norm
+  column to coordinate scale so it neither dominates nor vanishes in
+  the k-means objective and the PCA traversal basis.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from semadb_tpu.models import constants as C
+from semadb_tpu.models.errors import ValidationError
+from semadb_tpu.models.schema import VectorIVFParams
+
+from .ivf import IndexIVF
+
+_EUCL = C.DISTANCE_EUCLIDEAN
+_VIEW_METRICS = (C.DISTANCE_EUCLIDEAN, C.DISTANCE_DOT, C.DISTANCE_COSINE)
+
+
+class FusedHybridIVF:
+    """Multi-view vector index with exact weighted score fusion.
+
+    ``view_dims``/``view_metrics`` describe the per-view embedding
+    spaces; ``default_weights`` set the clustering geometry (and the
+    query-time default). Search accepts per-query weight overrides.
+    """
+
+    def __init__(
+        self,
+        view_dims: Sequence[int],
+        view_metrics: Sequence[str],
+        default_weights: Optional[Sequence[float]] = None,
+        num_probes: int = 0,
+        num_clusters: int = 0,
+        assign_copies: int = 2,
+    ):
+        if len(view_dims) < 2:
+            raise ValidationError("fused hybrid index needs >= 2 views")
+        if len(view_metrics) != len(view_dims):
+            raise ValidationError("view_metrics length must match view_dims")
+        for m in view_metrics:
+            if m not in _VIEW_METRICS:
+                raise ValidationError(f"unsupported fused view metric {m}")
+        self.view_dims = [int(d) for d in view_dims]
+        self.view_metrics = list(view_metrics)
+        w = (
+            [float(x) for x in default_weights]
+            if default_weights is not None
+            else [1.0] * len(view_dims)
+        )
+        if len(w) != len(view_dims) or any(x <= 0 for x in w):
+            raise ValidationError("default_weights must be positive, one per view")
+        self.default_weights = w
+        self._a = np.sqrt(np.asarray(w, np.float64)).astype(np.float32)
+        # Norm-column scales; fixed once the first batch is seen.
+        self._s = np.array(
+            [1.0 if m == _EUCL else 0.0 for m in self.view_metrics], np.float32
+        )
+        self._s_fixed = False
+        self._eucl = [i for i, m in enumerate(self.view_metrics) if m == _EUCL]
+        self.aug_dim = sum(self.view_dims) + len(self._eucl)
+        self.index = IndexIVF(
+            VectorIVFParams(
+                vector_size=self.aug_dim,
+                distance_metric=C.DISTANCE_DOT,
+                num_probes=num_probes,
+                num_clusters=num_clusters,
+                assign_copies=assign_copies,
+            )
+        )
+
+    # -- feature maps --------------------------------------------------------
+    def _check_views(self, views: Sequence[np.ndarray]) -> List[np.ndarray]:
+        if len(views) != len(self.view_dims):
+            raise ValidationError(
+                f"expected {len(self.view_dims)} views, got {len(views)}"
+            )
+        out = []
+        for i, v in enumerate(views):
+            v = np.atleast_2d(np.asarray(v, np.float32))
+            if v.shape[1] != self.view_dims[i]:
+                raise ValidationError(
+                    f"view {i}: dim {v.shape[1]} != schema {self.view_dims[i]}"
+                )
+            out.append(v)
+        return out
+
+    def _fix_scales(self, views: List[np.ndarray]) -> None:
+        if self._s_fixed:
+            return
+        for i in self._eucl:
+            mean_sq = float(np.mean(np.sum(views[i] ** 2, axis=-1)))
+            self._s[i] = 1.0 / max(2.0 * np.sqrt(mean_sq), 1e-6)
+        self._s_fixed = True
+
+    def _phi(self, views: Sequence[np.ndarray]) -> np.ndarray:
+        views = self._check_views(views)
+        self._fix_scales(views)
+        cols = [self._a[i] * v for i, v in enumerate(views)]
+        for i in self._eucl:
+            cols.append(self._s[i] * np.sum(views[i] ** 2, -1, keepdims=True))
+        return np.concatenate(cols, axis=-1)
+
+    def _psi(
+        self, qviews: Sequence[np.ndarray], weights: Optional[Sequence[float]]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (psi [B, aug_dim], per-query rank constant [B])."""
+        qviews = self._check_views(qviews)
+        w = (
+            np.asarray(weights, np.float32)
+            if weights is not None
+            else np.asarray(self.default_weights, np.float32)
+        )
+        if w.shape != (len(self.view_dims),) or np.any(w <= 0):
+            raise ValidationError("weights must be positive, one per view")
+        # Sign convention: the dot-metric engine MINIMIZES -(phi . psi),
+        # i.e. maximizes phi . psi — so psi is built such that
+        # phi . psi = const - fused_distance, making the engine's
+        # returned distance exactly fused - const.
+        cols, const = [], 0.0
+        for i, q in enumerate(qviews):
+            c = 2.0 if self.view_metrics[i] == _EUCL else 1.0
+            cols.append((c * w[i] / self._a[i]) * q)
+            if self.view_metrics[i] == _EUCL:
+                const = const + w[i] * np.sum(q * q, axis=-1)
+            elif self.view_metrics[i] == C.DISTANCE_COSINE:
+                const = const + w[i]
+        for i in self._eucl:
+            col = np.full((qviews[0].shape[0], 1), -w[i] / self._s[i], np.float32)
+            cols.append(col)
+        B = qviews[0].shape[0]
+        return (
+            np.concatenate(cols, axis=-1),
+            np.broadcast_to(np.asarray(const, np.float32), (B,)).astype(np.float32),
+        )
+
+    # -- CRUD ----------------------------------------------------------------
+    def insert_bulk(self, ids, views: Sequence[np.ndarray]) -> None:
+        self.index.insert_bulk(ids, self._phi(views))
+
+    def insert_update_delete(self, changes) -> None:
+        """changes: iterable of (id, views|None); views = per-view arrays."""
+        mapped = []
+        for nid, views in changes:
+            if views is None:
+                mapped.append((nid, None))
+            else:
+                mapped.append((nid, self._phi([np.atleast_2d(v) for v in views])[0]))
+        self.index.insert_update_delete(mapped)
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    @property
+    def capacity(self) -> int:
+        return self.index.capacity
+
+    # -- search --------------------------------------------------------------
+    def search_batch(
+        self,
+        qviews: Sequence[np.ndarray],
+        k: int,
+        weights: Optional[Sequence[float]] = None,
+        num_probes: int = 0,
+        filter_mask: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        psi, const = self._psi(qviews, weights)
+        d, i = self.index.search_batch(psi, k, num_probes, filter_mask)
+        d = np.asarray(d)
+        # engine distance = -(phi . psi); true fused distance adds the
+        # per-query constant (rank-invariant, reported for parity with
+        # summing the per-view distances on host).
+        return np.where(np.isfinite(d), d + const[:, None], d), np.asarray(i)
+
+    def search_batch_async(
+        self,
+        qviews: Sequence[np.ndarray],
+        k: int,
+        weights: Optional[Sequence[float]] = None,
+        num_probes: int = 0,
+        filter_mask: Optional[np.ndarray] = None,
+    ):
+        """Device-array variant for pipelined batching: returns the raw
+        engine scores (fused distance minus the per-query constant) and
+        ids without forcing a host readback."""
+        psi, _ = self._psi(qviews, weights)
+        return self.index.search_batch_async(psi, k, num_probes, filter_mask)
+
+    # -- persistence ---------------------------------------------------------
+    def to_arrays(self) -> dict:
+        out = self.index.to_arrays()
+        out["fused_meta"] = np.array(
+            [len(self.view_dims)] + self.view_dims, np.int64
+        )
+        out["fused_metrics"] = np.array(
+            [_VIEW_METRICS.index(m) for m in self.view_metrics], np.int64
+        )
+        out["fused_weights"] = np.asarray(self.default_weights, np.float32)
+        out["fused_scales"] = self._s.copy()
+        return out
+
+    @classmethod
+    def from_arrays(cls, arrays: dict) -> "FusedHybridIVF":
+        meta = np.asarray(arrays["fused_meta"])
+        nviews = int(meta[0])
+        dims = [int(x) for x in meta[1 : 1 + nviews]]
+        metrics = [
+            _VIEW_METRICS[int(x)] for x in np.asarray(arrays["fused_metrics"])
+        ]
+        obj = cls(dims, metrics, [float(x) for x in arrays["fused_weights"]])
+        obj._s = np.asarray(arrays["fused_scales"], np.float32).copy()
+        obj._s_fixed = True
+        obj.index = IndexIVF.from_arrays(obj.index.params, arrays)
+        return obj

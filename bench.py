@@ -48,7 +48,8 @@ METRIC = os.environ.get("BENCH_METRIC", "euclidean")  # euclidean | cosine
 # up the gathered intermediate); the graph walk prefers 8192.
 QUERY_BATCH = int(os.environ.get(
     "BENCH_QUERY_BATCH",
-    4096 if (MODE.startswith("ivf") or MODE in ("hybrid", "filtered", "write"))
+    4096
+    if (MODE.startswith("ivf") or MODE in ("hybrid", "fused", "filtered", "write"))
     else 8192,
 ))
 # Search-time operating point on the recall/QPS pareto (build stays at the
@@ -65,14 +66,14 @@ BASELINES = {
     "ivf": 1537.7, "ivfpq": 967.4, "plain": 1537.7, "bq": 2369.7, "pq": 967.4,
     # hybrid: no dual-vector row is published; nearest analog is the v2
     # multi-index pipeline on dbpedia (519.9, README.md:192).
-    "hybrid": 519.9,
+    "hybrid": 519.9, "fused": 519.9,
 }
 # Angular rows (README.md:191-195): glove-100-angular v1 = 973.6 QPS at
 # recall 0.924; v2-PQ glove-100 = 628.6; the closest published angular BQ
 # row is dbpedia-openai-100k-angular v2-BQ = 978.6.
 BASELINES_COSINE = {
     "ivf": 973.6, "ivfpq": 628.6, "plain": 973.6, "bq": 978.6, "pq": 628.6,
-    "hybrid": 519.9,
+    "hybrid": 519.9, "fused": 519.9,
 }
 BASELINE_QPS = (
     BASELINES_COSINE if METRIC == "cosine" else BASELINES
@@ -247,6 +248,109 @@ def _run_hybrid(jax) -> None:
                 "value": round(N_QUERIES / wall, 1),
                 "unit": "qps",
                 "vs_baseline": round(N_QUERIES / wall / BASELINE_QPS, 2),
+                "recall@10": round(recall, 4),
+                "build_s": round(build_s, 1),
+                "n": N,
+                "query_batch": QUERY_BATCH,
+                "gt_queries": n_gt,
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
+def _run_fused(jax) -> None:
+    """Dual-vector hybrid via FusedHybridIVF (index/fused.py): the
+    weighted combined score is computed EXACTLY inside one augmented-
+    space dot search, so there is no per-view candidate pool to miss
+    from — recall vs the exact combined-score ground truth should match
+    the single-vector rows (~1.0) at single-index QPS. Same dataset,
+    weights, and GT as BENCH_MODE=hybrid for a like-for-like comparison."""
+    import numpy as np
+
+    from semadb_tpu.index.fused import FusedHybridIVF
+    from semadb_tpu.tools.datasets import embedding_like_views
+
+    d2 = max(DIM // 2, 16)
+    w1, w2 = 0.7, 0.3
+    ds1, ds2 = embedding_like_views(N, [DIM, d2], N_QUERIES, seed=42)
+    ids = np.arange(2, N + 2, dtype=np.int32)
+    t0 = time.time()
+    idx = FusedHybridIVF(
+        [DIM, d2], ["euclidean", "euclidean"], [w1, w2], assign_copies=2
+    )
+    idx.insert_bulk(ids, [ds1.train, ds2.train])
+    build_s = time.time() - t0
+
+    # Exact combined-score ground truth on device (identical to hybrid)
+    import jax as _jx
+    import jax.numpy as _jnp
+
+    n_gt = min(GT_QUERIES, N_QUERIES)
+    tr1_d = _jnp.asarray(ds1.train); tr2_d = _jnp.asarray(ds2.train)
+    sq1_d = _jnp.sum(tr1_d * tr1_d, -1); sq2_d = _jnp.sum(tr2_d * tr2_d, -1)
+
+    @_jx.jit
+    def gt_chunk(q1, q2, tr1_d, tr2_d, sq1_d, sq2_d):
+        hp = _jx.lax.Precision.HIGHEST
+        dd1 = sq1_d[None, :] - 2.0 * _jnp.matmul(q1, tr1_d.T, precision=hp)
+        dd2 = sq2_d[None, :] - 2.0 * _jnp.matmul(q2, tr2_d.T, precision=hp)
+        _, idx = _jx.lax.top_k(-(w1 * dd1 + w2 * dd2), 10)
+        return idx
+
+    gt = np.empty((n_gt, 10), np.int64)
+    GB = 512
+    for i in range(0, n_gt, GB):
+        j = min(i + GB, n_gt)
+        q1 = _jnp.asarray(np.pad(ds1.test[i:j], ((0, GB - (j - i)), (0, 0))))
+        q2 = _jnp.asarray(np.pad(ds2.test[i:j], ((0, GB - (j - i)), (0, 0))))
+        gt[i:j] = np.asarray(
+            gt_chunk(q1, q2, tr1_d, tr2_d, sq1_d, sq2_d)
+        )[: j - i]
+    del tr1_d, tr2_d
+
+    F_PROBES = PROBES or int(os.environ.get("BENCH_FUSED_PROBES", 0))
+
+    def query_all():
+        hits = []
+        t0 = time.time()
+        for i in range(0, N_QUERIES, QUERY_BATCH):
+            nb = min(QUERY_BATCH, N_QUERIES - i)
+            q1 = np.ascontiguousarray(ds1.test[i : i + QUERY_BATCH])
+            q2 = np.ascontiguousarray(ds2.test[i : i + QUERY_BATCH])
+            _, top = idx.search_batch_async([q1, q2], 10, num_probes=F_PROBES)
+            hits.append((i, nb, top))
+        out = np.full((N_QUERIES, 10), -1, np.int64)
+        for i, nb, top in hits:
+            out[i : i + nb] = np.asarray(top)[:nb] - 2  # node id -> train index
+        return out, time.time() - t0
+
+    query_all()  # warmup
+    best = None
+    for _ in range(3):
+        out, wall = query_all()
+        best = wall if best is None else min(best, wall)
+    recall = float(np.mean([len(set(out[i]) & set(gt[i])) / 10 for i in range(n_gt)]))
+    # Probe-sweep rows on the same build (comment lines, one JSON headline)
+    sweep = os.environ.get("BENCH_FUSED_SWEEP", "")
+    for p in (int(x) for x in sweep.split(",") if x.strip()):
+        F_PROBES = p
+        query_all()  # recompile/warm for this probe count
+        o2, w2 = query_all()
+        o3, w3 = query_all()
+        w2 = min(w2, w3)
+        r2 = float(np.mean([len(set(o2[i]) & set(gt[i])) / 10 for i in range(n_gt)]))
+        print(
+            f"# fused sweep p={p}: recall {r2:.4f} qps {N_QUERIES / w2:.0f}",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": f"embed{N//1000}k_d{DIM}+{d2}_fused_qps",
+                "value": round(N_QUERIES / best, 1),
+                "unit": "qps",
+                "vs_baseline": round(N_QUERIES / best / BASELINE_QPS, 2),
                 "recall@10": round(recall, 4),
                 "build_s": round(build_s, 1),
                 "n": N,
@@ -460,6 +564,9 @@ def main() -> None:
 
     if MODE == "hybrid":
         _run_hybrid(jax)
+        return
+    if MODE == "fused":
+        _run_fused(jax)
         return
     if MODE == "write":
         _run_write(jax)

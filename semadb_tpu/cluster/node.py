@@ -668,6 +668,16 @@ def _search_request_to_dict(sr: SearchRequest) -> dict:
                 **({"filter": q_to_dict(o.filter)} if o.filter else {}),
                 **({"weight": o.weight} if o.weight is not None else {}),
             }
+        if q.vector_fused is not None:
+            o = q.vector_fused
+            out["vectorFused"] = {
+                "vectors": [list(v) for v in o.vectors], "operator": o.operator,
+                "limit": o.limit,
+                **({"weights": [float(w) for w in o.weights]} if o.weights else {}),
+                **({"numProbes": o.num_probes} if o.num_probes else {}),
+                **({"filter": q_to_dict(o.filter)} if o.filter else {}),
+                **({"weight": o.weight} if o.weight is not None else {}),
+            }
         if q.text is not None:
             o = q.text
             out["text"] = {

@@ -583,13 +583,14 @@ class IndexIVF:
         # used for SCORING are stored projected, the `vectors` rerank
         # matrix stays full precision. Deterministic seed so every
         # process derives the same map (persistence stores it anyway).
-        if D > PROJ_DIM:
+        pdim = params.proj_dim or PROJ_DIM
+        if D > pdim:
             prng = np.random.default_rng(0xC0FFEE)
             qmat, _ = np.linalg.qr(
-                prng.standard_normal((D, PROJ_DIM)).astype(np.float64)
+                prng.standard_normal((D, pdim)).astype(np.float64)
             )
             self._proj = jnp.asarray(qmat.astype(np.float32))  # [D, r]
-            self.tdim = PROJ_DIM
+            self.tdim = pdim
         else:
             self._proj = None
             self.tdim = D

@@ -25,6 +25,7 @@ from typing import Dict, List, Optional, Set, Tuple
 import numpy as np
 
 from semadb_tpu.index.flat import IndexFlat
+from semadb_tpu.index.fused import FusedHybridIVF
 from semadb_tpu.index.inverted import IndexInverted, IndexInvertedArray
 from semadb_tpu.index.ivf import IndexIVF
 from semadb_tpu.index.text import IndexText
@@ -89,6 +90,8 @@ class IndexManager:
                 idx = IndexVamana(params)
             elif itype == C.INDEX_TYPE_VECTOR_IVF:
                 idx = IndexIVF(params)
+            elif itype == C.INDEX_TYPE_VECTOR_FUSED:
+                idx = FusedHybridIVF.from_params(params)
             else:
                 idx = IndexFlat(params)
             # Only the write path registers new indices: a search racing a
@@ -121,17 +124,34 @@ class IndexManager:
                 C.INDEX_TYPE_VECTOR_VAMANA,
                 C.INDEX_TYPE_VECTOR_FLAT,
                 C.INDEX_TYPE_VECTOR_IVF,
+                C.INDEX_TYPE_VECTOR_FUSED,
             ):
                 vparams = {
                     C.INDEX_TYPE_VECTOR_VAMANA: params.vector_vamana,
                     C.INDEX_TYPE_VECTOR_FLAT: params.vector_flat,
                     C.INDEX_TYPE_VECTOR_IVF: params.vector_ivf,
+                    C.INDEX_TYPE_VECTOR_FUSED: params.vector_fused,
                 }[itype]
                 idx = self._device_index(itype, prop, vparams, register=True)
-                delta = [
-                    (nid, np.asarray(cur, np.float32) if op != OP_DELETE else None)
-                    for nid, _, cur, op in items
-                ]
+                if itype == C.INDEX_TYPE_VECTOR_FUSED:
+                    # Wire format: views concatenated into one flat f32 row
+                    # (journal-compatible; fused.py _split_flat)
+                    delta = [
+                        (
+                            nid,
+                            np.concatenate(
+                                [np.asarray(v, np.float32).reshape(-1) for v in cur]
+                            )
+                            if op != OP_DELETE
+                            else None,
+                        )
+                        for nid, _, cur, op in items
+                    ]
+                else:
+                    delta = [
+                        (nid, np.asarray(cur, np.float32) if op != OP_DELETE else None)
+                        for nid, _, cur, op in items
+                    ]
                 idx.insert_update_delete(delta)
                 device_deltas[self.bucket_name(itype, prop)] = delta
             elif itype == C.INDEX_TYPE_TEXT:
@@ -222,6 +242,38 @@ class IndexManager:
                 idx, opts.vector, opts.limit, opts.weight,
                 num_probes=opts.num_probes, filter_set=filter_set,
             )
+        if itype == C.INDEX_TYPE_VECTOR_FUSED:
+            opts = q.vector_fused
+            filter_set = None
+            if opts.filter is not None:
+                filter_set, _ = self.search(opts.filter)
+            idx = self._device_index(itype, q.property, params.vector_fused)
+            filter_mask = None
+            if filter_set is not None:
+                cap = idx.capacity
+                filter_mask = np.zeros(cap, bool)
+                filter_mask[[i for i in filter_set if i < cap]] = True
+            qviews = [np.asarray(v, np.float32)[None, :] for v in opts.vectors]
+            d, i = idx.search_batch(
+                qviews, opts.limit, weights=opts.weights,
+                num_probes=opts.num_probes, filter_mask=filter_mask,
+            )
+            w = opts.weight if opts.weight is not None else 1.0
+            rset: Set[int] = set()
+            results: List[SearchResult] = []
+            for dist, nid in zip(d[0], i[0]):
+                if nid < 0 or not np.isfinite(dist):
+                    continue
+                rset.add(int(nid))
+                results.append(
+                    SearchResult(
+                        point=None,
+                        node_id=int(nid),
+                        distance=float(dist),
+                        hybrid_score=-float(dist) * w,
+                    )
+                )
+            return rset, results
         if itype == C.INDEX_TYPE_TEXT:
             filter_set = None
             if q.text.filter is not None:

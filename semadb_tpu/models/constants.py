@@ -26,6 +26,10 @@ DISTANCE_METRICS = frozenset(
 INDEX_TYPE_VECTOR_FLAT = "vectorFlat"
 INDEX_TYPE_VECTOR_VAMANA = "vectorVamana"
 INDEX_TYPE_VECTOR_IVF = "vectorIVF"
+# TPU-native multi-view index with exact weighted score fusion — no
+# reference counterpart (index/fused.py rationale; the reference's
+# closest surface is multi-index hybrid search, search.go:211-298).
+INDEX_TYPE_VECTOR_FUSED = "vectorFused"
 INDEX_TYPE_TEXT = "text"
 INDEX_TYPE_STRING = "string"
 INDEX_TYPE_INTEGER = "integer"
@@ -37,6 +41,7 @@ INDEX_TYPES = frozenset(
         INDEX_TYPE_VECTOR_FLAT,
         INDEX_TYPE_VECTOR_VAMANA,
         INDEX_TYPE_VECTOR_IVF,
+        INDEX_TYPE_VECTOR_FUSED,
         INDEX_TYPE_TEXT,
         INDEX_TYPE_STRING,
         INDEX_TYPE_INTEGER,

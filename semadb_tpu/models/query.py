@@ -278,6 +278,65 @@ class VectorIVFOptions:
 
 
 @dataclass
+class VectorFusedOptions:
+    """Query options for the TPU-native vectorFused index (no reference
+    counterpart): one query vector per view, optional per-query fusion
+    weight overrides (defaults come from the schema's view weights)."""
+
+    vectors: list  # List[List[float]], one per view
+    operator: str = C.OPERATOR_NEAR
+    weights: Optional[list] = None  # per-view overrides
+    num_probes: int = 0
+    limit: int = 10
+    filter: Optional["Query"] = None
+    weight: Optional[float] = None  # outer hybrid weight (_and/_or fusion)
+
+    def validate(self) -> None:
+        if not (2 <= len(self.vectors) <= 8):
+            raise ValidationError(
+                f"fused query needs between 2 and 8 view vectors, got {len(self.vectors)}"
+            )
+        for i, v in enumerate(self.vectors):
+            if not (1 <= len(v) <= 4096):
+                raise ValidationError(
+                    f"view {i} query vector length must be between 1 and 4096,"
+                    f" got {len(v)}"
+                )
+        if self.operator != C.OPERATOR_NEAR:
+            raise ValidationError(
+                f"invalid operator {self.operator} for vector query, expected {C.OPERATOR_NEAR}"
+            )
+        if self.weights is not None:
+            if len(self.weights) != len(self.vectors):
+                raise ValidationError(
+                    "fused query weights length must match the view count,"
+                    f" got {len(self.weights)} weights for {len(self.vectors)} views"
+                )
+            if any(not (0 < float(w) <= 100) for w in self.weights):
+                raise ValidationError("fused query weights must be in (0, 100]")
+        if self.num_probes and not (1 <= self.num_probes <= 1024):
+            raise ValidationError(
+                f"invalid numProbes {self.num_probes} for vector query, expected 1-1024"
+            )
+        if not (1 <= self.limit <= 75):
+            raise ValidationError(f"invalid limit {self.limit} for vector query, expected 1-75")
+        if self.filter is not None:
+            self.filter.validate()
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "VectorFusedOptions":
+        return cls(
+            vectors=[list(v) for v in d["vectors"]],
+            operator=d.get("operator", C.OPERATOR_NEAR),
+            weights=[float(w) for w in d["weights"]] if d.get("weights") else None,
+            num_probes=int(d.get("numProbes", 0)),
+            limit=int(d.get("limit", 10)),
+            filter=Query.from_dict(d["filter"]) if d.get("filter") else None,
+            weight=d.get("weight"),
+        )
+
+
+@dataclass
 class Query:
     """Recursive query AST node (models/search.go Query).
 
@@ -289,6 +348,7 @@ class Query:
     vector_flat: Optional[VectorFlatOptions] = None
     vector_vamana: Optional[VectorVamanaOptions] = None
     vector_ivf: Optional[VectorIVFOptions] = None
+    vector_fused: Optional[VectorFusedOptions] = None
     text: Optional[TextOptions] = None
     string: Optional[StringOptions] = None
     integer: Optional[IntegerOptions] = None
@@ -304,6 +364,7 @@ class Query:
             self.vector_flat,
             self.vector_vamana,
             self.vector_ivf,
+            self.vector_fused,
             self.text,
             self.string,
             self.integer,
@@ -403,6 +464,26 @@ class Query:
                 )
             if self.vector_ivf.filter is not None:
                 self.vector_ivf.filter.validate_schema(schema)
+        elif t == C.INDEX_TYPE_VECTOR_FUSED:
+            if self.vector_fused is None:
+                raise ValidationError(
+                    f"vectorFused query options not provided for property {self.property}"
+                )
+            views = value.vector_fused.views
+            if len(self.vector_fused.vectors) != len(views):
+                raise ValidationError(
+                    f"vectorFused query view count mismatch for property {self.property},"
+                    f" expected {len(views)} got {len(self.vector_fused.vectors)}"
+                )
+            for i, (qv, vp) in enumerate(zip(self.vector_fused.vectors, views)):
+                if len(qv) != vp.vector_size:
+                    raise ValidationError(
+                        f"vectorFused view {i} query vector length mismatch for"
+                        f" property {self.property}, expected {vp.vector_size}"
+                        f" got {len(qv)}"
+                    )
+            if self.vector_fused.filter is not None:
+                self.vector_fused.filter.validate_schema(schema)
         elif t == C.INDEX_TYPE_TEXT:
             if self.text is None:
                 raise ValidationError(
@@ -442,6 +523,9 @@ class Query:
                 VectorVamanaOptions.from_dict(d["vectorVamana"]) if d.get("vectorVamana") else None
             ),
             vector_ivf=VectorIVFOptions.from_dict(d["vectorIVF"]) if d.get("vectorIVF") else None,
+            vector_fused=(
+                VectorFusedOptions.from_dict(d["vectorFused"]) if d.get("vectorFused") else None
+            ),
             text=TextOptions.from_dict(d["text"]) if d.get("text") else None,
             string=StringOptions.from_dict(d["string"]) if d.get("string") else None,
             integer=IntegerOptions.from_dict(d["integer"]) if d.get("integer") else None,

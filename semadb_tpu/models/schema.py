@@ -133,11 +133,20 @@ class VectorIVFParams:
     # either side. 2 costs ~2x slab memory for a large recall gain.
     assign_copies: int = 1
     quantizer: Optional[Quantizer] = None
+    # Traversal dimension override (0 = engine default of 128). Corpora
+    # whose intrinsic dimension exceeds the default (e.g. the fused
+    # multi-view augmented space, index/fused.py) set this to the full
+    # vector size to trade slab bandwidth for projection-free probing.
+    proj_dim: int = 0
 
     def validate(self) -> None:
         if not (1 <= self.vector_size <= 4096):
             raise ValidationError(
                 f"vector size must be between 1 and 4096, got {self.vector_size}"
+            )
+        if self.proj_dim and not (32 <= self.proj_dim <= 4096):
+            raise ValidationError(
+                f"projDim must be between 32 and 4096, got {self.proj_dim}"
             )
         if self.distance_metric not in (
             C.DISTANCE_EUCLIDEAN, C.DISTANCE_DOT, C.DISTANCE_COSINE
@@ -190,6 +199,7 @@ class VectorIVFParams:
             slab_size=int(d.get("slabSize", 0)),
             assign_copies=int(d.get("assignCopies", 1)),
             quantizer=Quantizer.from_dict(d.get("quantizer")),
+            proj_dim=int(d.get("projDim", 0)),
         )
 
     def to_dict(self) -> dict:
@@ -204,6 +214,8 @@ class VectorIVFParams:
             out["assignCopies"] = self.assign_copies
         if self.quantizer is not None:
             out["quantizer"] = self.quantizer.to_dict()
+        if self.proj_dim:
+            out["projDim"] = self.proj_dim
         return out
 
 
@@ -243,6 +255,103 @@ class StringParams:
 
 
 @dataclass
+class FusedViewParams:
+    """One view of a vectorFused property: its embedding space and the
+    default fusion weight (overridable per query)."""
+
+    vector_size: int
+    distance_metric: str
+    weight: float = 1.0
+
+    def validate(self) -> None:
+        if not (1 <= self.vector_size <= 4096):
+            raise ValidationError(
+                f"view vector size must be between 1 and 4096, got {self.vector_size}"
+            )
+        if self.distance_metric not in (
+            C.DISTANCE_EUCLIDEAN, C.DISTANCE_DOT, C.DISTANCE_COSINE
+        ):
+            raise ValidationError(
+                "vectorFused views support euclidean/dot/cosine metrics,"
+                f" got {self.distance_metric}"
+            )
+        if not (0 < self.weight <= 100):
+            raise ValidationError(
+                f"view weight must be in (0, 100], got {self.weight}"
+            )
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FusedViewParams":
+        return cls(
+            vector_size=int(d["vectorSize"]),
+            distance_metric=d["distanceMetric"],
+            weight=float(d.get("weight", 1.0)),
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "vectorSize": self.vector_size,
+            "distanceMetric": self.distance_metric,
+            "weight": self.weight,
+        }
+
+
+@dataclass
+class VectorFusedParams:
+    """TPU-native fused multi-view index parameters — no reference
+    counterpart. The weighted combined score over all views is computed
+    exactly inside ONE augmented-space search (index/fused.py), so
+    hybrid recall does not depend on per-view candidate pools. Point
+    values for the property are a list of one vector per view."""
+
+    views: list  # List[FusedViewParams]
+    num_probes: int = 0  # 0 = auto
+    num_clusters: int = 0  # 0 = auto
+    assign_copies: int = 2
+
+    def validate(self) -> None:
+        if not (2 <= len(self.views) <= 8):
+            raise ValidationError(
+                f"vectorFused needs between 2 and 8 views, got {len(self.views)}"
+            )
+        for v in self.views:
+            v.validate()
+        if sum(v.vector_size for v in self.views) + len(self.views) > 4096:
+            raise ValidationError("total fused vector size exceeds 4096")
+        if self.num_probes and not (1 <= self.num_probes <= 1024):
+            raise ValidationError(
+                f"numProbes must be between 1 and 1024, got {self.num_probes}"
+            )
+        if self.num_clusters and not (16 <= self.num_clusters <= 2**18):
+            raise ValidationError(
+                f"numClusters must be between 16 and 262144, got {self.num_clusters}"
+            )
+        if not (1 <= self.assign_copies <= 4):
+            raise ValidationError(
+                f"assignCopies must be between 1 and 4, got {self.assign_copies}"
+            )
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "VectorFusedParams":
+        return cls(
+            views=[FusedViewParams.from_dict(v) for v in d["views"]],
+            num_probes=int(d.get("numProbes", 0)),
+            num_clusters=int(d.get("numClusters", 0)),
+            assign_copies=int(d.get("assignCopies", 2)),
+        )
+
+    def to_dict(self) -> dict:
+        out: dict = {"views": [v.to_dict() for v in self.views]}
+        if self.num_probes:
+            out["numProbes"] = self.num_probes
+        if self.num_clusters:
+            out["numClusters"] = self.num_clusters
+        if self.assign_copies != 2:
+            out["assignCopies"] = self.assign_copies
+        return out
+
+
+@dataclass
 class IndexSchemaValue:
     """One property's index declaration (models/index.go IndexSchemaValue)."""
 
@@ -250,6 +359,7 @@ class IndexSchemaValue:
     vector_flat: Optional[VectorFlatParams] = None
     vector_vamana: Optional[VectorVamanaParams] = None
     vector_ivf: Optional["VectorIVFParams"] = None
+    vector_fused: Optional["VectorFusedParams"] = None
     text: Optional[TextParams] = None
     string: Optional[StringParams] = None
     string_array: Optional[StringParams] = None
@@ -261,6 +371,7 @@ class IndexSchemaValue:
             C.INDEX_TYPE_VECTOR_FLAT: ("vectorFlat", self.vector_flat),
             C.INDEX_TYPE_VECTOR_VAMANA: ("vectorVamana", self.vector_vamana),
             C.INDEX_TYPE_VECTOR_IVF: ("vectorIVF", self.vector_ivf),
+            C.INDEX_TYPE_VECTOR_FUSED: ("vectorFused", self.vector_fused),
             C.INDEX_TYPE_TEXT: ("text", self.text),
             C.INDEX_TYPE_STRING: ("string", self.string),
             C.INDEX_TYPE_STRING_ARRAY: ("stringArray", self.string_array),
@@ -280,6 +391,9 @@ class IndexSchemaValue:
                 VectorVamanaParams.from_dict(d["vectorVamana"]) if d.get("vectorVamana") else None
             ),
             vector_ivf=VectorIVFParams.from_dict(d["vectorIVF"]) if d.get("vectorIVF") else None,
+            vector_fused=(
+                VectorFusedParams.from_dict(d["vectorFused"]) if d.get("vectorFused") else None
+            ),
             text=TextParams.from_dict(d["text"]) if d.get("text") else None,
             string=StringParams.from_dict(d["string"]) if d.get("string") else None,
             string_array=StringParams.from_dict(d["stringArray"]) if d.get("stringArray") else None,
@@ -293,6 +407,8 @@ class IndexSchemaValue:
             out["vectorVamana"] = self.vector_vamana.to_dict()
         if self.vector_ivf is not None:
             out["vectorIVF"] = self.vector_ivf.to_dict()
+        if self.vector_fused is not None:
+            out["vectorFused"] = self.vector_fused.to_dict()
         if self.text is not None:
             out["text"] = self.text.to_dict()
         if self.string is not None:
@@ -391,6 +507,29 @@ class IndexSchema:
                         f" got {len(vec)}"
                     )
                 m[k] = vec
+            elif t == C.INDEX_TYPE_VECTOR_FUSED:
+                views = schema.vector_fused.views
+                if not isinstance(v, (list, tuple)) or len(v) != len(views):
+                    raise ValidationError(
+                        f"expected {len(views)} view vectors for property {k},"
+                        f" got {type(v).__name__}"
+                        + (f" of length {len(v)}" if isinstance(v, (list, tuple)) else "")
+                    )
+                coerced = []
+                for vi, (vv, vp) in enumerate(zip(v, views)):
+                    try:
+                        vec = _convert_to_vector(vv)
+                    except ValidationError as e:
+                        raise ValidationError(
+                            f"expected a vector for view {vi} of property {k}: {e}"
+                        ) from e
+                    if len(vec) != vp.vector_size:
+                        raise ValidationError(
+                            f"expected vector of size {vp.vector_size} for view {vi}"
+                            f" of property {k}, got {len(vec)}"
+                        )
+                    coerced.append(vec)
+                m[k] = coerced
             elif t in (C.INDEX_TYPE_TEXT, C.INDEX_TYPE_STRING):
                 if not isinstance(v, str):
                     raise ValidationError(

@@ -18,6 +18,9 @@ def index_nbytes(idx) -> int:
     """Estimated HBM footprint of a device index (no transfers: sums the
     .nbytes of its jax arrays)."""
     total = 0
+    inner = getattr(idx, "index", None)
+    if inner is not None:  # FusedHybridIVF wraps an IndexIVF
+        idx = inner
     state = getattr(idx, "state", None)
     if state is not None:  # vamana GraphState
         for arr in state:

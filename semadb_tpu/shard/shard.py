@@ -71,6 +71,7 @@ class Shard:
     # -- device index persistence -----------------------------------------
     def _make_index(self, params):
         from semadb_tpu.index.flat import IndexFlat
+        from semadb_tpu.index.fused import FusedHybridIVF
         from semadb_tpu.index.ivf import IndexIVF
         from semadb_tpu.index.vamana import IndexVamana
 
@@ -78,6 +79,8 @@ class Shard:
             return IndexVamana(params.vector_vamana)
         if params.type == C.INDEX_TYPE_VECTOR_IVF:
             return IndexIVF(params.vector_ivf)
+        if params.type == C.INDEX_TYPE_VECTOR_FUSED:
+            return FusedHybridIVF.from_params(params.vector_fused)
         return IndexFlat(params.vector_flat)
 
     def _read_index_from(self, bm, name: str, params):
@@ -100,6 +103,10 @@ class Shard:
             from semadb_tpu.index.ivf import IndexIVF
 
             idx = IndexIVF.from_arrays(params.vector_ivf, _unpack_arrays(raw))
+        elif params.type == C.INDEX_TYPE_VECTOR_FUSED:
+            from semadb_tpu.index.fused import FusedHybridIVF
+
+            idx = FusedHybridIVF.from_arrays(_unpack_arrays(raw), params.vector_fused)
         else:
             idx = IndexFlat.from_arrays(params.vector_flat, _unpack_arrays(raw))
         for _, rec in deltas:
@@ -119,6 +126,7 @@ class Shard:
             C.INDEX_TYPE_VECTOR_VAMANA,
             C.INDEX_TYPE_VECTOR_FLAT,
             C.INDEX_TYPE_VECTOR_IVF,
+            C.INDEX_TYPE_VECTOR_FUSED,
         ):
             return None
         out = [None]
@@ -133,7 +141,12 @@ class Shard:
         def reader(bm):
             self._delta_txns = 0
             for prop, params in self.collection.index_schema.items():
-                if params.type not in (C.INDEX_TYPE_VECTOR_VAMANA, C.INDEX_TYPE_VECTOR_FLAT, C.INDEX_TYPE_VECTOR_IVF):
+                if params.type not in (
+                    C.INDEX_TYPE_VECTOR_VAMANA,
+                    C.INDEX_TYPE_VECTOR_FLAT,
+                    C.INDEX_TYPE_VECTOR_IVF,
+                    C.INDEX_TYPE_VECTOR_FUSED,
+                ):
                     continue
                 name = IndexManager.bucket_name(params.type, prop)
                 idx, n_deltas = self._read_index_from(bm, name, params)

@@ -48,8 +48,8 @@ INDEX_SCHEMA = {
         "properties": {
             "type": {
                 "enum": [
-                    "vectorFlat", "vectorVamana", "vectorIVF", "text", "string",
-                    "integer", "float", "stringArray",
+                    "vectorFlat", "vectorVamana", "vectorIVF", "vectorFused",
+                    "text", "string", "integer", "float", "stringArray",
                 ]
             },
             "vectorFlat": {
@@ -84,9 +84,41 @@ INDEX_SCHEMA = {
                     "distanceMetric": {"enum": ["euclidean", "cosine", "dot"]},
                     "numProbes": {"type": "integer", "minimum": 1, "maximum": 1024},
                     "slabSize": {"type": "integer", "minimum": 8, "maximum": 1024},
+                    "projDim": {"type": "integer", "minimum": 32, "maximum": 4096},
                     "quantizer": QUANTIZER,
                 },
                 "required": ["vectorSize", "distanceMetric"],
+            },
+            "vectorFused": {
+                "type": "object",
+                "properties": {
+                    "views": {
+                        "type": "array",
+                        "minItems": 2,
+                        "maxItems": 8,
+                        "items": {
+                            "type": "object",
+                            "properties": {
+                                "vectorSize": {
+                                    "type": "integer", "minimum": 1, "maximum": 4096
+                                },
+                                "distanceMetric": {
+                                    "enum": ["euclidean", "cosine", "dot"]
+                                },
+                                "weight": {
+                                    "type": "number",
+                                    "exclusiveMinimum": 0,
+                                    "maximum": 100,
+                                },
+                            },
+                            "required": ["vectorSize", "distanceMetric"],
+                        },
+                    },
+                    "numProbes": {"type": "integer", "minimum": 1, "maximum": 1024},
+                    "numClusters": {"type": "integer", "minimum": 16, "maximum": 262144},
+                    "assignCopies": {"type": "integer", "minimum": 1, "maximum": 4},
+                },
+                "required": ["views"],
             },
             "text": {
                 "type": "object",
@@ -143,6 +175,23 @@ QUERY: dict = {
                 "weight": {"type": "number"},
             },
             "required": ["vector", "operator", "limit"],
+        },
+        "vectorFused": {
+            "type": "object",
+            "properties": {
+                "vectors": {"type": "array", "minItems": 2, "maxItems": 8,
+                            "items": VECTOR},
+                "operator": {"enum": ["near"]},
+                "weights": {
+                    "type": "array",
+                    "items": {"type": "number", "exclusiveMinimum": 0, "maximum": 100},
+                },
+                "numProbes": {"type": "integer", "minimum": 1, "maximum": 1024},
+                "limit": {"type": "integer", "minimum": 1, "maximum": 75},
+                "filter": {"$ref": "#"},
+                "weight": {"type": "number"},
+            },
+            "required": ["vectors", "operator", "limit"],
         },
         "text": {
             "type": "object",

@@ -308,3 +308,89 @@ def test_haversine_e2e(server):
         assert got[0]["_distance"] == pytest.approx(0.0, abs=1.0)
         # London–Paris great-circle distance is ~344 km
         assert 330_000 < got[1]["_distance"] < 360_000, prop
+
+
+def test_fused_e2e(server):
+    """vectorFused through the v2 HTTP surface: multi-view insert, exact
+    weighted-fusion search, per-query weight overrides."""
+    r = requests.post(
+        f"{server}/v2/collections",
+        json={
+            "id": "fusedcol",
+            "indexSchema": {
+                "embeds": {
+                    "type": "vectorFused",
+                    "vectorFused": {
+                        "views": [
+                            {"vectorSize": 4, "distanceMetric": "euclidean", "weight": 0.7},
+                            {"vectorSize": 2, "distanceMetric": "euclidean", "weight": 0.3},
+                        ],
+                    },
+                },
+            },
+        },
+        headers=HEADERS,
+    )
+    assert r.status_code == 200, r.text
+    points = [
+        {"embeds": [[float(i)] * 4, [float(i)] * 2], "_id": str(uuid.UUID(int=i + 1))}
+        for i in range(10)
+    ]
+    r = requests.post(
+        f"{server}/v2/collections/fusedcol/points",
+        json={"points": points},
+        headers=HEADERS,
+    )
+    assert r.status_code == 200, r.text
+    assert r.json()["failedRanges"] == []
+
+    r = requests.post(
+        f"{server}/v2/collections/fusedcol/points/search",
+        json={
+            "query": {
+                "property": "embeds",
+                "vectorFused": {
+                    "vectors": [[4.0] * 4, [4.0] * 2],
+                    "operator": "near",
+                    "limit": 3,
+                },
+            },
+            "limit": 3,
+        },
+        headers=HEADERS,
+    )
+    assert r.status_code == 200, r.text
+    pts = r.json()["points"]
+    assert len(pts) == 3
+    assert pts[0]["_id"] == str(uuid.UUID(int=5))
+    assert pts[0]["_distance"] == pytest.approx(0.0, abs=1e-3)
+    # combined distance to the runner-up: 0.7*4 + 0.3*2 = 3.4
+    assert pts[1]["_distance"] == pytest.approx(3.4, rel=1e-3)
+
+    # per-query weight override flips which view dominates
+    r = requests.post(
+        f"{server}/v2/collections/fusedcol/points/search",
+        json={
+            "query": {
+                "property": "embeds",
+                "vectorFused": {
+                    "vectors": [[0.0] * 4, [9.0] * 2],
+                    "operator": "near",
+                    "weights": [0.01, 1.0],
+                    "limit": 1,
+                },
+            },
+            "limit": 1,
+        },
+        headers=HEADERS,
+    )
+    assert r.status_code == 200, r.text
+    assert r.json()["points"][0]["_id"] == str(uuid.UUID(int=10))
+
+    # wrong view count rejected
+    r = requests.post(
+        f"{server}/v2/collections/fusedcol/points",
+        json={"points": [{"embeds": [[1.0] * 4]}]},
+        headers=HEADERS,
+    )
+    assert r.status_code == 400

@@ -211,9 +211,50 @@ class FusedHybridIVF:
             np.broadcast_to(np.asarray(const, np.float32), (B,)).astype(np.float32),
         )
 
+    def _fix_probe_centroids(self) -> None:
+        """Replace the centroid norm-column entries (mean of member
+        ``s_i|x_i|^2``) with ``s_i|c_i|^2`` of the centroid's own view
+        coordinates. Probe selection scores clusters by ``psi . c``; with
+        member-mean norms that equals centroid-distance PLUS the
+        intra-cluster variance (E|x-q|^2 = |c-q|^2 + E|x-c|^2), which
+        demotes wide clusters even when they sit right next to the query.
+        With centroid-coordinate norms it is exactly the weighted
+        euclidean centroid distance — the probe rule the single-view
+        engine uses (and that reaches recall 1.0 at 1M). Slab/overflow/
+        rerank scores use per-point norms and are untouched. Idempotent
+        (reads only the coordinate part); must re-run after every refit."""
+        if not self._eucl:
+            return
+        cents = self.index.centroids
+        if cents.shape[0] <= 1 or cents.shape[1] != self.aug_dim:
+            return  # pre-fit placeholder
+        if id(cents) == getattr(self, "_cent_fixed_id", None):
+            return  # no refit since the last surgery
+        import jax.numpy as jnp
+
+        view_off, off = {}, 0
+        for i, d in enumerate(self.view_dims):
+            view_off[i] = off
+            off += d
+        ncol_base = off  # norm columns follow the coordinates
+        new_cols = []
+        for i in self._eucl:
+            o = view_off[i]
+            coords = cents[:, o : o + self.view_dims[i]]
+            ncol = (
+                (self._s[i] / (self._a[i] ** 2))
+                * jnp.sum(coords * coords, axis=-1)
+            )
+            new_cols.append(ncol)
+        self.index.centroids = jnp.concatenate(
+            [cents[:, :ncol_base]] + [c[:, None] for c in new_cols], axis=-1
+        )
+        self._cent_fixed_id = id(self.index.centroids)
+
     # -- CRUD ----------------------------------------------------------------
     def insert_bulk(self, ids, views: Sequence[np.ndarray]) -> None:
         self.index.insert_bulk(ids, self._phi(views))
+        self._fix_probe_centroids()
 
     def insert_update_delete(self, changes) -> None:
         """changes: iterable of (id, value|None); value is either a
@@ -230,6 +271,7 @@ class FusedHybridIVF:
                 views = [np.atleast_2d(np.asarray(v, np.float32)) for v in views]
             mapped.append((nid, self._phi(views)[0]))
         self.index.insert_update_delete(mapped)
+        self._fix_probe_centroids()
 
     def __len__(self) -> int:
         return len(self.index)

@@ -280,9 +280,11 @@ def _run_fused(jax) -> None:
     # copies=4 measured +0.03 recall over copies=2 at equal probes (120k
     # CPU A/B) for 2x slab memory.
     F_COPIES = int(os.environ.get("BENCH_FUSED_COPIES", 4))
+    F_CLUSTERS = int(os.environ.get("BENCH_FUSED_CLUSTERS", 0))
     t0 = time.time()
     idx = FusedHybridIVF(
-        [DIM, d2], ["euclidean", "euclidean"], [w1, w2], assign_copies=F_COPIES
+        [DIM, d2], ["euclidean", "euclidean"], [w1, w2],
+        assign_copies=F_COPIES, num_clusters=F_CLUSTERS,
     )
     idx.insert_bulk(ids, [ds1.train, ds2.train])
     build_s = time.time() - t0

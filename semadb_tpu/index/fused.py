@@ -314,6 +314,11 @@ class FusedHybridIVF:
     # -- persistence ---------------------------------------------------------
     def to_arrays(self) -> dict:
         out = self.index.to_arrays()
+        # to_arrays may flush deferred fits (a refit), replacing the
+        # centroids after the last surgery — re-apply so the snapshot
+        # probes by centroid distance from its first post-load search.
+        self._fix_probe_centroids()
+        out["centroids"] = np.asarray(self.index.centroids)
         out["fused_meta"] = np.array(
             [len(self.view_dims)] + self.view_dims, np.int64
         )
@@ -340,4 +345,5 @@ class FusedHybridIVF:
         obj._s = np.asarray(arrays["fused_scales"], np.float32).copy()
         obj._s_fixed = True
         obj.index = IndexIVF.from_arrays(obj.index.params, arrays)
+        obj._fix_probe_centroids()  # idempotent; covers pre-surgery snapshots
         return obj

@@ -153,17 +153,31 @@ def bq_encode(vectors: jax.Array, threshold: jax.Array, dim: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("m", "k"))
-def pq_fit(vectors: jax.Array, mask: jax.Array, m: int, k: int, seed: int = 0):
+# Codebook fits need ~1k samples per centroid, not the corpus: call sites
+# stride-subsample past this many rows (the encode still covers every live
+# row). The 1M full-N fit measured ~8 min of the PQ build; at 256k the
+# codebooks are statistically identical (1024 samples/centroid at K=256).
+PQ_FIT_SAMPLE = 262144
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k", "stride", "max_iter"))
+def pq_fit(
+    vectors: jax.Array, mask: jax.Array, m: int, k: int, seed: int = 0,
+    stride: int = 1, max_iter: int = 100,
+):
     """Fit codebooks on live rows. Masked rows are replaced by the mean live
     row so they never become centroids of interest (the reference fits on
-    exactly the live set; dead rows here are rare padding)."""
+    exactly the live set; dead rows here are rare padding). ``stride``
+    subsamples the fit set (PQ_FIT_SAMPLE rationale above) — static so the
+    sliced shape stays compile-time known."""
     d = vectors.shape[1]
     dsub = d // m
     mean = jnp.sum(vectors * mask[:, None], axis=0) / jnp.maximum(jnp.sum(mask), 1)
     filled = jnp.where(mask[:, None], vectors, mean[None, :])
+    if stride > 1:
+        filled = filled[::stride]
     sub = filled.reshape(-1, m, dsub).transpose(1, 0, 2)  # [M, N, dsub]
-    centroids, _ = kmeans_fit_subvectors(sub, k, seed)
+    centroids, _ = kmeans_fit_subvectors(sub, k, seed, max_iter)
     return centroids  # [M, k, dsub]
 
 
@@ -189,10 +203,12 @@ def opq_fit(
     rotation decorrelates dimensions across subvectors, which plain PQ
     (product.go:136-305) cannot — ADC error drops at identical code size.
 
-    The iteration runs on a ≤64k-row subsample (codebooks need ~256
-    samples per centroid, not the corpus); the final codebooks are refit
-    on the full live set in rotated space. The [D, D] SVD runs on host
-    (D ≤ a few thousand, microseconds), everything else on device.
+    The iteration runs on a ≤64k-row subsample with capped Lloyd rounds
+    (codebooks need ~256 samples per centroid, not the corpus); the final
+    codebooks are refit on a ≤PQ_FIT_SAMPLE-row subsample in rotated space
+    (the full-N final fit measured ~8 min of the 1M build for no recall
+    change). The [D, D] SVD runs on host (D ≤ a few thousand,
+    microseconds), everything else on device.
 
     Returns (R f32[D, D], codebooks f32[M, K, dsub]).
     """
@@ -205,7 +221,7 @@ def opq_fit(
     R = jnp.eye(d, dtype=jnp.float32)
     for _ in range(iters):
         Y = X @ R
-        cb = pq_fit(Y, ones, m, k, seed)
+        cb = pq_fit(Y, ones, m, k, seed, max_iter=25)
         codes = pq_encode(Y, cb, m, k, C.DISTANCE_EUCLIDEAN)
         recon = _pq_decode(codes, cb)
         mm = jax.lax.dot_general(
@@ -215,7 +231,7 @@ def opq_fit(
         )
         u, _, vt = np.linalg.svd(np.asarray(mm).astype(np.float64))
         R = jnp.asarray((u @ vt).astype(np.float32))
-    cb = pq_fit(filled @ R, mask, m, k, seed)
+    cb = pq_fit(filled @ R, mask, m, k, seed, stride=max(n // PQ_FIT_SAMPLE, 1))
     return R, cb
 
 
@@ -385,7 +401,9 @@ class VectorStore:
                 )
             else:
                 cb = pq_fit(
-                    vectors, exists_mask, self.config.num_subvectors, self.config.num_centroids
+                    vectors, exists_mask,
+                    self.config.num_subvectors, self.config.num_centroids,
+                    stride=max(vectors.shape[0] // PQ_FIT_SAMPLE, 1),
                 )
             enc_in = vectors if rot is None else vectors @ rot
             codes = pq_encode(

@@ -151,6 +151,7 @@ def _run_hybrid(jax) -> None:
         VectorIVFParams(vector_size=d2, distance_metric="euclidean", assign_copies=2)
     )
     idx2.insert_bulk(ids, ds2.train)
+    idx1.sync(); idx2.sync()  # execution, not dispatch (tunnel)
     build_s = time.time() - t0
 
     # Exact hybrid ground truth on device (chunked combined-score scan —
@@ -287,6 +288,7 @@ def _run_fused(jax) -> None:
         assign_copies=F_COPIES, num_clusters=F_CLUSTERS,
     )
     idx.insert_bulk(ids, [ds1.train, ds2.train])
+    idx.sync()  # execution, not dispatch (tunnel)
     build_s = time.time() - t0
 
     # Exact combined-score ground truth on device (identical to hybrid)
@@ -392,6 +394,7 @@ def _run_filtered(jax) -> None:
     )
     t0 = time.time()
     idx.insert_bulk(ids, ds.train)
+    idx.sync()  # execution, not dispatch (tunnel)
     build_s = time.time() - t0
 
     tr = jnp.asarray(ds.train)
@@ -497,6 +500,7 @@ def _run_write(jax) -> None:
     ids = np.arange(2, N + 2, dtype=np.int32)
     t0 = time.time()
     idx.insert_bulk(ids, base)
+    idx.sync()  # execution, not dispatch (tunnel)
     build_s = time.time() - t0
     stage(f"build done {build_s:.1f}s")
     # warmup both paths (extra rows keep node id = train index + 2 so the

@@ -276,6 +276,10 @@ class FusedHybridIVF:
     def __len__(self) -> int:
         return len(self.index)
 
+    def sync(self) -> None:
+        """Tunnel-safe build-completion barrier (see IndexIVF.sync)."""
+        self.index.sync()
+
     @property
     def capacity(self) -> int:
         return self.index.capacity

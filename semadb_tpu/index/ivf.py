@@ -1353,6 +1353,13 @@ class IndexIVF:
             self._refit()
             self._sq_cache = {}
 
+    def sync(self) -> None:
+        """Block until queued device mutations have executed (tunnel-safe
+        build timing: ``block_until_ready`` does not await remote execution,
+        a device→host fetch does)."""
+        np.asarray(self.slab_ids[:1, :1])
+        np.asarray(self.vectors[:1, :1])
+
     # -- reads ---------------------------------------------------------------
     def _num_probes(self, requested: int = 0) -> int:
         Cn = self.centroids.shape[0]

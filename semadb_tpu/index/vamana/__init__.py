@@ -278,6 +278,15 @@ class IndexVamana:
     def flush_pending(self) -> None:
         """Interface parity with IndexIVF's deferred refit — no-op here."""
 
+    def sync(self) -> None:
+        """Block until every queued device mutation of this index has
+        executed. ``block_until_ready`` does NOT await remote execution
+        through the axon tunnel; a device→host fetch does — hence the
+        1-element readback. Build timers must call this or they measure
+        dispatch, not execution (the 1M two-pass build dispatches in ~20 s
+        and executes in ~460 s)."""
+        np.asarray(self.state.adjacency[:1, :1])
+
     def refine(self, passes: int = 1, batch: int = PASS2_CHUNK) -> None:
         """Re-run the insert procedure (greedy search → robustPrune →
         backedges) for every live node on the current graph, with each

@@ -74,6 +74,8 @@ class VamanaBench:
             self.index.insert_bulk(ids, train)
         else:
             self.index.insert_update_delete(zip(ids, np.asarray(train)))
+        if hasattr(self.index, "sync"):
+            self.index.sync()  # count execution, not dispatch (tunnel)
         return time.time() - t0
 
     def fit_dataset(self, ds) -> float:
@@ -91,6 +93,8 @@ class VamanaBench:
         else:
             self.index.insert_update_delete(zip(ids, np.asarray(ds.train)))
             ds.train = None
+        if hasattr(self.index, "sync"):
+            self.index.sync()  # count execution, not dispatch (tunnel)
         return time.time() - t0
 
     def query_batch(

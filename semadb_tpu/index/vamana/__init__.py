@@ -53,6 +53,11 @@ TWO_PASS_MIN = int(_os.environ.get("SEMADB_VAMANA_TWO_PASS_MIN", 4096))
 # so the parallel-batch approximation concern (late inserts not seeing
 # earlier in-batch points) doesn't apply — fewer dispatches, same math.
 PASS2_CHUNK = int(_os.environ.get("SEMADB_VAMANA_PASS2_CHUNK", 4096))
+# Build-cost knobs: per-pass search-list overrides (0 = the index's
+# searchSize). The build is search-dominated (~460 s at 1M through the
+# tunnel); a narrower pass-1 list cheapens the scaffold pass.
+PASS1_L = int(_os.environ.get("SEMADB_VAMANA_PASS1_L", 0))
+PASS2_L = int(_os.environ.get("SEMADB_VAMANA_PASS2_L", 0))
 
 
 class IndexVamana:
@@ -251,6 +256,8 @@ class IndexVamana:
 
         from semadb_tpu.index.vamana.build import _logger
 
+        l1 = (PASS1_L if two_pass else 0) or self.params.search_size
+        l2 = PASS2_L or self.params.search_size
         with _logger().timed("vamana bulk pass1", count=n):
             live = max(len(self), 32)
             i = 0
@@ -258,7 +265,7 @@ class IndexVamana:
                 step = min(INSERT_CHUNK, max(32, live))
                 self.state = insert_batch(
                     self.state, ids32[i : i + step], vec_np[i : i + step],
-                    self.config, self.params.search_size, alpha=a1,
+                    self.config, l1, alpha=a1,
                 )
                 live += step
                 i += step
@@ -268,7 +275,7 @@ class IndexVamana:
                     self.state = insert_batch(
                         self.state, ids32[i : i + PASS2_CHUNK],
                         vec_np[i : i + PASS2_CHUNK], self.config,
-                        self.params.search_size, keep_current=True,
+                        l2, keep_current=True,
                     )
         did_fit = self.store.maybe_fit(self.state.vectors, self.state.exists)
         if self.store.fitted and not did_fit:

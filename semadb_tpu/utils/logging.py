@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import time
 from contextlib import contextmanager
 
@@ -85,12 +86,33 @@ class FieldLogger:
     @contextmanager
     def timed(self, msg: str, level: int = logging.DEBUG, **fields):
         """Duration logging for a stage (the reference logs stage durations
-        at debug level across the write/search paths)."""
+        at debug level across the write/search paths).
+
+        With SEMADB_TIMED_SYNC=1 a queue-drain barrier runs at entry and
+        exit so the duration covers device EXECUTION, not just dispatch
+        (the tunnel defers execution past block_until_ready; device
+        streams execute in-order, so reading back a freshly computed
+        scalar waits for everything queued before it). Profiling aid —
+        the barrier itself costs a host↔device roundtrip, leave it off in
+        production."""
+        sync = bool(os.environ.get("SEMADB_TIMED_SYNC"))
+        if sync:
+            _queue_drain()
         t0 = time.perf_counter()
         try:
             yield
         finally:
+            if sync:
+                _queue_drain()
             self._log(
                 level, msg, duration_ms=round((time.perf_counter() - t0) * 1e3, 2),
                 **fields,
             )
+
+
+def _queue_drain() -> None:
+    """Wait for the default device's queued work (in-order stream)."""
+    import jax
+    import numpy as _np
+
+    _np.asarray(jax.numpy.zeros((1,), jax.numpy.int32))

@@ -142,3 +142,43 @@ def test_async_dispatcher_order_and_backpressure():
     pipe.submit(lambda: jnp.ones((2,)))
     (one,) = pipe.results()
     assert (one == 1).all()
+
+
+def test_load_hdf5_annbenchmarks_format(tmp_path):
+    """End-to-end ann-benchmarks HDF5 ingestion (loadhdf5.go:30-71 parity):
+    write a file in the exact ann-benchmarks layout (train/test/neighbors
+    datasets + a `distance` attr), load it, and run the benchmark harness
+    against the file's own ground-truth neighbors."""
+    h5py = pytest.importorskip("h5py")
+    from semadb_tpu.tools.annbench import run
+    from semadb_tpu.tools.datasets import load_hdf5
+
+    rng = np.random.default_rng(3)
+    n, d, q = 512, 16, 32
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 4
+    train = (centers[rng.integers(0, 8, n)]
+             + 0.3 * rng.standard_normal((n, d))).astype(np.float32)
+    test = (train[rng.integers(0, n, q)]
+            + 0.05 * rng.standard_normal((q, d))).astype(np.float32)
+    # angular GT on the normalised vectors, like ann-benchmarks computes it
+    tn = train / np.linalg.norm(train, axis=1, keepdims=True)
+    qn = test / np.linalg.norm(test, axis=1, keepdims=True)
+    gt = np.argsort(-(qn @ tn.T), axis=1)[:, :10].astype(np.int32)
+
+    path = tmp_path / "toy-16-angular.hdf5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("train", data=train)
+        f.create_dataset("test", data=test)
+        f.create_dataset("neighbors", data=gt)
+        f.create_dataset("distances", data=np.zeros((q, 10), np.float32))
+        f.attrs["distance"] = "angular"
+
+    ds = load_hdf5(str(path))
+    assert ds.metric == "cosine"
+    # loader normalises angular corpora (loadhdf5.go normalisation)
+    np.testing.assert_allclose(
+        np.linalg.norm(ds.train, axis=1), np.ones(n), rtol=1e-5)
+    assert ds.neighbors is not None and ds.neighbors.shape == (q, 10)
+
+    out = run(ds, k=10, batch=32, engine="ivf")
+    assert out["recall@10"] > 0.9, out

@@ -567,6 +567,18 @@ def _run_write(jax) -> None:
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("BENCH_DEBUG_TIMERS"):
+        # Stage-timer breakdown on stderr (combine with SEMADB_TIMED_SYNC=1
+        # so stages measure device execution, not dispatch). Only the
+        # component loggers go to DEBUG — root stays INFO to keep jax's
+        # own debug spew out.
+        import logging
+
+        from semadb_tpu.utils.logging import setup_logging
+
+        setup_logging(debug=False, pretty=True)
+        for name in ("ivf", "vamana", "fused", "shard"):
+            logging.getLogger(name).setLevel(logging.DEBUG)
     _preflight()
     import jax
 

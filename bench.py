@@ -400,8 +400,11 @@ def _run_filtered(jax) -> None:
     tr = jnp.asarray(ds.train)
     sq = jnp.sum(tr * tr, -1)
 
+    # tr/sq must be ARGUMENTS, not closure captures: jit bakes captured
+    # concrete arrays into the HLO as literal constants, and at 1M x 128
+    # the ~512MB program body overflows the remote-compile tunnel (413).
     @_jax.jit
-    def gt_chunk(q, member):
+    def gt_chunk(q, member, tr, sq):
         hp = _jax.lax.Precision.HIGHEST
         dd = sq[None, :] - 2.0 * jnp.matmul(q, tr.T, precision=hp)
         dd = jnp.where(member[None, :], dd, jnp.inf)
@@ -417,12 +420,13 @@ def _run_filtered(jax) -> None:
         mask[ids[member]] = True
         gt = np.empty((n_gt, 10), np.int64)
         GB = 1024
+        member_dev = jnp.asarray(member)
         for i in range(0, n_gt, GB):
             j = min(i + GB, n_gt)
             q = jnp.asarray(
                 np.pad(ds.test[i:j], ((0, GB - (j - i)), (0, 0)))
             )
-            gt[i:j] = np.asarray(gt_chunk(q, jnp.asarray(member)))[: j - i]
+            gt[i:j] = np.asarray(gt_chunk(q, member_dev, tr, sq))[: j - i]
 
         def query_all():
             outs = []
@@ -577,7 +581,7 @@ def main() -> None:
         from semadb_tpu.utils.logging import setup_logging
 
         setup_logging(debug=False, pretty=True)
-        for name in ("ivf", "vamana", "fused", "shard"):
+        for name in ("ivf", "vamana", "fused", "shard", "kmeans"):
             logging.getLogger(name).setLevel(logging.DEBUG)
     _preflight()
     import jax

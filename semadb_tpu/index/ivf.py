@@ -1407,12 +1407,15 @@ class IndexIVF:
         p = self._num_probes(num_probes)
         if filter_mask is not None:
             fm_np = np.asarray(filter_mask, bool)
-            # Selective filters: when fewer filter members exist than the
-            # probed candidate budget, an exact member-gather scan over the
-            # per-node vectors is both cheaper and exact — probing could
-            # miss members whose clusters aren't selected (vamana solves
-            # this by seeding with filter members, search.go:27-51).
-            if int(fm_np.sum()) <= p * self.slab:
+            # Selective filters: an exact member-gather scan over the
+            # per-node vectors is cheap on the MXU (the [B, P] distance
+            # matrix caps the budget: ≤ 1 GB at B=4096 / P=65536) and
+            # EXACT — probing misses members whose clusters aren't
+            # selected (measured: sel=0.005 at 1M recalled only 0.52 via
+            # 4x-widened probes vs 1.0 exact; vamana solves the same
+            # problem by seeding with filter members, search.go:27-51).
+            exact_cap = max(p * self.slab, min(65536, 2**28 // q.shape[0]))
+            if int(fm_np.sum()) <= exact_cap:
                 return self._member_exact(q, k, fm_np)
             # Broad filter: probe wider instead.
             p = min(4 * p, self.centroids.shape[0])

@@ -16,6 +16,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from semadb_tpu.utils.logging import get_logger
+
+log = get_logger("kmeans")
+
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _init_furthest(data: jax.Array, k: int, seed: jax.Array) -> jax.Array:
@@ -322,8 +326,17 @@ def _group_rows(labels: "np.ndarray", n_groups: int, maxm: int):
     ls = labels[order]
     starts = np.searchsorted(ls, np.arange(n_groups))
     ends = np.searchsorted(ls, np.arange(n_groups) + 1)
+    cnt = (ends - starts).astype(np.int32)
     rows = np.zeros((n_groups, maxm), np.int32)
     w = np.zeros((n_groups, maxm), np.float32)
+    if cnt.max(initial=0) <= maxm:
+        # Fast path (no subsampling): one vectorized scatter by
+        # within-group rank — the per-group Python loop costs seconds per
+        # call at 10M rows on a 1-vCPU host.
+        rank = np.arange(len(ls), dtype=np.int64) - starts[ls]
+        rows[ls, rank] = order
+        w[ls, rank] = 1.0
+        return rows, w, cnt
     for g in range(n_groups):
         mem = order[starts[g] : ends[g]]
         m = len(mem)
@@ -334,7 +347,7 @@ def _group_rows(labels: "np.ndarray", n_groups: int, maxm: int):
             m = maxm
         rows[g, :m] = mem
         w[g, :m] = 1.0
-    return rows, w, (ends - starts).astype(np.int32)
+    return rows, w, cnt
 
 
 @functools.partial(jax.jit, static_argnames=("kc", "iters"))
@@ -383,24 +396,71 @@ def _kmeans_grouped(
     return cents
 
 
-@functools.partial(jax.jit, static_argnames=("t",))
-def _grouped_child_top(
-    data: jax.Array,   # f32[cap, D]
-    rows: jax.Array,   # i32[G, maxm]
-    w: jax.Array,      # f32[G, maxm]
-    child: jax.Array,  # f32[G, kc, D] children of each group's super
-    t: int,
+@functools.partial(jax.jit, static_argnames=("n_groups", "maxm"))
+def _group_rows_device(labels: jax.Array, n_groups: int, maxm: int):
+    """Device-side :func:`_group_rows` (no subsampling: ``maxm`` must be
+    ≥ the max group size — callers round the bincount max up). The host
+    version costs ~20 s per call at 10M rows on a 1-vCPU host (argsort +
+    several full-array passes); on the TPU the same sort+scatter is
+    milliseconds and the [G, maxm] table never crosses the tunnel.
+    Returns (rows i32[G, maxm] — padding rows point at 0 —, cnt i32[G])."""
+    n = labels.shape[0]
+    order = jnp.argsort(labels, stable=True).astype(jnp.int32)
+    ls = labels[order]
+    edges = jnp.searchsorted(ls, jnp.arange(n_groups + 1, dtype=ls.dtype))
+    starts, ends = edges[:-1], edges[1:]
+    cnt = (ends - starts).astype(jnp.int32)
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[ls].astype(jnp.int32)
+    rows = jnp.zeros((n_groups, maxm), jnp.int32)
+    rows = rows.at[ls, rank].set(order, mode="drop")
+    return rows, cnt
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1), static_argnames=("t_in", "col")
+)
+def _assign_scatter_chunk(
+    cand_d: jax.Array,  # f32[n, n_sup*t_in] running best-distance table
+    cand_i: jax.Array,  # i32[n, n_sup*t_in] running flat-cluster-id table
+    data: jax.Array,    # f32[cap, D]
+    pos: jax.Array,     # i32[Gc, maxm] row POSITIONS (into n) per group
+    cnt: jax.Array,     # i32[Gc] live member count per group
+    child: jax.Array,   # f32[Gc, kc, D] children of this chunk's supers
+    rid,                # i32[n] row ids into `data`, or None (pos == id)
+    g0: jax.Array,      # scalar: first super index of this chunk
+    col: int,
+    t_in: int,
 ):
-    """Per-member top-t children within the group's own super:
-    → (dists f32[G, maxm, t], child idx i32[G, maxm, t])."""
-    mem = data[rows]
+    """Score one chunk of supers' members against those supers' children
+    and scatter each member's top-``t_in`` (distance, flat child id) into
+    its row of the candidate tables — entirely on device. The previous
+    host-side scatter read the [Gc, maxm, t] score tensors back through
+    the tunnel (~0.5–1 GB per 10M-row assignment at 33 MB/s) and looped
+    per group in Python; this keeps only the final [n, t] readback."""
+    kc = child.shape[1]
+    rows = pos if rid is None else rid[pos]
+    mem = data[rows]  # [Gc, maxm, D]
     sq_c = jnp.sum(child * child, axis=-1)
     cross = jnp.einsum(
         "gmd,gkd->gmk", mem, child, preferred_element_type=jnp.float32
     )
     dd = jnp.sum(mem * mem, axis=-1)[:, :, None] - 2.0 * cross + sq_c[:, None, :]
-    nv, idx = jax.lax.top_k(-dd, t)
-    return -nv, idx.astype(jnp.int32)
+    nv, idx = jax.lax.top_k(-dd, t_in)  # [Gc, maxm, t_in]
+    gids = (
+        (g0 + jnp.arange(child.shape[0], dtype=jnp.int32))[:, None, None] * kc
+        + idx
+    ).astype(jnp.int32)
+    live = jnp.arange(pos.shape[1], dtype=jnp.int32)[None, :] < cnt[:, None]
+    # Dead (padding) members point past n: scatter mode="drop" skips them.
+    flat_pos = jnp.where(live, pos, cand_d.shape[0]).reshape(-1)
+    sl = slice(col * t_in, (col + 1) * t_in)
+    cand_d = cand_d.at[flat_pos, sl].set(
+        (-nv).reshape(-1, t_in), mode="drop"
+    )
+    cand_i = cand_i.at[flat_pos, sl].set(
+        gids.reshape(-1, t_in), mode="drop"
+    )
+    return cand_d, cand_i
 
 
 def kmeans_fit_two_level(
@@ -442,72 +502,82 @@ def kmeans_fit_two_level(
     d = data.shape[1]
 
     # 1. super fit on a ≤2^18-row subsample (supers ≤ 512: tiny problem)
-    stride = max(n // 2**18, 1)
-    if row_ids is not None:
-        sub_ids = row_ids[::stride]
-        sup_cents, _ = kmeans_fit_large(data, supers, seed, iters, row_ids=sub_ids)
-    else:
-        sub = data[::stride]
-        sup_cents, _ = kmeans_fit_large(sub, supers, seed, iters)
+    with log.timed("2lv super fit", n=n, supers=supers):
+        stride = max(n // 2**18, 1)
+        if row_ids is not None:
+            sub_ids = row_ids[::stride]
+            sup_cents, _ = kmeans_fit_large(
+                data, supers, seed, iters, row_ids=sub_ids
+            )
+        else:
+            sub = data[::stride]
+            sup_cents, _ = kmeans_fit_large(sub, supers, seed, iters)
 
     # 2. assign every row to its nearest super (blocked dense matmul)
-    lab_sup = np.asarray(
-        kmeans_assign(data, sup_cents, 1, row_ids=row_ids)
-    )[:, 0]
+    with log.timed("2lv super assign"):
+        lab_sup = np.asarray(
+            kmeans_assign(data, sup_cents, 1, row_ids=row_ids)
+        )[:, 0]
 
     # 3. children per super, grouped weighted Lloyd in G-chunks sized so
     #    the larger of the [G, maxm, D] member gather and the
     #    [G, maxm, kc] distance/cross tensors stays ~256 MB
-    gchunk = max(2**26 // max(fit_maxm * max(d, kc), 1), 1)
-    rows_np, w_np, cnt_np = _group_rows(lab_sup, supers, fit_maxm)
-    if row_ids is not None:
-        rid = np.asarray(row_ids)
-        rows_np = rid[rows_np]
-    child_parts = []
-    for g0 in range(0, supers, gchunk):
-        child_parts.append(
-            _kmeans_grouped(
-                data,
-                jnp.asarray(rows_np[g0 : g0 + gchunk]),
-                jnp.asarray(w_np[g0 : g0 + gchunk]),
-                jnp.asarray(cnt_np[g0 : g0 + gchunk]),
-                kc,
-                iters,
+    with log.timed("2lv child fit", kc=kc):
+        gchunk = max(2**26 // max(fit_maxm * max(d, kc), 1), 1)
+        rows_np, w_np, cnt_np = _group_rows(lab_sup, supers, fit_maxm)
+        if row_ids is not None:
+            rid = np.asarray(row_ids)
+            rows_np = rid[rows_np]
+        child_parts = []
+        for g0 in range(0, supers, gchunk):
+            child_parts.append(
+                _kmeans_grouped(
+                    data,
+                    jnp.asarray(rows_np[g0 : g0 + gchunk]),
+                    jnp.asarray(w_np[g0 : g0 + gchunk]),
+                    jnp.asarray(cnt_np[g0 : g0 + gchunk]),
+                    kc,
+                    iters,
+                )
             )
-        )
-    child = jnp.concatenate(child_parts, axis=0)  # [supers, kc, D]
-    child_flat = child.reshape(k, d)
+        child = jnp.concatenate(child_parts, axis=0)  # [supers, kc, D]
+        child_flat = child.reshape(k, d)
 
     # 4. global refinement: reassign over the 4 nearest supers' children,
     #    scatter-mean-update all children (blocked: the segment-sum walks
     #    the backing matrix 2^20 rows at a time, no [N, D] copy)
-    for _ in range(refine_iters):
-        lab_r = np.asarray(
-            kmeans_assign_two_level(
+    for it in range(refine_iters):
+        with log.timed("2lv refine iter", i=it):
+            # Labels stay on device end to end (an [n] readback + per-block
+            # re-upload costs 80 MB of tunnel traffic at 10M rows).
+            lab_r = kmeans_assign_two_level(
                 data, sup_cents, child_flat, 1, row_ids=row_ids, n_sup=4
+            )[:, 0]
+            ssum = jnp.zeros((k, d), jnp.float32)
+            cnt = jnp.zeros((k,), jnp.float32)
+            BLK = 1 << 20
+            for i in range(0, n, BLK):
+                lab_b = lab_r[i : i + BLK]
+                rows_b = (
+                    data[row_ids[i : i + BLK]] if row_ids is not None
+                    else data[i : i + BLK]
+                )
+                ssum = ssum.at[lab_b].add(rows_b.astype(jnp.float32))
+                cnt = cnt.at[lab_b].add(1.0)
+            child_flat = jnp.where(
+                (cnt > 0)[:, None],
+                ssum / jnp.maximum(cnt, 1.0)[:, None],
+                child_flat,
             )
-        )[:, 0]
-        ssum = jnp.zeros((k, d), jnp.float32)
-        cnt = jnp.zeros((k,), jnp.float32)
-        BLK = 1 << 20
-        for i in range(0, n, BLK):
-            lab_b = jnp.asarray(lab_r[i : i + BLK])
-            rows_b = (
-                data[row_ids[i : i + BLK]] if row_ids is not None
-                else data[i : i + BLK]
-            )
-            ssum = ssum.at[lab_b].add(rows_b.astype(jnp.float32))
-            cnt = cnt.at[lab_b].add(1.0)
-        child_flat = jnp.where(
-            (cnt > 0)[:, None], ssum / jnp.maximum(cnt, 1.0)[:, None], child_flat
-        )
 
     # 5. final flat labels over the final_n_sup nearest supers
-    labels = np.asarray(
-        kmeans_assign_two_level(
-            data, sup_cents, child_flat, 1, row_ids=row_ids, n_sup=final_n_sup
-        )
-    )[:, 0]
+    with log.timed("2lv final labels", n_sup=final_n_sup):
+        labels = np.asarray(
+            kmeans_assign_two_level(
+                data, sup_cents, child_flat, 1, row_ids=row_ids,
+                n_sup=final_n_sup,
+            )
+        )[:, 0]
     return child_flat, jnp.asarray(labels.astype(np.int32)), sup_cents
 
 
@@ -533,35 +603,44 @@ def kmeans_assign_two_level(
     t_in = min(t, kc)
     n_sup = min(n_sup, Cs)
 
-    sup_t = np.asarray(kmeans_assign(data, sup_cents, n_sup, row_ids=row_ids))
-    rid = np.asarray(row_ids) if row_ids is not None else None
-
-    cand_d = np.full((n, n_sup * t_in), np.inf, np.float32)
-    cand_i = np.zeros((n, n_sup * t_in), np.int64)
-    for col in range(n_sup):
-        lab = sup_t[:, col]
-        maxm = int(np.bincount(lab, minlength=Cs).max())
-        rows_g, w_g, _ = _group_rows(lab, Cs, maxm)
-        pos_g = rows_g.copy()
-        rows_dev = rid[rows_g] if rid is not None else rows_g
-        gchunk = max(2**26 // max(maxm * max(d, kc), 1), 1)
-        for g0 in range(0, Cs, gchunk):
-            dd, cidx = _grouped_child_top(
-                data,
-                jnp.asarray(rows_dev[g0 : g0 + gchunk]),
-                jnp.asarray(w_g[g0 : g0 + gchunk]),
-                child[g0 : g0 + gchunk],
-                t_in,
+    with log.timed("2lv assign sup_t", n=n, n_sup=n_sup):
+        # sup_t stays ON DEVICE: the [n, n_sup] readback alone cost ~23 s
+        # at 10M rows through the tunnel, and the groupings below only
+        # need per-column bincount maxima (one tiny readback).
+        sup_t = kmeans_assign(data, sup_cents, n_sup, row_ids=row_ids)
+        maxms = np.asarray(
+            jnp.max(
+                jax.vmap(
+                    lambda c: jnp.zeros(Cs, jnp.int32).at[c].add(1)
+                )(sup_t.T),
+                axis=1,
             )
-            dd = np.asarray(dd)
-            cidx = np.asarray(cidx)
-            for gg in range(dd.shape[0]):
-                g = g0 + gg
-                live = w_g[g] > 0
-                p = pos_g[g][live]
-                cand_d[p, col * t_in : (col + 1) * t_in] = dd[gg][live]
-                cand_i[p, col * t_in : (col + 1) * t_in] = (
-                    g * kc + cidx[gg][live]
+        )
+
+    cand_d = jnp.full((n, n_sup * t_in), jnp.inf, jnp.float32)
+    cand_i = jnp.zeros((n, n_sup * t_in), jnp.int32)
+    for col in range(n_sup):
+        # Round maxm up to a power of two: every distinct [Gc, maxm]
+        # shape recompiles the scatter kernel, and max-bincount varies
+        # run to run.
+        maxm = max(1 << (int(maxms[col]) - 1).bit_length(), 512)
+        with log.timed("2lv assign group", col=col, maxm=maxm):
+            rows_g, cnt_g = _group_rows_device(sup_t[:, col], Cs, maxm)
+        gchunk = max(2**26 // max(maxm * max(d, kc), 1), 1)
+        with log.timed("2lv assign score+scatter", col=col):
+            for g0 in range(0, Cs, gchunk):
+                cand_d, cand_i = _assign_scatter_chunk(
+                    cand_d,
+                    cand_i,
+                    data,
+                    rows_g[g0 : g0 + gchunk],
+                    cnt_g[g0 : g0 + gchunk],
+                    child[g0 : g0 + gchunk],
+                    row_ids,
+                    jnp.int32(g0),
+                    col,
+                    t_in,
                 )
-    order = np.argsort(cand_d, axis=1, kind="stable")[:, :t]
-    return np.take_along_axis(cand_i, order, axis=1)
+    with log.timed("2lv assign final top"):
+        _, oi = jax.lax.top_k(-cand_d, t)
+        return jnp.take_along_axis(cand_i, oi, axis=1)

@@ -393,3 +393,36 @@ def test_opq_store_roundtrip_and_self_distance():
     store2.load_arrays(store.to_arrays())
     d2 = np.asarray(store2.scan_distances(vectors[:4], vectors, exists))
     assert np.allclose(d, d2, atol=1e-4)
+
+
+def test_two_level_assign_matches_flat():
+    """kmeans_assign_two_level with full super coverage (n_sup=supers) must
+    agree with the flat top-t assignment — the grouped scoring + device
+    scatter is a pure reorganisation of the same distance computation.
+    Covers both the direct-data and row_ids (gather) paths."""
+    from semadb_tpu.vectorstore.kmeans import (
+        kmeans_assign,
+        kmeans_assign_two_level,
+        kmeans_fit_two_level,
+    )
+
+    n, d, supers, kc = 3000, 16, 4, 8
+    data = jnp.asarray(RNG.standard_normal((n, d)).astype(np.float32))
+    cents, labels, sup_cents = kmeans_fit_two_level(
+        data, supers * kc, iters=6, supers=supers
+    )
+    flat = np.asarray(kmeans_assign(data, cents, 2))
+    two = np.asarray(
+        kmeans_assign_two_level(data, sup_cents, cents, 2, n_sup=supers)
+    )
+    assert np.array_equal(flat, two)
+    # labels returned by the fit agree with a fresh full-coverage assign
+    assert np.array_equal(np.asarray(labels), flat[:, 0])
+    # row_ids path: a permuted view through a backing matrix
+    perm = np.random.default_rng(3).permutation(n)[: n // 2].astype(np.int32)
+    two_r = np.asarray(
+        kmeans_assign_two_level(
+            data, sup_cents, cents, 2, row_ids=jnp.asarray(perm), n_sup=supers
+        )
+    )
+    assert np.array_equal(flat[perm], two_r)

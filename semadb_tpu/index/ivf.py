@@ -160,6 +160,13 @@ def _slabs_from_ids(vectors, sid, proj, out_dtype=jnp.float32, want_sq=True):
     Cn, S = sid.shape
     cap, D = vectors.shape
     cb = max(2**25 // max(S * D * 4, 1), 8)
+    # Prefer a power-of-two block that DIVIDES Cn: when cpad != Cn the
+    # [:Cn] slice of the scan-stacked output materialises a second full
+    # slab copy (6.4 GB at 10M/C=131072/S=192) next to the stacked
+    # original — the difference between fitting and OOMing a 16 GB chip.
+    cb_pow2 = 1 << (cb.bit_length() - 1)
+    if Cn % cb_pow2 == 0:
+        cb = cb_pow2
     nblk = -(-Cn // cb)
     cpad = nblk * cb
     spad = sid if cpad == Cn else jnp.pad(sid, ((0, cpad - Cn), (0, 0)), constant_values=NIL)
@@ -792,6 +799,7 @@ class IndexIVF:
                 fit_data = self.vectors[pad_ids_dev]  # device gather
                 cents, lab = kmeans_fit_large(fit_data, Cn, iters=KMEANS_ITERS)
             lab = np.asarray(lab)[:n]
+        log.hbm("hbm after kmeans fit")
         # All row selections below (sel/spill) index < n, so the padded
         # matrix can be used directly — slicing [:n] would cost another
         # [n, D] device copy at peak memory time.
@@ -860,6 +868,7 @@ class IndexIVF:
         pc = np.full(n, -1, np.int64)  # placed (primary) cluster per row
         pc[sel] = lab[sel]
         pri_rows, pri_cs, pri_ss = sel, cs.astype(np.int64), ss.astype(np.int64)
+        log.hbm("hbm before assign_top")
         with log.timed("refit assign_top", spill=len(spill)):
             if len(spill) and copies > 1:
                 topt = (
@@ -985,6 +994,7 @@ class IndexIVF:
             self.slabs = jnp.zeros((1, S, self.tdim), jnp.float32)
             self.ovf_vecs = jnp.zeros((1, self.tdim), jnp.float32)
         else:
+            log.hbm("hbm before slab build")
             with log.timed("refit slab build"):
                 bf16 = Cn * S * self.tdim * 4 > SLAB_BF16_BYTES
                 self.slabs, self.slab_sq = _slabs_from_ids(

@@ -83,6 +83,23 @@ class FieldLogger:
     def error(self, msg: str, **fields) -> None:
         self._log(logging.ERROR, msg, **fields)
 
+    def hbm(self, msg: str) -> None:
+        """Debug-log device bytes_in_use (SEMADB_LOG_HBM=1 only — the
+        stats call itself costs a device roundtrip)."""
+        if not os.environ.get("SEMADB_LOG_HBM"):
+            return
+        try:
+            import jax
+
+            st = jax.local_devices()[0].memory_stats() or {}
+            self.debug(
+                msg,
+                hbm_gb=round(st.get("bytes_in_use", 0) / 2**30, 2),
+                peak_gb=round(st.get("peak_bytes_in_use", 0) / 2**30, 2),
+            )
+        except Exception:  # stats unsupported on some backends
+            pass
+
     @contextmanager
     def timed(self, msg: str, level: int = logging.DEBUG, **fields):
         """Duration logging for a stage (the reference logs stage durations

@@ -396,71 +396,82 @@ def _kmeans_grouped(
     return cents
 
 
-@functools.partial(jax.jit, static_argnames=("n_groups", "maxm"))
-def _group_rows_device(labels: jax.Array, n_groups: int, maxm: int):
-    """Device-side :func:`_group_rows` (no subsampling: ``maxm`` must be
-    ≥ the max group size — callers round the bincount max up). The host
-    version costs ~20 s per call at 10M rows on a 1-vCPU host (argsort +
-    several full-array passes); on the TPU the same sort+scatter is
-    milliseconds and the [G, maxm] table never crosses the tunnel.
-    Returns (rows i32[G, maxm] — padding rows point at 0 —, cnt i32[G])."""
-    n = labels.shape[0]
-    order = jnp.argsort(labels, stable=True).astype(jnp.int32)
-    ls = labels[order]
-    edges = jnp.searchsorted(ls, jnp.arange(n_groups + 1, dtype=ls.dtype))
-    starts, ends = edges[:-1], edges[1:]
-    cnt = (ends - starts).astype(jnp.int32)
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[ls].astype(jnp.int32)
-    rows = jnp.zeros((n_groups, maxm), jnp.int32)
-    rows = rows.at[ls, rank].set(order, mode="drop")
-    return rows, cnt
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("t",))
+def _merge_top(cand_d, cand_i, d_col, i_col, t: int):
+    """Keep the best ``t`` of the running candidates ∪ one new column."""
+    dd = jnp.concatenate([cand_d, d_col], axis=1)
+    ii = jnp.concatenate([cand_i, i_col], axis=1)
+    nv, oi = jax.lax.top_k(-dd, t)
+    return -nv, jnp.take_along_axis(ii, oi, axis=1)
 
 
 @functools.partial(
-    jax.jit, donate_argnums=(0, 1), static_argnames=("t_in", "col")
+    jax.jit, static_argnames=("n_groups", "maxm", "gchunk", "t_in")
 )
-def _assign_scatter_chunk(
-    cand_d: jax.Array,  # f32[n, n_sup*t_in] running best-distance table
-    cand_i: jax.Array,  # i32[n, n_sup*t_in] running flat-cluster-id table
-    data: jax.Array,    # f32[cap, D]
-    pos: jax.Array,     # i32[Gc, maxm] row POSITIONS (into n) per group
-    cnt: jax.Array,     # i32[Gc] live member count per group
-    child: jax.Array,   # f32[Gc, kc, D] children of this chunk's supers
-    rid,                # i32[n] row ids into `data`, or None (pos == id)
-    g0: jax.Array,      # scalar: first super index of this chunk
-    col: int,
+def _assign_col(
+    data: jax.Array,   # f32[cap, D]
+    lab: jax.Array,    # i32[n] — this column's super per row
+    child: jax.Array,  # f32[n_groups, kc, D]
+    rid,               # i32[n] row ids into `data`, or None (position == id)
+    n_groups: int,
+    maxm: int,
+    gchunk: int,
     t_in: int,
 ):
-    """Score one chunk of supers' members against those supers' children
-    and scatter each member's top-``t_in`` (distance, flat child id) into
-    its row of the candidate tables — entirely on device. The previous
-    host-side scatter read the [Gc, maxm, t] score tensors back through
-    the tunnel (~0.5–1 GB per 10M-row assignment at 33 MB/s) and looped
-    per group in Python; this keeps only the final [n, t] readback."""
+    """Top-``t_in`` children within each row's ``lab`` super → (dists
+    f32[n, t_in], flat cluster ids i32[n, t_in]). One dispatch per column.
+
+    Scatter-free by design: XLA:TPU scatter cost scales with the
+    DESTINATION table, not the update count (measured: 262k-row scatter
+    into a [10M, 4] table = 1.52 s — 64 of those per column made the
+    two-level assignment slower than the host path it replaced). Instead:
+    sort rows by super, score the grouped [G, maxm] layout under one
+    `lax.scan`, then GATHER each row's result back through its
+    (super, within-super-rank) coordinate — rank comes from the inverse
+    permutation, itself just a second argsort (~0.3 s at 10M). Group
+    padding slots are never read back, so no liveness masking is needed.
+    """
+    n = lab.shape[0]
     kc = child.shape[1]
-    rows = pos if rid is None else rid[pos]
-    mem = data[rows]  # [Gc, maxm, D]
-    sq_c = jnp.sum(child * child, axis=-1)
-    cross = jnp.einsum(
-        "gmd,gkd->gmk", mem, child, preferred_element_type=jnp.float32
-    )
-    dd = jnp.sum(mem * mem, axis=-1)[:, :, None] - 2.0 * cross + sq_c[:, None, :]
-    nv, idx = jax.lax.top_k(-dd, t_in)  # [Gc, maxm, t_in]
-    gids = (
-        (g0 + jnp.arange(child.shape[0], dtype=jnp.int32))[:, None, None] * kc
-        + idx
-    ).astype(jnp.int32)
-    live = jnp.arange(pos.shape[1], dtype=jnp.int32)[None, :] < cnt[:, None]
-    # Dead (padding) members point past n: scatter mode="drop" skips them.
-    flat_pos = jnp.where(live, pos, cand_d.shape[0]).reshape(-1)
-    sl = slice(col * t_in, (col + 1) * t_in)
-    cand_d = cand_d.at[flat_pos, sl].set(
-        (-nv).reshape(-1, t_in), mode="drop"
-    )
-    cand_i = cand_i.at[flat_pos, sl].set(
-        gids.reshape(-1, t_in), mode="drop"
-    )
-    return cand_d, cand_i
+    order = jnp.argsort(lab, stable=True).astype(jnp.int32)
+    ls = lab[order]
+    starts = jnp.searchsorted(ls, jnp.arange(n_groups, dtype=ls.dtype))
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[ls].astype(jnp.int32)
+    # rows[g, m] = position (into n) of group g's m-th member; padding
+    # slots keep 0 — they cost wasted compute, never wrong results.
+    rows = jnp.zeros((n_groups, maxm), jnp.int32)
+    rows = rows.at[ls, rank].set(order, mode="drop")
+
+    nchunk = n_groups // gchunk
+    rows_c = rows.reshape(nchunk, gchunk, maxm)
+    child_c = child.reshape(nchunk, gchunk, kc, child.shape[-1])
+
+    def body(_, xs):
+        rows_b, child_b = xs
+        r = rows_b if rid is None else rid[rows_b]
+        mem = data[r]  # [gchunk, maxm, D]
+        sq_c = jnp.sum(child_b * child_b, axis=-1)
+        cross = jnp.einsum(
+            "gmd,gkd->gmk", mem, child_b, preferred_element_type=jnp.float32
+        )
+        dd = (
+            jnp.sum(mem * mem, axis=-1)[:, :, None]
+            - 2.0 * cross
+            + sq_c[:, None, :]
+        )
+        nv, idx = jax.lax.top_k(-dd, t_in)
+        return None, (-nv, idx.astype(jnp.int32))
+
+    _, (dd_g, ci_g) = jax.lax.scan(body, None, (rows_c, child_c))
+    dd_g = dd_g.reshape(n_groups, maxm, t_in)
+    ci_g = ci_g.reshape(n_groups, maxm, t_in)
+
+    # Inverse permutation → each row's rank within its own group.
+    perm_inv = jnp.argsort(order, stable=True).astype(jnp.int32)
+    m = perm_inv - starts[lab].astype(jnp.int32)
+    d_col = dd_g[lab, m]                          # [n, t_in]
+    i_col = lab[:, None] * kc + ci_g[lab, m]      # flat cluster ids
+    return d_col, i_col.astype(jnp.int32)
 
 
 def kmeans_fit_two_level(
@@ -617,30 +628,31 @@ def kmeans_assign_two_level(
             )
         )
 
-    cand_d = jnp.full((n, n_sup * t_in), jnp.inf, jnp.float32)
-    cand_i = jnp.zeros((n, n_sup * t_in), jnp.int32)
+    # Merge columns INCREMENTALLY (donated running buffers): collecting
+    # all n_sup [n, t_in] column results before one final top-k holds
+    # n_sup·t_in·8 bytes/row — 5 GB at 10M×(4 cols × t=8), which OOMed a
+    # 16 GB chip next to the resident vector matrix.
+    cand_d = cand_i = None
     for col in range(n_sup):
-        # Round maxm up to a power of two: every distinct [Gc, maxm]
-        # shape recompiles the scatter kernel, and max-bincount varies
+        # Round maxm up to a power of two: every distinct [G, maxm]
+        # shape recompiles the column kernel, and max-bincount varies
         # run to run.
         maxm = max(1 << (int(maxms[col]) - 1).bit_length(), 512)
-        with log.timed("2lv assign group", col=col, maxm=maxm):
-            rows_g, cnt_g = _group_rows_device(sup_t[:, col], Cs, maxm)
         gchunk = max(2**26 // max(maxm * max(d, kc), 1), 1)
-        with log.timed("2lv assign score+scatter", col=col):
-            for g0 in range(0, Cs, gchunk):
-                cand_d, cand_i = _assign_scatter_chunk(
-                    cand_d,
-                    cand_i,
-                    data,
-                    rows_g[g0 : g0 + gchunk],
-                    cnt_g[g0 : g0 + gchunk],
-                    child[g0 : g0 + gchunk],
-                    row_ids,
-                    jnp.int32(g0),
-                    col,
-                    t_in,
+        gchunk = min(1 << (gchunk.bit_length() - 1), Cs)  # pow2, divides Cs
+        with log.timed("2lv assign col", col=col, maxm=maxm):
+            d_col, i_col = _assign_col(
+                data, sup_t[:, col], child, row_ids, Cs, maxm, gchunk, t_in
+            )
+            if cand_d is None:
+                cand_d, cand_i = d_col, i_col
+            else:
+                cand_d, cand_i = _merge_top(
+                    cand_d, cand_i, d_col, i_col,
+                    min(t, cand_d.shape[1] + t_in),
                 )
-    with log.timed("2lv assign final top"):
-        _, oi = jax.lax.top_k(-cand_d, t)
-        return jnp.take_along_axis(cand_i, oi, axis=1)
+    if cand_d.shape[1] > t:
+        with log.timed("2lv assign final top"):
+            _, oi = jax.lax.top_k(-cand_d, t)
+            return jnp.take_along_axis(cand_i, oi, axis=1)
+    return cand_i

@@ -127,6 +127,66 @@ PROBE_CHUNK_C = int(os.environ.get("SEMADB_IVF_PROBE_CHUNK_C", 16384))
 # from chunked probe selection.
 TWO_LEVEL_MIN_C = int(os.environ.get("SEMADB_IVF_TWO_LEVEL_MIN_C", 65537))
 TWO_LEVEL_SUPERS = int(os.environ.get("SEMADB_IVF_TWO_LEVEL_SUPERS", 512))
+# Largest filter-member count served by the EXACT member-gather scan
+# (recall 1.0 by construction); larger filters fall back to widened
+# probing. The chunked scan is one dense [B, chunk] matmul per 64k-row
+# block — measured at 1M × 128d, 100k members: 1.0000 @ 35,951 QPS vs
+# widened probing's 0.9869 @ 5,374 (probing pays a strided slab gather
+# per probe chunk; the member scan gathers each block once, then rides
+# the MXU). Cost is linear in members, so the cap is an absolute count:
+# past ~256k members (≥4 blocks) widened probing wins on big corpora.
+FILTER_EXACT_CAP = int(os.environ.get("SEMADB_IVF_FILTER_EXACT_CAP", 262144))
+
+
+def _member_scan_chunked_host(vectors, members, q, k, metric, chunk_cap):
+    """Host wrapper for the chunked exact member scan: pads the member
+    list to (pow2 chunk count) × chunk_cap so recompiles stay bounded,
+    then runs one jitted ``lax.scan`` dispatch."""
+    nc = -(-len(members) // chunk_cap)
+    ncp = 1
+    while ncp < nc:
+        ncp *= 2
+    P = ncp * chunk_cap
+    padded = np.full(P, members[0], np.int32)
+    padded[: len(members)] = members
+    valid = np.zeros(P, bool)
+    valid[: len(members)] = True
+    return _member_scan_chunked(
+        vectors,
+        jnp.asarray(padded.reshape(ncp, chunk_cap)),
+        jnp.asarray(valid.reshape(ncp, chunk_cap)),
+        q, k, metric,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _member_scan_chunked(vectors, ids_c, valid_c, q, k, metric):
+    """Exact top-k over member rows scanned in [nc, CB] chunks: gather a
+    chunk's rows, score on the MXU, merge its top-k into the running
+    [B, k] pool. Exact because the global top-k is a fixed point of the
+    per-chunk merge (invalid slots score +inf and are masked to NIL)."""
+    B = q.shape[0]
+    init = (
+        jnp.full((B, k), jnp.inf, jnp.float32),
+        jnp.full((B, k), NIL, jnp.int32),
+    )
+
+    def step(carry, inp):
+        ids, vd = inp  # [CB], bool[CB]
+        mv = jnp.take(vectors, ids, axis=0)  # [CB, D]
+        d = pairwise_distance(q, mv, metric)  # [B, CB]
+        d = jnp.where(vd[None, :], d, jnp.inf)
+        kk = min(k, ids.shape[0])
+        nv, pos = jax.lax.top_k(-d, kk)
+        cd, ci = carry
+        alld = jnp.concatenate([cd, -nv], axis=1)
+        alli = jnp.concatenate([ci, jnp.take(ids, pos)], axis=1)
+        nv2, p2 = jax.lax.top_k(-alld, k)
+        return (-nv2, jnp.take_along_axis(alli, p2, axis=1)), None
+
+    (out_d, out_i), _ = jax.lax.scan(step, init, (ids_c, valid_c))
+    out_i = jnp.where(jnp.isfinite(out_d), out_i, NIL)
+    return out_d, out_i
 
 
 @jax.jit
@@ -1424,7 +1484,7 @@ class IndexIVF:
             # selected (measured: sel=0.005 at 1M recalled only 0.52 via
             # 4x-widened probes vs 1.0 exact; vamana solves the same
             # problem by seeding with filter members, search.go:27-51).
-            exact_cap = max(p * self.slab, min(65536, 2**28 // q.shape[0]))
+            exact_cap = max(p * self.slab, FILTER_EXACT_CAP)
             if int(fm_np.sum()) <= exact_cap:
                 return self._member_exact(q, k, fm_np)
             # Broad filter: probe wider instead.
@@ -1469,7 +1529,10 @@ class IndexIVF:
         """Exact top-k over filter members only, by gathering member rows
         (O(members), not O(capacity) — the member-gather scan). Live
         membership is intersected host-side via ``_loc``; member count is
-        padded to a power of two to bound recompiles."""
+        padded to a power of two to bound recompiles. Past one matmul's
+        memory budget the scan chunks over member blocks under a single
+        ``lax.scan`` dispatch (same pattern as the overflow scan), merging
+        per-chunk top-k into a running pool — still exact."""
         live = self._sq_cache.get("live")
         if live is None or live.shape[0] != self.capacity:
             live = np.zeros(self.capacity, bool)
@@ -1485,6 +1548,12 @@ class IndexIVF:
         B = q.shape[0]
         if len(members) == 0:
             return (jnp.full((B, k), jnp.inf), jnp.full((B, k), NIL, jnp.int32))
+        # Keep the [B, chunk] distance matrix ≤ ~1 GB f32.
+        chunk_cap = max(1024, min(65536, 2**28 // max(B, 1)))
+        if len(members) > chunk_cap:
+            return _member_scan_chunked_host(
+                self.vectors, members, q, k, self.metric, chunk_cap
+            )
         P = 8
         while P < len(members):
             P *= 2

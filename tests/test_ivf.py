@@ -431,6 +431,60 @@ def test_ivf_filtered_member_gather():
         assert got == list(gt)
 
 
+def test_ivf_member_scan_chunked_matches_flat():
+    """The chunked member scan (members past one matmul's budget) must
+    return bit-identical results to the single-matmul exact path."""
+    import jax.numpy as jnp
+
+    from semadb_tpu.index.ivf import _member_scan_chunked_host
+
+    idx = make_index()
+    vecs = clustered(2000)
+    ids = np.arange(2, 2002, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    members = ids[::3]
+    fm = np.zeros(int(ids.max()) + 1, bool)
+    fm[members] = True
+    q = vecs[:8]
+    # reference: the (tested-exact) single-path member scan
+    d_ref, i_ref = idx._member_exact(jnp.asarray(q), 5, fm)
+    # force chunking with a tiny chunk_cap that doesn't divide the count
+    live = np.array(sorted(set(int(x) for x in members)), np.int32)
+    d_ch, i_ch = _member_scan_chunked_host(
+        idx.vectors, live, jnp.asarray(q), 5, idx.metric, chunk_cap=96
+    )
+    assert np.array_equal(np.asarray(i_ref), np.asarray(i_ch))
+    # distances agree to f32 matmul-split tolerance (chunked reductions
+    # round differently from the single big matmul)
+    np.testing.assert_allclose(
+        np.asarray(d_ref), np.asarray(d_ch), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_ivf_broad_filter_routes_exact(monkeypatch):
+    """With FILTER_EXACT_CAP covering a broad (50%) filter, search_batch
+    routes through the exact member scan and returns the exact filtered
+    top-k (chunked-scan numerics are covered by the test above)."""
+    from semadb_tpu.index import ivf as ivf_mod
+
+    idx = make_index()
+    vecs = clustered(3000)
+    ids = np.arange(2, 3002, dtype=np.int32)
+    idx.insert_update_delete(zip(ids, vecs))
+    members = ids[ids % 2 == 0]  # 50% selectivity — a broad filter
+    fm = np.zeros(4096, bool)
+    fm[members] = True
+    monkeypatch.setattr(ivf_mod, "FILTER_EXACT_CAP", 2048)
+    q = vecs[:8]
+    d, i = idx.search_batch(q, k=5, filter_mask=fm)
+    member_set = set(int(m) for m in members)
+    for b in range(8):
+        got = [int(x) for x in i[b] if x != -1]
+        assert set(got) <= member_set
+        gt = exact_top(vecs[members - 2], members.astype(np.int32), q[b], 5)
+        assert got == list(gt)
+
+
 def test_ivfpq_schema_rejects_binary():
     import pytest as _pytest
 

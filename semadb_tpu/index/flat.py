@@ -16,6 +16,7 @@ import numpy as np
 from semadb_tpu.models.schema import VectorFlatParams
 from semadb_tpu.ops.topk import top_k_smallest
 from semadb_tpu.vectorstore import QuantConfig, VectorStore
+from semadb_tpu.utils.grow import next_capacity
 
 MIN_CAPACITY = 128
 
@@ -45,9 +46,9 @@ class IndexFlat:
     def _ensure_capacity(self, max_id: int) -> None:
         if max_id < self.capacity:
             return
-        new_cap = self.capacity
-        while new_cap <= max_id:
-            new_cap *= 2
+        new_cap = next_capacity(
+            self.capacity, max_id, self.params.vector_size * 4
+        )
         self.vectors = jnp.pad(self.vectors, ((0, new_cap - self.capacity), (0, 0)))
         self.exists = jnp.pad(self.exists, (0, new_cap - self.capacity))
         self.capacity = new_cap

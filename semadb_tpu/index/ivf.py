@@ -75,6 +75,7 @@ import numpy as np
 from semadb_tpu.models import constants as C
 from semadb_tpu.models.schema import VectorIVFParams
 from semadb_tpu.ops.distance import pairwise_distance
+from semadb_tpu.utils.grow import next_capacity
 from semadb_tpu.utils.logging import get_logger
 from semadb_tpu.vectorstore.kmeans import kmeans_fit_large
 
@@ -719,9 +720,9 @@ class IndexIVF:
     def _ensure_capacity(self, max_id: int) -> None:
         if max_id < self.capacity:
             return
-        new_cap = self.capacity
-        while new_cap <= max_id:
-            new_cap *= 2
+        new_cap = next_capacity(
+            self.capacity, max_id, self.params.vector_size * 4
+        )
         self.vectors = jnp.pad(self.vectors, ((0, new_cap - self.capacity), (0, 0)))
         self.capacity = new_cap
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from semadb_tpu.models import constants as C
+from semadb_tpu.utils.grow import next_capacity
 
 NIL = -1  # adjacency padding sentinel
 START_ID = C.START_NODE_ID  # row 1, entry point; never a user point
@@ -90,12 +91,15 @@ def grow_graph(state: GraphState, new_capacity: int) -> GraphState:
     )
 
 
-def required_capacity(max_id: int) -> int:
-    """Next power-of-two capacity holding ``max_id``."""
-    cap = MIN_CAPACITY
-    while cap <= max_id:
-        cap *= 2
-    return cap
+def required_capacity(max_id: int, config: "GraphConfig | None" = None) -> int:
+    """Capacity holding ``max_id`` under the shared growth policy
+    (floor bucket then ×factor — see utils/grow.py). ``config`` sizes
+    the per-row bytes (vector + adjacency) so wide rows get a lower
+    floor."""
+    row_bytes = (
+        (config.dim + config.degree_bound) * 4 if config is not None else 512
+    )
+    return next_capacity(MIN_CAPACITY, max_id, row_bytes)
 
 
 @jax.jit

@@ -135,3 +135,25 @@ httpApi:
         del os.environ["SEMADB_CONFIG"]
     with pytest.raises(ValueError):
         load_config("")
+
+
+def test_grow_policy():
+    """Capacity growth: first growth jumps to the floor bucket, then ×4;
+    wide rows get a byte-bounded floor; no change when max_id fits."""
+    from semadb_tpu.utils.grow import next_capacity
+
+    # fits: unchanged
+    assert next_capacity(4096, 4095, 512) == 4096
+    # first growth from the tiny initial bucket jumps to the 4096 floor
+    assert next_capacity(128, 128, 512) == 4096
+    assert next_capacity(128, 200, 512) == 4096
+    # past the floor: ×4 steps
+    assert next_capacity(4096, 4096, 512) == 16384
+    assert next_capacity(16384, 70000, 512) == 262144
+    # wide rows (e.g. 1536d = 6144 B): floor bounded by GROW_MIN_BYTES
+    cap = next_capacity(128, 129, 6144)
+    assert cap * 6144 <= 4 * (2**23)  # within 4x of the byte floor
+    assert cap > 129
+    # result always holds max_id
+    for cur, mid, rb in [(128, 10**6, 512), (4096, 123456, 64)]:
+        assert next_capacity(cur, mid, rb) > mid

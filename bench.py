@@ -375,58 +375,104 @@ def _run_filtered(jax) -> None:
     """Filtered-search workload: vector search restricted to a random
     subset of points (the reference's filter queries — a roaring bitmap
     ANDed into every index search, shard/index/search.go:52-168). Two
-    selectivities exercise both TPU paths: a broad 10% filter (widened
-    probing with the mask applied in-kernel) and a selective 0.5% filter
-    (exact member-gather scan). Recall is measured against the exact
-    filtered ground truth."""
+    selectivities exercise both TPU paths: a selective 0.5% filter
+    (exact member-gather scan) and a broad 10% filter (chunked exact
+    member scan up to FILTER_EXACT_CAP, widened probing past it — at
+    10M the 1M-member broad filter exercises the probing fallback).
+    Recall is measured against the exact filtered ground truth, computed
+    BEFORE the build by a corpus-block scan with top-k merge (a full
+    [B, N] matrix is 41 GB at 10M)."""
     import numpy as np
     import jax as _jax
     import jax.numpy as jnp
 
     from semadb_tpu.index.ivf import IndexIVF
     from semadb_tpu.models.schema import VectorIVFParams
-    from semadb_tpu.tools.datasets import embedding_like
+    from semadb_tpu.tools.datasets import embedding_like, embedding_like_device
 
-    ds = embedding_like(N, DIM, N_QUERIES, spread=SPREAD, metric=METRIC)
-    ids = np.arange(2, N + 2, dtype=np.int32)
+    big = N * DIM >= 2**28
+    ds = (embedding_like_device if big else embedding_like)(
+        N, DIM, N_QUERIES, spread=SPREAD, metric=METRIC
+    )
+    ids = np.arange(2, N + 2, dtype=np.int64)
+
+    # --- exact filtered ground truth (corpus-resident phase) -------------
+    tr = jnp.asarray(ds.train)
+    # corpus blocks must divide N exactly (lax.scan over a reshape view)
+    for CB in (131072, 125000, 100000, 78125, 65536, 50000):
+        if N % CB == 0:
+            break
+    else:
+        CB = N
+    nc = N // CB
+    ids_c = jnp.arange(N, dtype=jnp.int32).reshape(nc, CB)
+    tr_c = tr.reshape(nc, CB, DIM)
+
+    # arrays must be ARGUMENTS, not closure captures: jit bakes captured
+    # concrete arrays into the HLO as literal constants, and the axon
+    # tunnel ships the compile payload over HTTP (413 past ~512 MB).
+    @_jax.jit
+    def gt_chunk(q, member_c, tr_c, ids_c):
+        hp = _jax.lax.Precision.HIGHEST
+
+        def step(carry, inp):
+            m, t, bi = inp  # bool[CB], f32[CB, D], i32[CB]
+            s = jnp.sum(t * t, -1)
+            dd = s[None, :] - 2.0 * jnp.matmul(q, t.T, precision=hp)
+            dd = jnp.where(m[None, :], dd, jnp.inf)
+            nv, pos = _jax.lax.top_k(-dd, 10)
+            cd, ci = carry
+            alld = jnp.concatenate([cd, -nv], 1)
+            alli = jnp.concatenate([ci, jnp.take(bi, pos)], 1)
+            nv2, p2 = _jax.lax.top_k(-alld, 10)
+            return (-nv2, jnp.take_along_axis(alli, p2, 1)), None
+
+        B = q.shape[0]
+        init = (
+            jnp.full((B, 10), jnp.inf, jnp.float32),
+            jnp.full((B, 10), -1, jnp.int32),
+        )
+        (_, top), _ = _jax.lax.scan(step, init, (member_c, tr_c, ids_c))
+        return top
+
+    rng = np.random.default_rng(7)
+    n_gt = min(GT_QUERIES, N_QUERIES)
+    test_np = np.asarray(ds.test[:n_gt])
+    members = {}
+    gts = {}
+    for sel in (0.10, 0.005):
+        member = rng.random(N) < sel  # over train rows
+        members[sel] = member
+        gt = np.empty((n_gt, 10), np.int64)
+        GB = 1024
+        member_c = jnp.asarray(member).reshape(nc, CB)
+        for i in range(0, n_gt, GB):
+            j = min(i + GB, n_gt)
+            q = jnp.asarray(np.pad(test_np[i:j], ((0, GB - (j - i)), (0, 0))))
+            gt[i:j] = np.asarray(gt_chunk(q, member_c, tr_c, ids_c))[: j - i]
+        gts[sel] = gt
+        print(f"# filtered GT done sel={sel}", file=sys.stderr, flush=True)
+    del tr_c, ids_c
+
+    # --- build (adopts the corpus; harness refs dropped before refit) ----
     idx = IndexIVF(
         VectorIVFParams(vector_size=DIM, distance_metric=METRIC, assign_copies=2)
     )
     t0 = time.time()
-    idx.insert_bulk(ids, ds.train)
+    idx.insert_bulk(ids, tr, defer_fit=True)
+    ds.train = None
+    del tr
+    idx.flush_pending()
     idx.sync()  # execution, not dispatch (tunnel)
     build_s = time.time() - t0
+    print(f"# filtered build done {build_s:.1f}s", file=sys.stderr, flush=True)
 
-    tr = jnp.asarray(ds.train)
-    sq = jnp.sum(tr * tr, -1)
-
-    # tr/sq must be ARGUMENTS, not closure captures: jit bakes captured
-    # concrete arrays into the HLO as literal constants, and at 1M x 128
-    # the ~512MB program body overflows the remote-compile tunnel (413).
-    @_jax.jit
-    def gt_chunk(q, member, tr, sq):
-        hp = _jax.lax.Precision.HIGHEST
-        dd = sq[None, :] - 2.0 * jnp.matmul(q, tr.T, precision=hp)
-        dd = jnp.where(member[None, :], dd, jnp.inf)
-        _, top = _jax.lax.top_k(-dd, 10)
-        return top
-
-    rng = np.random.default_rng(7)
     rows = {}
-    n_gt = min(GT_QUERIES, N_QUERIES)
     for sel in (0.10, 0.005):
-        member = rng.random(N) < sel  # over train rows
+        member = members[sel]
+        gt = gts[sel]
         mask = np.zeros(idx.capacity, bool)
         mask[ids[member]] = True
-        gt = np.empty((n_gt, 10), np.int64)
-        GB = 1024
-        member_dev = jnp.asarray(member)
-        for i in range(0, n_gt, GB):
-            j = min(i + GB, n_gt)
-            q = jnp.asarray(
-                np.pad(ds.test[i:j], ((0, GB - (j - i)), (0, 0)))
-            )
-            gt[i:j] = np.asarray(gt_chunk(q, member_dev, tr, sq))[: j - i]
 
         def query_all():
             outs = []

@@ -167,6 +167,7 @@ class ClusterNode:
             "UpdatePoints": self._rpc_update_points,
             "DeletePoints": self._rpc_delete_points,
             "SearchPoints": self._rpc_search_points,
+            "SearchPointsBatch": self._rpc_search_points_batch,
             "SendShard": self._rpc_send_shard,
         }
 
@@ -387,6 +388,16 @@ class ClusterNode:
         )
         return {"points": [_result_to_wire(r) for r in results]}
 
+    def _rpc_search_points_batch(self, req: dict) -> dict:
+        col = Collection.from_dict(req["collection"])
+        srs = [SearchRequest.from_dict(d) for d in req["searchRequests"]]
+        batched = self.shard_manager.do_with_shard(
+            col, req["shardId"], lambda s: s.search_points_batch(srs)
+        )
+        return {
+            "results": [[_result_to_wire(r) for r in one] for one in batched]
+        }
+
     def _rpc_send_shard(self, req: dict) -> dict:
         """Chunked shard file transfer (rpchandlers.go RPCSendShard:86-124):
         append chunks at offset; on final chunk verify the xxhash checksum."""
@@ -586,6 +597,69 @@ class ClusterNode:
             else:
                 sort_search_results(results, sr.sort)
         return results[:original_limit]
+
+    def search_points_batch(
+        self, col: Collection, srs: List[SearchRequest]
+    ) -> List[List[SearchResult]]:
+        """Scatter-gather BATCH search: ONE RPC per shard carries the
+        whole request list, each shard executes it in one read
+        transaction (Shard.search_points_batch collapses a homogeneous
+        vector batch into a single [B, D] device dispatch), and results
+        merge per request. RPC count is per-shard, not per-query —
+        beyond-reference; the reference's network cost scales with
+        queries × shards (actions.go:274-378)."""
+        n_shards = max(len(col.shard_ids), 1)
+        shard_srs = []
+        for sr in srs:
+            target = int(sr.limit / n_shards * POISSON_APPROX_A + POISSON_APPROX_B)
+            target = min(target, self.cfg.max_search_limit, sr.limit)
+            ssr = SearchRequest(
+                query=sr.query, select=sr.select, sort=sr.sort,
+                offset=sr.offset, limit=target,
+            )
+            if n_shards > 1 and sr.offset % n_shards == 0:
+                ssr.offset = sr.offset // n_shards
+            shard_srs.append(ssr)
+
+        count_point_op("search", len(srs))
+        merged: List[List[SearchResult]] = [[] for _ in srs]
+        lock = threading.Lock()
+        errors: List[Exception] = []
+
+        def do_search(sid: str):
+            try:
+                resp = self._call(
+                    self._owner(sid),
+                    "SearchPointsBatch",
+                    {
+                        "collection": col.to_dict(),
+                        "shardId": sid,
+                        "searchRequests": [
+                            _search_request_to_dict(s) for s in shard_srs
+                        ],
+                    },
+                )
+                with lock:
+                    for qi, pts in enumerate(resp["results"]):
+                        merged[qi].extend(_result_from_wire(r) for r in pts)
+            except Exception as e:
+                with lock:
+                    errors.append(e)
+
+        with LOG.timed("batch search fan-out", shards=n_shards, queries=len(srs)):
+            with ThreadPoolExecutor(max_workers=n_shards) as ex:
+                list(ex.map(do_search, col.shard_ids))
+        if errors:
+            raise ShardUnavailableError(f"shard could not search points: {errors[0]}")
+        out: List[List[SearchResult]] = []
+        for sr, results in zip(srs, merged):
+            if len(col.shard_ids) > 1:
+                if not sr.sort:
+                    results.sort(key=lambda r: -r.hybrid_score)
+                else:
+                    sort_search_results(results, sr.sort)
+            out.append(results[: sr.limit])
+        return out
 
     def update_points(self, col: Collection, points: List[Point]) -> List[FailedPoint]:
         """Broadcast update to all shards (actions.go:388-436)."""

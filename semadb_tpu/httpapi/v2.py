@@ -173,23 +173,62 @@ class V2Handlers:
             results = self.node.search_points(col, sr)
         except ShardUnavailableError as e:
             raise HttpError(503, str(e))
-        out = []
-        for r in results:
-            # Re-inject metadata fields (handlers.go:461-487)
-            doc = (
-                dict(r.decoded_data)
-                if r.decoded_data is not None
-                else (r.point.as_map() if r.point is not None and r.point.data else {})
+        return 200, {"points": [_result_doc(r) for r in results]}
+
+    # Batch cap: one [B, D] device dispatch per shard; 4096 matches the
+    # engines' largest query shape bucket.
+    MAX_BATCH_QUERIES = 4096
+
+    def batch_search_points(self, ctx: RequestContext, body: dict) -> tuple[int, dict]:
+        """POST .../points/search/batch {"queries": [<search request>...]}.
+
+        Beyond-reference endpoint: N search requests ride ONE RPC per
+        shard and (when homogeneous) ONE [B, D] device dispatch per
+        shard, instead of N full HTTP→cluster→shard round trips. Response
+        order matches request order."""
+        col = self._get_collection(ctx)
+        reqs = body.get("queries")
+        if not isinstance(reqs, list) or not reqs:
+            raise HttpError(400, "queries must be a non-empty list")
+        if len(reqs) > self.MAX_BATCH_QUERIES:
+            raise HttpError(
+                400, f"at most {self.MAX_BATCH_QUERIES} queries per batch"
             )
-            if r.point is not None:
-                doc["_id"] = str(r.point.id)
-            if r.distance is not None:
-                doc["_distance"] = r.distance
-            if r.score is not None:
-                doc["_score"] = r.score
-            doc["_hybridScore"] = r.hybrid_score
-            out.append(doc)
-        return 200, {"points": out}
+        srs = []
+        try:
+            for d in reqs:
+                sr = SearchRequest.from_dict(d)
+                sr.validate()
+                sr.query.validate_schema(col.index_schema)
+                srs.append(sr)
+        except (ValidationError, KeyError, TypeError) as e:
+            raise HttpError(400, f"invalid search request: {e}")
+        try:
+            batched = self.node.search_points_batch(col, srs)
+        except ShardUnavailableError as e:
+            raise HttpError(503, str(e))
+        return 200, {
+            "results": [
+                {"points": [_result_doc(r) for r in one]} for one in batched
+            ]
+        }
+
+
+def _result_doc(r) -> dict:
+    """Re-inject metadata fields (handlers.go:461-487)."""
+    doc = (
+        dict(r.decoded_data)
+        if r.decoded_data is not None
+        else (r.point.as_map() if r.point is not None and r.point.data else {})
+    )
+    if r.point is not None:
+        doc["_id"] = str(r.point.id)
+    if r.distance is not None:
+        doc["_distance"] = r.distance
+    if r.score is not None:
+        doc["_score"] = r.score
+    doc["_hybridScore"] = r.hybrid_score
+    return doc
 
 
 def register_routes(router, node: ClusterNode, prefix: str = "/v2"):
@@ -208,6 +247,11 @@ def register_routes(router, node: ClusterNode, prefix: str = "/v2"):
     router.add("PUT", f"{prefix}/collections/{{collectionId}}/points", h.update_points)
     router.add(
         "DELETE", f"{prefix}/collections/{{collectionId}}/points", h.delete_points
+    )
+    router.add(
+        "POST",
+        f"{prefix}/collections/{{collectionId}}/points/search/batch",
+        h.batch_search_points,
     )
     router.add(
         "POST", f"{prefix}/collections/{{collectionId}}/points/search", h.search_points

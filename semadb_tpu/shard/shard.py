@@ -312,45 +312,67 @@ class Shard:
 
     # -- search ------------------------------------------------------------
     def search_points(self, request: SearchRequest) -> List[SearchResult]:
-        final_results: List[SearchResult] = []
+        return self.search_points_batch([request])[0]
+
+    def search_points_batch(
+        self, requests: List[SearchRequest]
+    ) -> List[List[SearchResult]]:
+        """Execute many search requests in ONE read transaction, letting
+        the index manager collapse a homogeneous vector batch into a
+        single [B, D] device dispatch (IndexManager.search_batch). The
+        per-request post-processing (backfill, select, sort, paging) is
+        identical to the single-request path — search_points IS the
+        batch of one. Beyond-reference: the reference handles one query
+        per request end to end (shard.go:323-380)."""
+        batched: List[List[SearchResult]] = [[] for _ in requests]
 
         def reader(bm):
             b_points = bm.get(pointstore.POINTS_BUCKET_NAME)
             im = IndexManager(bm, self.collection.index_schema, self.device_indices)
-            rset, results = im.search(request.query)
+            pairs = im.search_batch([r.query for r in requests])
             with_data = True
-            # Backfill UUID + data for ordered results; anything left in the
-            # result set but not in ordered results is appended unranked
-            # (shard.go:350-371)
-            covered = set()
-            # Tolerant resolution: the device index is shared and mutated
-            # in place by a concurrent write TRANSACTION, so a search can
-            # surface a node id whose point record hasn't committed to
-            # the store yet (the reference can't hit this — its index and
-            # pointstore share one bbolt snapshot). Such ids are dropped
-            # from this result set; they become visible the moment the
-            # writer commits. Deletes are the mirror case (index entry
-            # gone first) and already invisible to search.
-            for r in results:
-                try:
-                    sp = pointstore.get_point_by_node_id(
-                        b_points, r.node_id, with_data
-                    )
-                except NotFoundError:
-                    continue
-                r.point = sp.point
-                covered.add(r.node_id)
-                final_results.append(r)
-            for nid in sorted(rset - covered):
-                try:
-                    sp = pointstore.get_point_by_node_id(b_points, nid, with_data)
-                except NotFoundError:
-                    continue
-                final_results.append(SearchResult(point=sp.point, node_id=nid))
+            for oi, (rset, results) in enumerate(pairs):
+                # Backfill UUID + data for ordered results; anything left
+                # in the result set but not in ordered results is appended
+                # unranked (shard.go:350-371)
+                covered = set()
+                out = batched[oi]
+                # Tolerant resolution: the device index is shared and
+                # mutated in place by a concurrent write TRANSACTION, so a
+                # search can surface a node id whose point record hasn't
+                # committed to the store yet (the reference can't hit this
+                # — its index and pointstore share one bbolt snapshot).
+                # Such ids are dropped from this result set; they become
+                # visible the moment the writer commits. Deletes are the
+                # mirror case (index entry gone first) and already
+                # invisible to search.
+                for r in results:
+                    try:
+                        sp = pointstore.get_point_by_node_id(
+                            b_points, r.node_id, with_data
+                        )
+                    except NotFoundError:
+                        continue
+                    r.point = sp.point
+                    covered.add(r.node_id)
+                    out.append(r)
+                for nid in sorted(rset - covered):
+                    try:
+                        sp = pointstore.get_point_by_node_id(b_points, nid, with_data)
+                    except NotFoundError:
+                        continue
+                    out.append(SearchResult(point=sp.point, node_id=nid))
 
         # shard.go:460 logs search duration
-        with LOG.timed("search points"):
+        with LOG.timed("search points", n=len(requests)):
             self.db.read(reader)
+        return [
+            self._postprocess(req, res) for req, res in zip(requests, batched)
+        ]
+
+    def _postprocess(
+        self, request: SearchRequest, final_results: List[SearchResult]
+    ) -> List[SearchResult]:
         # Select / sort (shard.go:384-460)
         select = request.select
         if (select and select[0] != "*") or request.sort:

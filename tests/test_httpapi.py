@@ -394,3 +394,66 @@ def test_fused_e2e(server):
         headers=HEADERS,
     )
     assert r.status_code == 400
+
+
+def test_batch_search(server):
+    """Beyond-reference batch endpoint: N queries per call, responses in
+    request order and identical to N single-query calls."""
+    assert make_collection(server, "bat").status_code == 200
+    pts = [
+        {"_id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(i))),
+         "vector": [float(i), float(i)], "size": i}
+        for i in range(40)
+    ]
+    r = requests.post(
+        f"{server}/v2/collections/bat/points", json={"points": pts},
+        headers=HEADERS,
+    )
+    assert r.status_code == 200, r.text
+    queries = [
+        {"query": {"property": "vector",
+                   "vectorVamana": {"vector": [float(i), float(i)],
+                                     "operator": "near", "searchSize": 36,
+                                     "limit": 3}},
+         "limit": 3}
+        for i in (3, 17, 31)
+    ]
+    rb = requests.post(
+        f"{server}/v2/collections/bat/points/search/batch",
+        json={"queries": queries}, headers=HEADERS,
+    )
+    assert rb.status_code == 200, rb.text
+    results = rb.json()["results"]
+    assert len(results) == 3
+    for qi, i in enumerate((3, 17, 31)):
+        got = results[qi]["points"]
+        assert got and got[0]["size"] == i and got[0]["_distance"] < 1e-6
+        # identical to the single-query endpoint
+        rs = requests.post(
+            f"{server}/v2/collections/bat/points/search",
+            json=queries[qi], headers=HEADERS,
+        )
+        assert [p["_id"] for p in rs.json()["points"]] == [
+            p["_id"] for p in got
+        ]
+    # validation: empty list and over-cap rejected
+    r = requests.post(
+        f"{server}/v2/collections/bat/points/search/batch",
+        json={"queries": []}, headers=HEADERS,
+    )
+    assert r.status_code == 400
+    # heterogeneous batches still work (per-query fallback path)
+    mixed = [
+        queries[0],
+        {"query": {"property": "size",
+                   "integer": {"operator": "equals", "value": 17}},
+         "limit": 5},
+    ]
+    rm = requests.post(
+        f"{server}/v2/collections/bat/points/search/batch",
+        json={"queries": mixed}, headers=HEADERS,
+    )
+    assert rm.status_code == 200, rm.text
+    mres = rm.json()["results"]
+    assert mres[0]["points"][0]["size"] == 3
+    assert [p["size"] for p in mres[1]["points"]] == [17]

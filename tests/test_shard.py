@@ -437,3 +437,38 @@ def test_poisoned_batch_leaves_store_and_indices_unchanged(tmp_path):
     )
     assert res[0].point.id == uuid.UUID(int=52)
     shard.close()
+
+
+def test_search_points_batch_matches_single():
+    """Batch search must return exactly what N single searches return,
+    including select/sort post-processing, with one read txn."""
+    shard = make_shard()
+    shard.insert_points(make_points(50))
+    reqs = []
+    for x in (5, 20, 41):
+        reqs.append(
+            SearchRequest.from_dict(
+                {
+                    "query": {
+                        "property": "vector",
+                        "vectorVamana": {
+                            "vector": [float(x), float(x)],
+                            "operator": "near",
+                            "searchSize": 36,
+                            "limit": 4,
+                        },
+                    },
+                    "select": ["size", "category"],
+                    "limit": 4,
+                }
+            )
+        )
+    batched = shard.search_points_batch(reqs)
+    assert len(batched) == 3
+    for req, out in zip(reqs, batched):
+        single = shard.search_points(req)
+        assert [r.node_id for r in out] == [r.node_id for r in single]
+        assert [r.decoded_data for r in out] == [r.decoded_data for r in single]
+    # first hit is the exact point
+    for x, out in zip((5, 20, 41), batched):
+        assert out[0].decoded_data["size"] == x

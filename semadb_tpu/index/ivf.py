@@ -66,6 +66,7 @@ per-chunk approx top-p carry.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Iterable, Optional, Tuple
 
 import jax
@@ -137,6 +138,22 @@ TWO_LEVEL_SUPERS = int(os.environ.get("SEMADB_IVF_TWO_LEVEL_SUPERS", 512))
 # the MXU). Cost is linear in members, so the cap is an absolute count:
 # past ~256k members (≥4 blocks) widened probing wins on big corpora.
 FILTER_EXACT_CAP = int(os.environ.get("SEMADB_IVF_FILTER_EXACT_CAP", 262144))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_rows(dst, rows, vals):
+    """``dst.at[rows].set(vals)`` with the DESTINATION donated: XLA
+    aliases the output onto the input buffer, so updating the 5.4 GB
+    ``vectors`` matrix (or the multi-GB slab tables) costs one in-place
+    scatter instead of a full second copy — the eager ``.at`` op doubled
+    peak HBM and OOMed 10M write txns at slab depth 192."""
+    return dst.at[rows].set(vals)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_cells(dst, cs, ss, vals):
+    """Donated 2-D coordinate scatter (see :func:`_set_rows`)."""
+    return dst.at[cs, ss].set(vals)
 
 
 def _member_scan_chunked_host(vectors, members, q, k, metric, chunk_cap):
@@ -677,6 +694,13 @@ class IndexIVF:
         self._loc2: dict[int, list] = {}  # node id -> [(c, slot), ...] copies
         self._n_at_fit = 0
         self._sq_cache: dict[str, jax.Array] = {}
+        # Guards the donated-scatter read→donate→rebind windows against
+        # concurrent search DISPATCH: donation invalidates the old buffer
+        # object, so a search thread that grabbed the array ref but hasn't
+        # dispatched yet would Execute() on a deleted buffer. Searches
+        # hold this only while dispatching (device execution overlaps);
+        # writers hold it per donated statement.
+        self._donate_lock = threading.RLock()
         # Per-node rerank matrix grows like the other engines' capacity
         self.capacity = 128
         self.vectors = jnp.zeros((self.capacity, D), jnp.float32)
@@ -1110,6 +1134,11 @@ class IndexIVF:
     def insert_update_delete(
         self, changes: Iterable[Tuple[int, Optional[np.ndarray]]]
     ) -> None:
+        """Apply (id, vector|None) changes. Vectors should be HOST arrays:
+        each one is converted individually, so handing this path rows of a
+        device-resident matrix costs one tunnel readback per point
+        (~28 ms each — measured 28 s per 1k-point txn at 10M). For
+        device-resident batches use :meth:`insert_bulk`."""
         ups: list[tuple[int, np.ndarray]] = []
         removals: list = []  # loc tuples to blank
         max_id = 0
@@ -1137,12 +1166,18 @@ class IndexIVF:
                 up_dev = None
                 for off in range(0, len(ups), CH):
                     blk = jnp.asarray(_pad_dup(up_vecs[off : off + CH]))
-                    self.vectors = self.vectors.at[
-                        _pad_dup(up_ids[off : off + CH])
-                    ].set(blk)
+                    with self._donate_lock:
+                        self.vectors = _set_rows(
+                            self.vectors,
+                            jnp.asarray(_pad_dup(up_ids[off : off + CH])),
+                            blk,
+                        )
             else:
                 up_dev = jnp.asarray(_pad_dup(up_vecs))
-                self.vectors = self.vectors.at[_pad_dup(up_ids)].set(up_dev)
+                with self._donate_lock:
+                    self.vectors = _set_rows(
+                        self.vectors, jnp.asarray(_pad_dup(up_ids)), up_dev
+                    )
 
             # update = replace: pop every old location before placement
             for node_id, _ in ups:
@@ -1200,11 +1235,18 @@ class IndexIVF:
             [l[1] for l in removals if l[0] == "o" and l[1] >= 0], np.int32
         )
         if len(s_cs):
-            self.slab_ids = self.slab_ids.at[
-                _pad_dup(s_cs), _pad_dup(s_ss)
-            ].set(NIL)
+            cs_d = jnp.asarray(_pad_dup(s_cs))
+            with self._donate_lock:
+                self.slab_ids = _set_cells(
+                    self.slab_ids, cs_d, jnp.asarray(_pad_dup(s_ss)),
+                    jnp.full(cs_d.shape, NIL, jnp.int32),
+                )
         if len(o_js):
-            self.ovf_ids = self.ovf_ids.at[_pad_dup(o_js)].set(NIL)
+            js_d = jnp.asarray(_pad_dup(o_js))
+            with self._donate_lock:
+                self.ovf_ids = _set_rows(
+                    self.ovf_ids, js_d, jnp.full(js_d.shape, NIL, jnp.int32)
+                )
             self._ovf_free.extend(int(j) for j in o_js)
 
     def _has_placeholders(self) -> bool:
@@ -1276,7 +1318,10 @@ class IndexIVF:
                 blk = vecs[off : off + CH]
                 if not isinstance(blk, jnp.ndarray):
                     blk = jnp.asarray(np.asarray(blk, np.float32))
-                self.vectors = self.vectors.at[ids_np[off : off + CH]].set(blk)
+                with self._donate_lock:
+                    self.vectors = _set_rows(
+                        self.vectors, jnp.asarray(ids_np[off : off + CH]), blk
+                    )
         fitted = self._n_at_fit > 0
         if not fitted:
             self._loc.update((int(i), ("o", -1)) for i in ids_np)
@@ -1357,27 +1402,38 @@ class IndexIVF:
                     self.pq_config.num_centroids, self.metric,
                     row_ids=rows_dev,
                 )
-                self.slab_codes = self.slab_codes.at[all_cs, all_ss].set(codes)
+                with self._donate_lock:
+                    self.slab_codes = _set_cells(
+                        self.slab_codes, jnp.asarray(all_cs),
+                        jnp.asarray(all_ss), codes,
+                    )
             else:
                 rows_f = (
                     _gather_project(self.vectors, rows_dev, self._proj)
                     if self._proj is not None
                     else self.vectors[rows_dev]
                 )
-                self.slabs = self.slabs.at[all_cs, all_ss].set(
-                    rows_f.astype(self.slabs.dtype)
-                )
-                self.slab_sq = self.slab_sq.at[all_cs, all_ss].set(
-                    self._sq(rows_f)
-                )
+                cs_d = jnp.asarray(all_cs)
+                ss_d = jnp.asarray(all_ss)
+                with self._donate_lock:
+                    self.slabs = _set_cells(
+                        self.slabs, cs_d, ss_d, rows_f.astype(self.slabs.dtype)
+                    )
+                    self.slab_sq = _set_cells(
+                        self.slab_sq, cs_d, ss_d, self._sq(rows_f)
+                    )
             # slab_ids LAST: the id write is what makes a slot visible to
             # concurrent searches — writing it before the slab vectors
             # exposes zero-filled rows that score spuriously close
             # (search-while-insert regression, caught by
             # test_ivf_search_while_insert).
-            self.slab_ids = self.slab_ids.at[all_cs, all_ss].set(
-                ids_np[all_rows].astype(np.int32)
-            )
+            with self._donate_lock:
+                self.slab_ids = _set_cells(
+                    self.slab_ids,
+                    jnp.asarray(all_cs),
+                    jnp.asarray(all_ss),
+                    jnp.asarray(ids_np[all_rows].astype(np.int32)),
+                )
         if len(ovf_rows):
             slots = np.array(self._ovf_slots(len(ovf_rows)), np.int32)
             slots_d = _pad_dup(slots)
@@ -1399,8 +1455,14 @@ class IndexIVF:
                     if self._proj is not None
                     else self.vectors[o_dev]
                 )
-                self.ovf_vecs = self.ovf_vecs.at[slots_d].set(ov)
-            self.ovf_ids = self.ovf_ids.at[slots_d].set(o_dev)
+                with self._donate_lock:
+                    self.ovf_vecs = _set_rows(
+                        self.ovf_vecs, jnp.asarray(slots_d), ov
+                    )
+            with self._donate_lock:
+                self.ovf_ids = _set_rows(
+                    self.ovf_ids, jnp.asarray(slots_d), o_dev
+                )
             for r, j in zip(ovf_rows, slots):
                 self._loc[int(ids_np[r])] = ("o", int(j))
         for placed, pcl, psl, primary in placed_cols:
@@ -1465,16 +1527,33 @@ class IndexIVF:
                     [q_np, np.zeros((Bp - B, q_np.shape[1]), np.float32)]
                 )
             q = jnp.asarray(q_np)
-        if "cent" not in self._sq_cache:
+        # Snapshot the cache DICT once: writers invalidate by rebinding
+        # self._sq_cache = {}, so reading through self between the check
+        # and the use races (KeyError under concurrent writes). A stale
+        # local dict only means stale-but-valid arrays — same semantics
+        # as the tolerant search-while-write reads of the slab arrays.
+        cache = self._sq_cache
+        if "cent" not in cache:
             cent_p = (
                 self.centroids @ self._proj
                 if self._proj is not None
                 else self.centroids
             )
-            self._sq_cache["cent_p"] = cent_p
-            self._sq_cache["cent"] = self._sq(cent_p)
-            if not self.pq_active:
-                self._sq_cache["ovf"] = self._sq(self.ovf_vecs)
+            cache["cent_p"] = cent_p
+            cache["cent"] = self._sq(cent_p)
+        # The overflow pool GROWS between writes: pair the pool array and
+        # its norms as one capture, recomputing when the cached sq was
+        # built for a different pool shape (a mismatched pair would fail
+        # shape checking inside the query program).
+        ov = self.ovf_vecs
+        ov_ids = self.ovf_ids
+        if ov_ids.shape[0] != ov.shape[0]:  # pool grew mid-capture
+            ov, ov_ids = self.ovf_vecs, self.ovf_ids
+        if not self.pq_active:
+            ovf_sq = cache.get("ovf")
+            if ovf_sq is None or ovf_sq.shape[0] != ov.shape[0]:
+                ovf_sq = self._sq(ov)
+                cache["ovf"] = ovf_sq
         p = self._num_probes(num_probes)
         if filter_mask is not None:
             fm_np = np.asarray(filter_mask, bool)
@@ -1487,7 +1566,8 @@ class IndexIVF:
             # problem by seeding with filter members, search.go:27-51).
             exact_cap = max(p * self.slab, FILTER_EXACT_CAP)
             if int(fm_np.sum()) <= exact_cap:
-                return self._member_exact(q, k, fm_np)
+                with self._donate_lock:
+                    return self._member_exact(q, k, fm_np)
             # Broad filter: probe wider instead.
             p = min(4 * p, self.centroids.shape[0])
             fm = jnp.asarray(fm_np)
@@ -1502,6 +1582,10 @@ class IndexIVF:
         for pchunk in (8, 4, 2, 1):
             if p % pchunk == 0 and B_pad * pchunk * self.slab * self.tdim * 4 <= 2**30:
                 break
+        # Dispatch under the donate lock: grabbing array refs and calling
+        # Execute() must not interleave with a writer's donated scatter
+        # (which invalidates the old buffer objects). Device EXECUTION
+        # still overlaps — the lock covers dispatch only.
         if self.pq_active:
             from semadb_tpu.vectorstore.store import pq_query_table
 
@@ -1510,21 +1594,23 @@ class IndexIVF:
                 self.pq_config.num_subvectors, self.pq_config.num_centroids,
                 self.metric,
             )
-            return _ivf_query_pq(
-                self.centroids, self._sq_cache["cent"],
-                self.slab_codes, self.slab_ids,
-                self.ovf_codes, self.ovf_ids,
-                table, q, self.vectors, fm,
-                p, k, pchunk, self.pq_config.num_centroids, self.metric,
+            with self._donate_lock:
+                return _ivf_query_pq(
+                    self.centroids, cache["cent"],
+                    self.slab_codes, self.slab_ids,
+                    self.ovf_codes, self.ovf_ids,
+                    table, q, self.vectors, fm,
+                    p, k, pchunk, self.pq_config.num_centroids, self.metric,
+                    dedup=self.params.assign_copies > 1,
+                )
+        with self._donate_lock:
+            return _ivf_query(
+                cache["cent_p"], cache["cent"],
+                self.slabs, self.slab_sq, self.slab_ids,
+                ov, ovf_sq, ov_ids,
+                q, self.vectors, fm, self._proj, p, k, pchunk, self.metric,
                 dedup=self.params.assign_copies > 1,
             )
-        return _ivf_query(
-            self._sq_cache["cent_p"], self._sq_cache["cent"],
-            self.slabs, self.slab_sq, self.slab_ids,
-            self.ovf_vecs, self._sq_cache["ovf"], self.ovf_ids,
-            q, self.vectors, fm, self._proj, p, k, pchunk, self.metric,
-            dedup=self.params.assign_copies > 1,
-        )
 
     def _member_exact(self, q: jax.Array, k: int, fm_np: np.ndarray):
         """Exact top-k over filter members only, by gathering member rows

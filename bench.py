@@ -609,9 +609,12 @@ def _run_http(jax) -> None:
         hits = []
         t0 = time.time()
         for lo in range(0, n_q, HB):
+            # packed f32 wire vectors: one frombuffer server-side instead
+            # of 128 float boxes per query (decode_vector, models/query.py)
             qs = [
                 {"query": {"property": "emb", "vectorIVF": {
-                    "vector": ds.test[i].tolist(), "limit": 10}}, "limit": 10}
+                    "vector": np.asarray(ds.test[i], np.float32).tobytes(),
+                    "limit": 10}}, "limit": 10}
                 for i in range(lo, min(lo + HB, n_q))
             ]
             r = sess.post(

@@ -14,6 +14,20 @@ from semadb_tpu.models import constants as C
 from semadb_tpu.models.errors import ValidationError
 
 
+def decode_vector(v) -> list:
+    """Accept a query vector as a JSON/msgpack float list OR packed
+    little-endian f32 bytes (msgpack ``bin``). The packed form is the
+    fast wire encoding for batched search: 1024 x 128-d query vectors
+    decode with one ``frombuffer`` instead of 131k float boxes
+    (beyond-reference; the reference only takes float arrays,
+    models/search.go)."""
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        import numpy as _np
+
+        return _np.frombuffer(bytes(v), dtype="<f4").tolist()
+    return list(v)
+
+
 @dataclass
 class SortOption:
     """Reference: models/search.go SortOption."""
@@ -64,7 +78,7 @@ class VectorVamanaOptions:
     @classmethod
     def from_dict(cls, d: dict) -> "VectorVamanaOptions":
         return cls(
-            vector=list(d["vector"]),
+            vector=decode_vector(d["vector"]),
             operator=d.get("operator", C.OPERATOR_NEAR),
             search_size=int(d.get("searchSize", 75)),
             limit=int(d.get("limit", 10)),
@@ -100,7 +114,7 @@ class VectorFlatOptions:
     @classmethod
     def from_dict(cls, d: dict) -> "VectorFlatOptions":
         return cls(
-            vector=list(d["vector"]),
+            vector=decode_vector(d["vector"]),
             operator=d.get("operator", C.OPERATOR_NEAR),
             limit=int(d.get("limit", 10)),
             filter=Query.from_dict(d["filter"]) if d.get("filter") else None,
@@ -268,7 +282,7 @@ class VectorIVFOptions:
     @classmethod
     def from_dict(cls, d: dict) -> "VectorIVFOptions":
         return cls(
-            vector=list(d["vector"]),
+            vector=decode_vector(d["vector"]),
             operator=d.get("operator", C.OPERATOR_NEAR),
             num_probes=int(d.get("numProbes", 0)),
             limit=int(d.get("limit", 10)),
@@ -326,7 +340,7 @@ class VectorFusedOptions:
     @classmethod
     def from_dict(cls, d: dict) -> "VectorFusedOptions":
         return cls(
-            vectors=[list(v) for v in d["vectors"]],
+            vectors=[decode_vector(v) for v in d["vectors"]],
             operator=d.get("operator", C.OPERATOR_NEAR),
             weights=[float(w) for w in d["weights"]] if d.get("weights") else None,
             num_probes=int(d.get("numProbes", 0)),

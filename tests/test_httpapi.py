@@ -457,3 +457,46 @@ def test_batch_search(server):
     mres = rm.json()["results"]
     assert mres[0]["points"][0]["size"] == 3
     assert [p["size"] for p in mres[1]["points"]] == [17]
+
+
+def test_packed_vector_query(server):
+    """Query vectors may arrive as packed little-endian f32 msgpack bin;
+    results must equal the float-list encoding."""
+    import numpy as np
+
+    assert make_collection(server, "packed").status_code == 200
+    pts = [
+        {"_id": str(uuid.uuid5(uuid.NAMESPACE_URL, f"p{i}")),
+         "vector": [float(i), float(-i)], "size": i}
+        for i in range(30)
+    ]
+    r = requests.post(
+        f"{server}/v2/collections/packed/points", json={"points": pts},
+        headers=HEADERS,
+    )
+    assert r.status_code == 200, r.text
+    qv = np.array([7.0, -7.0], np.float32)
+    body = msgpack.packb({
+        "query": {"property": "vector",
+                  "vectorVamana": {"vector": qv.tobytes(), "operator": "near",
+                                    "searchSize": 36, "limit": 3}},
+        "limit": 3,
+    })
+    h = dict(HEADERS, **{"Content-Type": "application/msgpack",
+                         "Accept": "application/msgpack"})
+    rb = requests.post(
+        f"{server}/v2/collections/packed/points/search", data=body, headers=h
+    )
+    assert rb.status_code == 200, rb.text
+    got = msgpack.unpackb(rb.content, raw=False)["points"]
+    rj = requests.post(
+        f"{server}/v2/collections/packed/points/search",
+        json={"query": {"property": "vector",
+                        "vectorVamana": {"vector": [7.0, -7.0],
+                                          "operator": "near",
+                                          "searchSize": 36, "limit": 3}},
+              "limit": 3},
+        headers=HEADERS,
+    )
+    assert [p["_id"] for p in got] == [p["_id"] for p in rj.json()["points"]]
+    assert got[0]["size"] == 7

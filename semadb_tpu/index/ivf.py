@@ -138,6 +138,11 @@ TWO_LEVEL_SUPERS = int(os.environ.get("SEMADB_IVF_TWO_LEVEL_SUPERS", 512))
 # the MXU). Cost is linear in members, so the cap is an absolute count:
 # past ~256k members (≥4 blocks) widened probing wins on big corpora.
 FILTER_EXACT_CAP = int(os.environ.get("SEMADB_IVF_FILTER_EXACT_CAP", 262144))
+# Probe multiplier for filters past the exact cap (the mask discards
+# ~(1-sel) of scanned candidates, so the effective pool shrinks by the
+# selectivity; widen to compensate). 4 trades recall for QPS at 10M/10%:
+# 0.9208 @ 3.9k measured — raise toward 1/sel for recall-first serving.
+FILTER_WIDEN = int(os.environ.get("SEMADB_IVF_FILTER_WIDEN", 4))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -701,6 +706,12 @@ class IndexIVF:
         # hold this only while dispatching (device execution overlaps);
         # writers hold it per donated statement.
         self._donate_lock = threading.RLock()
+        # Serialises engine-level WRITERS against each other (the shard
+        # layer's store txns usually do this, but the engine contract is
+        # safe standalone): _fill/_loc read-modify-write and the greedy
+        # slab packing are not atomic across two concurrent writers.
+        # Searches never take this lock — read overlap is unaffected.
+        self._write_lock = threading.RLock()
         # Per-node rerank matrix grows like the other engines' capacity
         self.capacity = 128
         self.vectors = jnp.zeros((self.capacity, D), jnp.float32)
@@ -1139,6 +1150,12 @@ class IndexIVF:
         device-resident matrix costs one tunnel readback per point
         (~28 ms each — measured 28 s per 1k-point txn at 10M). For
         device-resident batches use :meth:`insert_bulk`."""
+        with self._write_lock:
+            return self._insert_update_delete_locked(changes)
+
+    def _insert_update_delete_locked(
+        self, changes: Iterable[Tuple[int, Optional[np.ndarray]]]
+    ) -> None:
         ups: list[tuple[int, np.ndarray]] = []
         removals: list = []  # loc tuples to blank
         max_id = 0
@@ -1274,6 +1291,10 @@ class IndexIVF:
         corpus + index during the refit OOMs a 16 GB chip at 1M x
         1536d); call :meth:`flush_pending` afterwards.
         """
+        with self._write_lock:
+            return self._insert_bulk_locked(ids, vecs, defer_fit)
+
+    def _insert_bulk_locked(self, ids, vecs, defer_fit: bool) -> None:
         ids_np = np.asarray(ids, np.int64)
         n = len(ids_np)
         if n == 0:
@@ -1482,9 +1503,10 @@ class IndexIVF:
         exist even if the doubling predicate doesn't fire (deletes can
         shrink the live count below MIN_FIT while placeholders linger —
         they carry no device state, so a search would miss them)."""
-        if self._should_refit() or self._has_placeholders():
-            self._refit()
-            self._sq_cache = {}
+        with self._write_lock:
+            if self._should_refit() or self._has_placeholders():
+                self._refit()
+                self._sq_cache = {}
 
     def sync(self) -> None:
         """Block until queued device mutations have executed (tunnel-safe
@@ -1569,7 +1591,7 @@ class IndexIVF:
                 with self._donate_lock:
                     return self._member_exact(q, k, fm_np)
             # Broad filter: probe wider instead.
-            p = min(4 * p, self.centroids.shape[0])
+            p = min(FILTER_WIDEN * p, self.centroids.shape[0])
             fm = jnp.asarray(fm_np)
             if fm.shape[0] < self.capacity:
                 fm = jnp.pad(fm, (0, self.capacity - fm.shape[0]))

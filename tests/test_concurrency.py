@@ -320,3 +320,57 @@ def test_parallel_subquery_fanout_deterministic():
     res = shard.search_points(req)
     for r in res:
         assert 2 < r.point.as_map()["n"] < 10
+
+
+def test_ivf_concurrent_writers_donation_safe():
+    """TWO writer threads plus searchers on one IVF engine: donated
+    scatters (read->donate->rebind under the per-index lock) must never
+    hand a deleted buffer to a concurrent dispatch, and every inserted
+    point must be findable afterwards."""
+    from semadb_tpu.index.ivf import IndexIVF
+    from semadb_tpu.models.schema import VectorIVFParams
+
+    idx = IndexIVF(
+        VectorIVFParams(vector_size=8, distance_metric="euclidean",
+                        assign_copies=2)
+    )
+    base = RNG.standard_normal((800, 8)).astype("float32")
+    idx.insert_update_delete(zip(range(2, 802), base))
+    assert idx._n_at_fit > 0
+    errors = []
+
+    def writer(start):
+        try:
+            for r in range(4):
+                vs = RNG.standard_normal((100, 8)).astype("float32")
+                idx.insert_update_delete(
+                    zip(range(start + r * 100, start + (r + 1) * 100), vs)
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def searcher():
+        try:
+            for _ in range(25):
+                d, i = idx.search_batch(base[:8], k=5)
+                assert i.shape == (8, 5)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=(20_000,)),
+        threading.Thread(target=writer, args=(40_000,)),
+        threading.Thread(target=searcher),
+        threading.Thread(target=searcher),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, f"thread errors: {errors[:3]}"
+    assert len(idx) == 800 + 2 * 400
+    # every concurrent insert is findable by exact self-search
+    for start in (20_000, 40_000):
+        nid = start + 137
+        loc = idx._loc.get(nid)
+        assert loc is not None, f"point {nid} lost"

@@ -1698,6 +1698,13 @@ class IndexIVF:
 
     # -- persistence ----------------------------------------------------------
     def to_arrays(self) -> dict:
+        # Exclude writers for the whole snapshot: a donated scatter would
+        # invalidate an array object between our ref-grab and readback,
+        # and a half-applied txn would snapshot torn state.
+        with self._write_lock:
+            return self._to_arrays_locked()
+
+    def _to_arrays_locked(self) -> dict:
         if self._has_placeholders():
             # Deferred-fit placeholders have no device state — a snapshot
             # taken now would silently drop those points. Materialise them.

@@ -182,3 +182,26 @@ def test_load_hdf5_annbenchmarks_format(tmp_path):
 
     out = run(ds, k=10, batch=32, engine="ivf")
     assert out["recall@10"] > 0.9, out
+
+
+def test_ann_benchmarks_adapter():
+    """BaseANN-protocol adapter: fit / set_query_arguments / query /
+    batch_query return train indices with self-hit at rank 0, for both
+    engines and both ann-benchmarks metric names."""
+    import numpy as np
+
+    from semadb_tpu.tools.ann_benchmarks_adapter import SemaDBTPU
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((800, 16)).astype(np.float32)
+    for metric, engine, op in (("euclidean", "ivf", 8), ("angular", "vamana", 36)):
+        a = SemaDBTPU(metric, {"engine": engine, "searchSize": 36})
+        a.fit(X)
+        a.set_query_arguments(op)
+        got = a.query(X[7], 5)
+        assert got[0] == 7, (metric, engine, got)
+        a.batch_query(X[:16], 5)
+        res = a.get_batch_results()
+        assert res.shape == (16, 5)
+        assert list(res[:, 0][:4]) == [0, 1, 2, 3]
+        a.done()

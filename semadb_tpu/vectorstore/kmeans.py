@@ -619,14 +619,23 @@ def kmeans_assign_two_level(
         # at 10M rows through the tunnel, and the groupings below only
         # need per-column bincount maxima (one tiny readback).
         sup_t = kmeans_assign(data, sup_cents, n_sup, row_ids=row_ids)
-        maxms = np.asarray(
-            jnp.max(
-                jax.vmap(
-                    lambda c: jnp.zeros(Cs, jnp.int32).at[c].add(1)
-                )(sup_t.T),
-                axis=1,
+        if n <= 2048:
+            # Small (incremental-write) batches: use the worst case —
+            # every row in one super — instead of reading the bincount
+            # back. The padded [G, maxm] work is cheap at this n, and
+            # skipping the readback keeps the whole write txn a pure
+            # async dispatch chain (the readback drains the device queue
+            # through the tunnel, ~0.1 s per txn).
+            maxms = np.full(n_sup, n, np.int32)
+        else:
+            maxms = np.asarray(
+                jnp.max(
+                    jax.vmap(
+                        lambda c: jnp.zeros(Cs, jnp.int32).at[c].add(1)
+                    )(sup_t.T),
+                    axis=1,
+                )
             )
-        )
 
     # Merge columns INCREMENTALLY (donated running buffers): collecting
     # all n_sup [n, t_in] column results before one final top-k holds

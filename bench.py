@@ -440,7 +440,12 @@ def _run_filtered(jax) -> None:
     test_np = np.asarray(ds.test[:n_gt])
     members = {}
     gts = {}
-    for sel in (0.10, 0.005):
+    sels = tuple(
+        float(x)
+        for x in os.environ.get("BENCH_FILTER_SELS", "0.10,0.005").split(",")
+        if x.strip()
+    )
+    for sel in sels:
         member = rng.random(N) < sel  # over train rows
         members[sel] = member
         gt = np.empty((n_gt, 10), np.int64)
@@ -468,7 +473,7 @@ def _run_filtered(jax) -> None:
     print(f"# filtered build done {build_s:.1f}s", file=sys.stderr, flush=True)
 
     rows = {}
-    for sel in (0.10, 0.005):
+    for sel in sels:
         member = members[sel]
         gt = gts[sel]
         mask = np.zeros(idx.capacity, bool)
@@ -503,7 +508,7 @@ def _run_filtered(jax) -> None:
         print(f"# filtered sel={sel}: {rows[f'sel_{sel}']}",
               file=sys.stderr, flush=True)
 
-    main_row = rows["sel_0.1"]
+    main_row = rows.get("sel_0.1") or rows[f"sel_{sels[0]}"]
     print(
         json.dumps(
             {
@@ -512,7 +517,7 @@ def _run_filtered(jax) -> None:
                 "unit": "qps",
                 "vs_baseline": round(main_row["qps"] / BASELINE_QPS, 2),
                 "recall@10": main_row["recall@10"],
-                "selective": rows["sel_0.005"],
+                "selective": rows.get("sel_0.005"),
                 "build_s": round(build_s, 1),
                 "n": N,
                 "query_batch": QUERY_BATCH,

@@ -58,6 +58,11 @@ PASS2_CHUNK = int(_os.environ.get("SEMADB_VAMANA_PASS2_CHUNK", 4096))
 # tunnel); a narrower pass-1 list cheapens the scaffold pass.
 PASS1_L = int(_os.environ.get("SEMADB_VAMANA_PASS1_L", 0))
 PASS2_L = int(_os.environ.get("SEMADB_VAMANA_PASS2_L", 0))
+# Bulk-build strategy: "search" = the beam-search two-pass schedule above;
+# "pool" = MXU-native per-cluster exact-kNN candidate pools (fastbuild.py)
+# — no graph walks during construction at all. Applies to fresh graphs
+# only; incremental writes always use the beam-search path.
+BUILD_MODE = _os.environ.get("SEMADB_VAMANA_BUILD", "search")
 
 
 class IndexVamana:
@@ -215,7 +220,9 @@ class IndexVamana:
             if self.store.fitted:
                 self.store.encode_rows(self.state.vectors, ids)
 
-    def insert_bulk(self, ids, vecs, defer_fit: bool = False) -> None:
+    def insert_bulk(
+        self, ids, vecs, defer_fit: bool = False, build_mode: str | None = None
+    ) -> None:
         """Array bulk build with the two-pass alpha schedule.
 
         Pass 1: incremental doubling-round insertion at alpha=1.0 — the
@@ -232,6 +239,10 @@ class IndexVamana:
         run at the end either way — call :meth:`flush_pending` freely).
         Batches containing existing ids fall back to
         :meth:`insert_update_delete`.
+
+        ``build_mode`` overrides SEMADB_VAMANA_BUILD for this call:
+        "search" = beam-search two-pass schedule; "pool" = the MXU-native
+        per-cluster kNN pool build (fastbuild.py) for fresh graphs.
         """
         import jax
 
@@ -258,6 +269,25 @@ class IndexVamana:
 
         l1 = (PASS1_L if two_pass else 0) or self.params.search_size
         l2 = PASS2_L or self.params.search_size
+
+        # MXU-native pool build: fresh graphs only (pools are computed over
+        # the batch; a non-empty graph needs the beam searches to see the
+        # existing points), metrics with a dense contraction only.
+        if (
+            (build_mode or BUILD_MODE) == "pool"
+            and len(self) == 0
+            and n >= TWO_PASS_MIN
+            and self.config.metric in ("euclidean", "cosine", "dot")
+        ):
+            from semadb_tpu.index.vamana import fastbuild
+
+            fastbuild.bulk_build_pools(self, ids32, vec_np, l2)
+            did_fit = self.store.maybe_fit(self.state.vectors, self.state.exists)
+            if self.store.fitted and not did_fit:
+                self.store.encode_rows(self.state.vectors, ids32)
+            self._entry_seeds = None
+            return
+
         with _logger().timed("vamana bulk pass1", count=n):
             live = max(len(self), 32)
             i = 0
@@ -294,7 +324,12 @@ class IndexVamana:
         and executes in ~460 s)."""
         np.asarray(self.state.adjacency[:1, :1])
 
-    def refine(self, passes: int = 1, batch: int = PASS2_CHUNK) -> None:
+    def refine(
+        self,
+        passes: int = 1,
+        batch: int = PASS2_CHUNK,
+        search_size: int = 0,
+    ) -> None:
         """Re-run the insert procedure (greedy search → robustPrune →
         backedges) for every live node on the current graph, with each
         node's CURRENT out-edges kept in its candidate pool.
@@ -318,7 +353,8 @@ class IndexVamana:
             for i in range(0, len(ids), batch):
                 self.state = insert_batch(
                     self.state, ids[i : i + batch], vecs[i : i + batch],
-                    self.config, self.params.search_size, keep_current=True,
+                    self.config, search_size or self.params.search_size,
+                    keep_current=True,
                 )
         self._entry_seeds = None
 

@@ -53,6 +53,11 @@ OVERFLOW_CHUNK = 1024
 import os as _os
 
 FWD_SLACK = int(_os.environ.get("SEMADB_VAMANA_FWD_SLACK", 0))
+# Beam expand-width W for BUILD-time searches. W=8 fills the chip at the
+# incremental path's small batches; the measured query-path optimum at
+# batch >= 4096 is W=2 (hop cost scales with W once parallelism
+# saturates) — bulk builds at 4096+ chunks set this down.
+BUILD_W = int(_os.environ.get("SEMADB_VAMANA_BUILD_W", 8))
 DELETE_CHUNK = 256
 
 # Build counters for the bench/profiling harness (the reference logs
@@ -151,7 +156,8 @@ def robust_prune_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "search_size", "intra_k", "keep_current")
+    jax.jit,
+    static_argnames=("config", "search_size", "intra_k", "keep_current", "expand_width"),
 )
 def _insert_core(
     state: GraphState,
@@ -163,6 +169,9 @@ def _insert_core(
     intra_k: int,
     keep_current: bool = False,
     alpha=None,  # traced f32 override for the prune
+    pool_d=None,  # optional f32[B, P] precomputed candidate pool distances
+    pool_i=None,  # optional i32[B, P] precomputed candidate pool ids
+    expand_width: int = 8,  # beam W during build searches
 ):
     """Search + prune new rows + phase-A backedge scatter.
 
@@ -172,6 +181,14 @@ def _insert_core(
     edges the incremental build kept — measured 0.9962 → 0.9911 recall at
     1M (the refuted naive refine); keeping them in the pool lets alpha
     decide, which is the whole point of the two-pass schedule.
+
+    ``pool_d``/``pool_i``: when given, SKIP the beam search and use this
+    precomputed candidate pool instead (NIL-padded, any order). This is
+    the MXU-native bulk-build path (fastbuild.py): pools come from
+    per-cluster exact kNN matmuls plus random long-range candidates, so
+    graph construction never walks the graph at all. The alpha prune
+    handles duplicate pool entries natively (a duplicate has pairwise
+    distance 0 to its twin and is always dominated).
 
     Returns (state', flat_targets i32[E], flat_sources i32[E], inbound_rank
     i32[E]) for the host-driven overflow phase.
@@ -191,9 +208,20 @@ def _insert_core(
     exists = state.exists.at[safe_ids].set(valid | state.exists[safe_ids])
     state = GraphState(vectors=vectors, adjacency=state.adjacency, exists=exists)
 
-    # 2. Batched greedy search on the pre-batch graph → visited candidate sets
-    res = beam_search(state, new_vecs, config, search_size)
-    cand_d, cand_i = res.visited_dists, res.visited_ids  # [B, V] sorted
+    # 2. Candidate sets: batched greedy search on the pre-batch graph, or
+    #    the caller's precomputed pool (fast bulk build).
+    if pool_i is not None:
+        pi = jnp.where(valid[:, None], pool_i, NIL)
+        pd_ = jnp.where(pi != NIL, pool_d, INF)
+        from semadb_tpu.ops.topk import dedup_by_id as _dedup
+
+        cand_d, cand_i = _dedup(pd_, pi)
+        cand_d, cand_i = sort_by_distance(cand_d, cand_i)
+    else:
+        res = beam_search(
+            state, new_vecs, config, search_size, expand_width=expand_width
+        )
+        cand_d, cand_i = res.visited_dists, res.visited_ids  # [B, V] sorted
 
     # 3. Intra-batch candidates: the sequential reference lets later inserts
     #    see earlier ones; in a parallel batch we approximate that by adding
@@ -371,7 +399,9 @@ def _overflow_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "search_size", "intra_k", "chunk", "keep_current"),
+    static_argnames=(
+        "config", "search_size", "intra_k", "chunk", "keep_current", "expand_width",
+    ),
 )
 def _insert_step(
     state: GraphState,
@@ -384,6 +414,9 @@ def _insert_step(
     chunk: int,
     keep_current: bool = False,
     alpha=None,  # traced f32 override for the prune (two-pass schedule)
+    pool_d=None,
+    pool_i=None,
+    expand_width: int = 8,
 ):
     """Full insert step: search + prune + backedges + ALL overflow rounds.
 
@@ -394,7 +427,7 @@ def _insert_step(
     """
     state, targets, sources, pending = _insert_core(
         state, new_ids, new_vecs, valid, config, search_size, intra_k,
-        keep_current, alpha,
+        keep_current, alpha, pool_d, pool_i, expand_width,
     )
     k_in = config.degree_bound
 
@@ -441,6 +474,9 @@ def insert_batch(
     intra_k: int = 8,
     keep_current: bool = False,
     alpha: float | None = None,
+    pool_d: np.ndarray | None = None,
+    pool_i: np.ndarray | None = None,
+    expand_width: int = 0,
 ) -> GraphState:
     """Insert a batch of points (host orchestration of jitted kernels).
 
@@ -448,8 +484,10 @@ def insert_batch(
     padded to a power-of-two size so kernel shapes (and hence XLA
     compilations) are reused across calls. ``alpha`` overrides the prune
     alpha as a traced scalar (no recompile across the two-pass schedule).
+    ``pool_d``/``pool_i`` skip the beam search (see ``_insert_core``).
     """
     search_size = search_size or config.search_size
+    expand_width = expand_width or BUILD_W
     B = int(new_ids.shape[0])
     if B == 0:
         return state
@@ -460,6 +498,18 @@ def insert_batch(
     vecs[:B] = new_vecs
     valid = np.zeros(Bp, bool)
     valid[:B] = True
+    pd = pi = None
+    if pool_i is not None:
+        # Pools are usually device-resident slices of one big [N, P] array
+        # (fastbuild) — pad on device, never round-trip through the host.
+        pd = jnp.pad(
+            jnp.asarray(pool_d, jnp.float32), ((0, Bp - B), (0, 0)),
+            constant_values=np.inf,
+        )
+        pi = jnp.pad(
+            jnp.asarray(pool_i, jnp.int32), ((0, Bp - B), (0, 0)),
+            constant_values=NIL,
+        )
     chunk = min(OVERFLOW_CHUNK, state.capacity)
     state = _insert_step(
         state,
@@ -472,6 +522,9 @@ def insert_batch(
         chunk,
         keep_current,
         jnp.float32(config.alpha if alpha is None else alpha),
+        pd,
+        pi,
+        expand_width,
     )
     BUILD_TIMERS["batches"] += 1
     return state

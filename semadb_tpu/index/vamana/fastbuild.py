@@ -1,0 +1,353 @@
+"""MXU-native Vamana bulk construction: per-cluster exact-kNN candidate pools.
+
+The DiskANN-style two-pass build (insert.go:16-68: greedy-search every
+point, robust-prune its visited set) spends essentially all of its time in
+the beam searches — measured ~460 s of device execution for 1M x 128d on
+one v5e chip, because each hop is a random-row HBM gather (the measured
+~45 GB/s wall, BENCHMARKS.md "negative results").
+
+This module replaces the searches with dense linear algebra the MXU is
+built for:
+
+  1. k-means the batch into C ≈ N/256 clusters (vectorstore.kmeans
+     ``kmeans_fit_large`` — blocked, single dispatch).
+  2. Assign every point to its T nearest clusters (``kmeans_assign``).
+  3. For each cluster, compute the exact pairwise distance matrix among
+     its members — one [m, m] matmul per cluster, batched G clusters at a
+     time — and keep each member's K nearest: a high-recall local kNN
+     pool from pure matmuls.
+  4. Append ``n_rand`` random far candidates per point. The alpha prune
+     keeps a far candidate only when no kept edge dominates it, which is
+     exactly how the incremental build's long-range edges survive pruning
+     — this restores the navigability that a pure kNN graph lacks.
+  5. Run the normal two-pass alpha schedule (pass 1 α=1.0, pass 2 at the
+     configured α with candidate pool = pool ∪ current row) through
+     ``build.insert_batch(pool_d=…, pool_i=…)`` — prune, conflict-free
+     backedge scatter and overflow re-prune are shared with the
+     incremental path, so every graph invariant (degree bound, no
+     self/dangling edges) holds by the same code.
+  6. Point the start node at R spread cluster representatives and rescue
+     any unreachable stragglers (prune.go:115-151 analog) so BFS
+     connectivity from START_ID holds like in the reference.
+
+Reference parity: this replaces vamana.go:190-253's parallel insert
+workers for the initial bulk load only; incremental writes keep the
+beam-search path (build.py). Quality is validated against the same recall
+harness as the two-pass build (tools/buildlab.py, BENCHMARKS.md).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semadb_tpu.index.vamana.graph import NIL, START_ID, GraphConfig, GraphState
+from semadb_tpu.ops.topk import INF
+
+# Pool-shape knobs (env-tunable for the build lab; defaults are the
+# measured sweet spot at 1M x 128d — see BENCHMARKS.md fast-build rows).
+KNN_K = int(os.environ.get("SEMADB_VAMANA_FB_K", 64))  # kNN kept per cluster
+ASSIGN_T = int(os.environ.get("SEMADB_VAMANA_FB_T", 2))  # clusters per point
+N_RAND = int(os.environ.get("SEMADB_VAMANA_FB_RAND", 16))  # far candidates
+MEMBER_TARGET = int(os.environ.get("SEMADB_VAMANA_FB_MEMBERS", 256))
+KM_ITERS = int(os.environ.get("SEMADB_VAMANA_FB_KM_ITERS", 8))
+# Per-group [G, m, m] distance tensor budget (bytes)
+GROUP_BYTES = 1 << 28
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k"), donate_argnums=(0, 1))
+def _pool_group(
+    pool_d: jax.Array,  # f32[N, P] (donated)
+    pool_i: jax.Array,  # i32[N, P] (donated) — batch indices, -1 padded
+    member: jax.Array,  # i32[G, m] batch indices, -1 padded
+    slot: jax.Array,  # i32[G, m] assignment slot (0..T-1)
+    vecs: jax.Array,  # f32[N, D]
+    metric: str,
+    k: int,
+):
+    """Exact kNN within each of G clusters; scatter each member's K nearest
+    into its pool columns [slot*K, slot*K + K)."""
+    n = vecs.shape[0]
+    G, m = member.shape
+    ok = member != NIL
+    mv = vecs[jnp.clip(member, 0, n - 1)]  # [G, m, D]
+    cross = jnp.einsum(
+        "gmd,gnd->gmn", mv, mv, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "euclidean":
+        sq = jnp.sum(mv * mv, axis=-1)
+        pd = jnp.maximum(sq[:, :, None] - 2.0 * cross + sq[:, None, :], 0.0)
+    elif metric == "cosine":
+        pd = 1.0 - cross
+    else:  # dot
+        pd = -cross
+    eye = jnp.eye(m, dtype=bool)[None]
+    pd = jnp.where(eye | ~ok[:, :, None] | ~ok[:, None, :], INF, pd)
+    nd, nj = jax.lax.top_k(-pd, k)  # [G, m, K] nearest member positions
+    nd = -nd
+    cand = jnp.take_along_axis(
+        jnp.broadcast_to(member[:, None, :], (G, m, m)), nj, axis=-1
+    )  # [G, m, K] batch indices
+    cand = jnp.where(jnp.isfinite(nd), cand, NIL)
+
+    rows = jnp.where(ok, member, n).reshape(-1)  # invalid rows → dropped
+    cols = (slot.reshape(-1) * k)[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    pool_d = pool_d.at[rows[:, None], cols].set(nd.reshape(-1, k), mode="drop")
+    pool_i = pool_i.at[rows[:, None], cols].set(cand.reshape(-1, k), mode="drop")
+    return pool_d, pool_i
+
+
+@functools.partial(jax.jit, static_argnames=("metric",), donate_argnums=(0, 1))
+def _pool_rand(
+    pool_d: jax.Array,  # f32[N, P] (donated)
+    pool_i: jax.Array,  # i32[N, P] (donated)
+    vecs: jax.Array,  # f32[N, D]
+    seed: jax.Array,
+    metric: str,
+):
+    """Fill the last N_RAND pool columns with random far candidates."""
+    from semadb_tpu.ops.distance import gather_distance
+
+    n = vecs.shape[0]
+    nr = N_RAND
+    key = jax.random.PRNGKey(seed)
+    rand = jax.random.randint(key, (n, nr), 0, n, dtype=jnp.int32)
+    rd = gather_distance(vecs, rand, vecs, metric)  # [N, nr]
+    self_hit = rand == jnp.arange(n, dtype=jnp.int32)[:, None]
+    rd = jnp.where(self_hit, INF, rd)
+    rand = jnp.where(self_hit, NIL, rand)
+    P = pool_i.shape[1]
+    cols = jnp.arange(P - nr, P)
+    pool_d = pool_d.at[:, cols].set(rd)
+    pool_i = pool_i.at[:, cols].set(rand)
+    return pool_d, pool_i
+
+
+def build_pools(
+    vecs: jax.Array,  # f32[N, D] device-resident batch vectors
+    metric: str,
+    seed: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """→ (pool_d f32[N, P], pool_i i32[N, P]) of BATCH indices, NIL-padded.
+
+    P = ASSIGN_T·KNN_K + N_RAND. Runs entirely on device except the member
+    grouping (one [N, T] readback + numpy segment packing).
+    """
+    from semadb_tpu.vectorstore.kmeans import kmeans_assign, kmeans_fit_large
+
+    n, d = vecs.shape
+    T, K = ASSIGN_T, KNN_K
+    P = T * K + N_RAND
+    pool_d = jnp.full((n, P), INF, jnp.float32)
+    pool_i = jnp.full((n, P), NIL, jnp.int32)
+
+    if n <= 4 * MEMBER_TARGET:
+        # Tiny batch: one cluster holding everything (single [n, n] matmul)
+        member = jnp.arange(n, dtype=jnp.int32)[None, :]
+        slot = jnp.zeros((1, n), jnp.int32)
+        pool_d, pool_i = _pool_group(
+            pool_d, pool_i, member, slot, vecs, metric, min(K, n - 1)
+        )
+        pool_d, pool_i = _pool_rand(
+            pool_d, pool_i, vecs, jnp.asarray(seed, jnp.int32), metric
+        )
+        return pool_d, pool_i
+
+    C = max(16, n // MEMBER_TARGET)
+    cents, _ = kmeans_fit_large(vecs, C, seed=seed, iters=KM_ITERS)
+    asn = np.asarray(kmeans_assign(vecs, cents, t=T))  # [N, T] host
+
+    # Host segment packing: entries (cluster, point, slot) grouped by cluster
+    flat_c = asn.reshape(-1).astype(np.int64)  # entry order: point-major
+    flat_p = np.repeat(np.arange(n, dtype=np.int32), T)
+    flat_t = np.tile(np.arange(T, dtype=np.int32), n)
+    order = np.argsort(flat_c, kind="stable")
+    counts = np.bincount(flat_c, minlength=C)
+    # Cap members per cluster: heavy-tail clusters lose candidates past the
+    # cap (their points keep the other assignment's pool + random edges).
+    m_max = _round_up(min(int(counts.max()), 4 * MEMBER_TARGET * T), 128)
+    starts = np.zeros(C + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    pos = np.arange(n * T, dtype=np.int64) - starts[flat_c[order]]
+    keep = pos < m_max
+    member = np.full((C, m_max), NIL, np.int32)
+    slot = np.zeros((C, m_max), np.int32)
+    member[flat_c[order][keep], pos[keep]] = flat_p[order][keep]
+    slot[flat_c[order][keep], pos[keep]] = flat_t[order][keep]
+
+    G = max(8, min(C, GROUP_BYTES // max(m_max * m_max * 4, 1)))
+    Cp = _round_up(C, G)
+    if Cp != C:
+        member = np.concatenate(
+            [member, np.full((Cp - C, m_max), NIL, np.int32)]
+        )
+        slot = np.concatenate([slot, np.zeros((Cp - C, m_max), np.int32)])
+    for g0 in range(0, Cp, G):
+        pool_d, pool_i = _pool_group(
+            pool_d, pool_i,
+            jnp.asarray(member[g0 : g0 + G]),
+            jnp.asarray(slot[g0 : g0 + G]),
+            vecs, metric, K,
+        )
+    pool_d, pool_i = _pool_rand(
+        pool_d, pool_i, vecs, jnp.asarray(seed, jnp.int32), metric
+    )
+    return pool_d, pool_i
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "e1", "e2"))
+def _expand_pool(
+    state: GraphState,
+    ids: jax.Array,  # i32[B] chunk node ids
+    vecs: jax.Array,  # f32[B, D] chunk vectors
+    pool_d: jax.Array,  # f32[B, P]
+    pool_i: jax.Array,  # i32[B, P]
+    metric: str,
+    e1: int = 16,
+    e2: int = 16,
+):
+    """One NN-descent round: merge each node's 2-hop neighbourhood (first
+    ``e1`` edges × their first ``e2`` edges, which after pass 1 include
+    backedges) into its candidate pool, keep the best P.
+
+    This is what the beam search contributes beyond the cluster pools —
+    candidates reached THROUGH the evolving graph — at gather cost of one
+    beam hop per chunk instead of a whole walk. Duplicates are removed by
+    the (distance, id) 2-key sort + adjacent-dedup (search._merge_sorted:
+    duplicate ids carry bit-identical distances)."""
+    from semadb_tpu.index.vamana.search import _merge_sorted
+    from semadb_tpu.ops.distance import gather_distance
+
+    cap = state.capacity
+    B, P = pool_i.shape
+    own = state.adjacency[jnp.clip(ids, 0, cap - 1)][:, :e1]  # [B, e1]
+    own_ok = own != NIL
+    nb2 = state.adjacency[jnp.clip(own, 0, cap - 1)][:, :, :e2]  # [B, e1, e2]
+    nb2 = nb2.reshape(B, e1 * e2)
+    ok = (nb2 != NIL) & jnp.repeat(own_ok, e2, axis=-1)
+    ok &= nb2 != ids[:, None]
+    d2 = gather_distance(state.vectors, jnp.clip(nb2, 0, cap - 1), vecs, metric)
+    d2 = jnp.where(ok, d2, INF)
+    ni = jnp.where(ok, nb2, NIL)
+    md, mi, _ = _merge_sorted(
+        pool_d, pool_i, jnp.zeros_like(pool_i, dtype=bool), d2, ni, P
+    )
+    return md, mi
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _adopt_vectors(
+    state: GraphState, ids: jax.Array, vecs: jax.Array
+) -> GraphState:
+    """Write every batch vector + existence bit up front: pool candidates
+    reference vectors across chunks, so the prune's gathers need them all
+    resident before the first chunk applies."""
+    vectors = state.vectors.at[ids].set(vecs)
+    exists = state.exists.at[ids].set(True)
+    return GraphState(vectors=vectors, adjacency=state.adjacency, exists=exists)
+
+
+def _connect_start(
+    state: GraphState,
+    ids: np.ndarray,
+    config: GraphConfig,
+) -> GraphState:
+    """Point START_ID at R evenly-spread batch points (vamana.go:93-120's
+    random-unit start vector gains edges organically from backedges during
+    the incremental build; the pool build must install them explicitly)."""
+    R = config.degree_bound
+    sel = ids[np.linspace(0, len(ids) - 1, min(R, len(ids))).astype(int)]
+    row = np.full(R, NIL, np.int32)
+    row[: len(sel)] = np.unique(sel)[: len(sel)]
+    adjacency = state.adjacency.at[START_ID].set(jnp.asarray(row))
+    return GraphState(
+        vectors=state.vectors, adjacency=adjacency, exists=state.exists
+    )
+
+
+def bulk_build_pools(
+    index,  # IndexVamana (fresh: no live user points)
+    ids32: np.ndarray,
+    vec_np: np.ndarray,
+    l2: int,
+) -> None:
+    """Full fast bulk build on a fresh graph. Mutates ``index.state``."""
+    from semadb_tpu.index.vamana.build import _logger, insert_batch
+
+    config: GraphConfig = index.config
+    n = len(ids32)
+    chunk = int(os.environ.get("SEMADB_VAMANA_FB_CHUNK", 8192))
+
+    with _logger().timed("vamana fastbuild pools", count=n):
+        vecs_dev = jnp.asarray(vec_np)
+        index.state = _adopt_vectors(
+            index.state, jnp.asarray(ids32), vecs_dev
+        )
+        pd_b, pi_b = build_pools(vecs_dev, config.metric)
+        # Map batch indices → node ids
+        ids_dev = jnp.asarray(ids32)
+        pi_b = jnp.where(pi_b != NIL, ids_dev[jnp.clip(pi_b, 0, n - 1)], NIL)
+
+    # Number of pass-2 rounds that expand pools through the current graph
+    # (0 = one pass-2 round from the raw cluster pools, no expansion).
+    n_expand = int(os.environ.get("SEMADB_VAMANA_FB_EXPAND", 1))
+    passes = [(1.0, "pass1", False)] + (
+        [(config.alpha, f"pass2.{e}", True) for e in range(n_expand)]
+        if n_expand
+        else [(config.alpha, "pass2", False)]
+    )
+    for alpha, tag, expand in passes:
+        with _logger().timed(f"vamana fastbuild {tag}", count=n):
+            for i in range(0, n, chunk):
+                pd_c = pd_b[i : i + chunk]
+                pi_c = pi_b[i : i + chunk]
+                if expand:
+                    # 2-hop pool expansion against the CURRENT graph (with
+                    # pass-1 backedges) — the NN-descent round that stands
+                    # in for search-through-the-graph candidates.
+                    pd_c, pi_c = _expand_pool(
+                        index.state,
+                        jnp.asarray(ids32[i : i + chunk]),
+                        jnp.asarray(vec_np[i : i + chunk]),
+                        pd_c, pi_c, config.metric,
+                    )
+                index.state = insert_batch(
+                    index.state,
+                    ids32[i : i + chunk],
+                    vec_np[i : i + chunk],
+                    config,
+                    l2,
+                    intra_k=0,
+                    keep_current=True,
+                    alpha=alpha,
+                    pool_d=pd_c,
+                    pool_i=pi_c,
+                )
+    index.state = _connect_start(index.state, ids32, config)
+
+    # Optional beam-search polish (IndexVamana.refine: keep_current pass
+    # at the configured alpha) — the experiment knob separating pool
+    # quality from navigation quality.
+    n_refine = int(os.environ.get("SEMADB_VAMANA_FB_REFINE", 0))
+    if n_refine:
+        refine_l = int(os.environ.get("SEMADB_VAMANA_FB_REFINE_L", 0))
+        with _logger().timed("vamana fastbuild refine", count=n):
+            index.refine(passes=n_refine, search_size=refine_l)
+
+    # Straggler rescue (prune.go:115-151 analog): attach any node BFS
+    # cannot reach from the start to a spread representative set.
+    from semadb_tpu.index.vamana.build import _attach_representatives
+    from semadb_tpu.index.vamana.build import reachable_mask
+
+    unreach = index.state.exists & ~reachable_mask(index.state)
+    if bool(jnp.any(unreach)):  # one scalar readback per build
+        index.state = _attach_representatives(index.state, unreach, config)

@@ -341,3 +341,57 @@ def test_insert_bulk_two_pass_invariants_and_recall():
     idx2.insert_update_delete([(int(ids[0]), None)])
     _, i_ = idx2.search_batch(ds.train[:1], 1, search_size=36)
     assert i_[0][0] != ids[0]
+
+
+def test_insert_bulk_pool_build_invariants_and_recall():
+    """The MXU-native pool build (fastbuild.py: per-cluster exact-kNN
+    candidate pools + random long-range candidates, no beam searches)
+    must hold every graph invariant and land within noise of the
+    search-based two-pass build's recall (20k CPU A/B measured 0.9990
+    vs 0.9996; 1M TPU rows in BENCHMARKS.md)."""
+    import numpy as np
+
+    from semadb_tpu.index.vamana import IndexVamana
+    from semadb_tpu.models.schema import VectorVamanaParams
+    from semadb_tpu.tools.datasets import embedding_like
+
+    n = 6000
+    ds = embedding_like(n, 32, 64, latent=16, seed=9, spread=0.5)
+    ids = np.arange(2, n + 2, dtype=np.int32)
+    p = VectorVamanaParams(
+        vector_size=32, distance_metric="euclidean",
+        search_size=75, degree_bound=32, alpha=1.2,
+    )
+    dd = (
+        (ds.test[:, None, :].astype(np.float64) - ds.train[None].astype(np.float64))
+        ** 2
+    ).sum(-1)
+    gt = np.argsort(dd, 1)[:, :10] + 2
+
+    idx = IndexVamana(p)
+    idx.insert_bulk(ids, ds.train, build_mode="pool")
+    _, i_ = idx.search_batch(ds.test, 10, search_size=75)
+    r = np.mean([len(set(i_[b]) & set(gt[b])) / 10 for b in range(64)])
+    assert r >= 0.98, f"pool build recall too low: {r}"
+
+    check_connectivity(idx)
+    adj = np.asarray(idx.state.adjacency)
+    ex = np.asarray(idx.state.exists)
+    counts = (adj[ids] != NIL).sum(-1)
+    assert counts.max() <= idx.config.degree_bound
+    live_edges = adj[ids]
+    ok = (live_edges == NIL) | ex[np.clip(live_edges, 0, len(ex) - 1)]
+    assert ok.all(), "edge to non-existent node after pool build"
+    for row, nid in zip(live_edges[:200], ids[:200]):
+        e = row[row != NIL]
+        assert nid not in e
+        assert len(set(e.tolist())) == len(e)
+    # Incremental CRUD still works on the pool-built graph (delete + search)
+    idx.insert_update_delete([(int(ids[0]), None)])
+    _, i_ = idx.search_batch(ds.train[:1], 1, search_size=36)
+    assert i_[0][0] != ids[0]
+    # Fresh inserts go through the beam path and stay findable
+    nv = ds.train[:1] + 0.01
+    idx.insert_update_delete([(n + 10, nv[0])])
+    _, i_ = idx.search_batch(nv, 1, search_size=36)
+    assert i_[0][0] == n + 10

@@ -22,6 +22,7 @@ from semadb_tpu.models import constants as C
 from semadb_tpu.models.point import SearchResult
 from semadb_tpu.models.query import TextOptions
 from semadb_tpu.store.diskstore import Bucket
+from semadb_tpu.utils.itemcache import Codec, ItemCache
 
 # Lucene/bleve classic English stop set (the "standard" analyser's filter)
 STOP_WORDS = frozenset(
@@ -67,18 +68,53 @@ def _doc_key(doc_id: int) -> bytes:
     return _DOC_PREFIX + struct.pack("<Q", doc_id)
 
 
+def _postings_codec() -> "Codec[str, Set[int]]":
+    """t<term>s → sorted id list; empty set deletes the key (text.go
+    setCacheItem delete-on-empty)."""
+    return Codec(
+        key_bytes=_set_key,
+        key_from=lambda kb: (
+            kb[len(_SET_PREFIX) : -1].decode("utf-8")
+            if kb.startswith(_SET_PREFIX) and kb.endswith(b"s")
+            else None
+        ),
+        encode=lambda ids: msgpack.packb(sorted(ids)) if ids else None,
+        decode=lambda raw: set(msgpack.unpackb(raw)),
+    )
+
+
+def _doc_codec() -> "Codec[int, Tuple[Dict[str, int], int]]":
+    """d<8B docId> → ({term: freq}, length) (text.go docCacheItem)."""
+    return Codec(
+        key_bytes=_doc_key,
+        key_from=lambda kb: (
+            struct.unpack("<Q", kb[1:])[0]
+            if kb.startswith(_DOC_PREFIX) and len(kb) == 9
+            else None
+        ),
+        encode=lambda dv: msgpack.packb({"terms": dv[0], "length": dv[1]}),
+        decode=lambda raw: (
+            (lambda o: (o["terms"], o["length"]))(msgpack.unpackb(raw, raw=False))
+        ),
+    )
+
+
 class IndexText:
     """Write-back cached text index (text.go:400-535 setCacheItem/
-    docCacheItem parity): postings decode once per batch, mutate in memory,
-    and persist on ``flush`` — instead of a full get/decode/encode/put per
-    term per document."""
+    docCacheItem parity): postings AND per-doc term maps each sit behind a
+    generic :class:`~semadb_tpu.utils.itemcache.ItemCache` — decode once
+    per batch, mutate in memory, persist once on ``flush``."""
 
     def __init__(self, bucket: Bucket, analyser: str = "standard"):
         if analyser != "standard":
             raise ValueError(f"unknown analyser {analyser}")
         self.bucket = bucket
-        self._cache: Dict[str, Set[int]] = {}
-        self._dirty: Set[str] = set()
+        self._postings: ItemCache[str, Set[int]] = ItemCache(
+            bucket, _postings_codec()
+        )
+        self._docs: ItemCache[int, Tuple[Dict[str, int], int]] = ItemCache(
+            bucket, _doc_codec()
+        )
         self._ndocs: Optional[int] = None
 
     # -- helpers -----------------------------------------------------------
@@ -93,29 +129,15 @@ class IndexText:
         self._ndocs = max(n, 0)
 
     def _get_postings(self, term: str) -> Set[int]:
-        ids = self._cache.get(term)
-        if ids is None:
-            raw = self.bucket.get(_set_key(term))
-            ids = set(msgpack.unpackb(raw)) if raw else set()
-            self._cache[term] = ids
-        return ids
+        return self._postings.get(term) or set()
 
     def _get_doc(self, doc_id: int) -> Optional[Tuple[Dict[str, int], int]]:
-        raw = self.bucket.get(_doc_key(doc_id))
-        if raw is None:
-            return None
-        obj = msgpack.unpackb(raw, raw=False)
-        return obj["terms"], obj["length"]
+        return self._docs.get(doc_id)
 
     def flush(self) -> None:
-        """Persist dirty postings + doc count (ItemCache.Flush parity)."""
-        for term in self._dirty:
-            ids = self._cache.get(term, set())
-            if ids:
-                self.bucket.put(_set_key(term), msgpack.packb(sorted(ids)))
-            else:
-                self.bucket.delete(_set_key(term))
-        self._dirty.clear()
+        """Persist dirty postings/docs + doc count (ItemCache.Flush)."""
+        self._postings.flush()
+        self._docs.flush()
         if self._ndocs is not None:
             self.bucket.put(NUM_DOCS_KEY, struct.pack("<Q", self._ndocs))
 
@@ -125,12 +147,9 @@ class IndexText:
         freqs: Dict[str, int] = {}
         for t in tokens:
             freqs[t] = freqs.get(t, 0) + 1
-        self.bucket.put(
-            _doc_key(doc_id), msgpack.packb({"terms": freqs, "length": max(len(tokens), 1)})
-        )
+        self._docs.put(doc_id, (freqs, max(len(tokens), 1)))
         for term in freqs:
-            self._get_postings(term).add(doc_id)
-            self._dirty.add(term)
+            self._postings.get_or_create(term, set).add(doc_id)
         self._set_num_docs(self.num_docs + 1)
 
     def delete(self, doc_id: int) -> None:
@@ -139,9 +158,8 @@ class IndexText:
             return
         freqs, _ = doc
         for term in freqs:
-            self._get_postings(term).discard(doc_id)
-            self._dirty.add(term)
-        self.bucket.delete(_doc_key(doc_id))
+            self._postings.get_or_create(term, set).discard(doc_id)
+        self._docs.delete(doc_id)
         self._set_num_docs(self.num_docs - 1)
 
     def update(self, doc_id: int, value: str) -> None:

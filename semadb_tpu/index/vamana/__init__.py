@@ -329,6 +329,7 @@ class IndexVamana:
         passes: int = 1,
         batch: int = PASS2_CHUNK,
         search_size: int = 0,
+        seed_own: bool = False,
     ) -> None:
         """Re-run the insert procedure (greedy search → robustPrune →
         backedges) for every live node on the current graph, with each
@@ -354,7 +355,7 @@ class IndexVamana:
                 self.state = insert_batch(
                     self.state, ids[i : i + batch], vecs[i : i + batch],
                     self.config, search_size or self.params.search_size,
-                    keep_current=True,
+                    keep_current=True, seed_own=seed_own,
                 )
         self._entry_seeds = None
 

@@ -157,7 +157,10 @@ def robust_prune_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "search_size", "intra_k", "keep_current", "expand_width"),
+    static_argnames=(
+        "config", "search_size", "intra_k", "keep_current", "expand_width",
+        "seed_own",
+    ),
 )
 def _insert_core(
     state: GraphState,
@@ -172,8 +175,15 @@ def _insert_core(
     pool_d=None,  # optional f32[B, P] precomputed candidate pool distances
     pool_i=None,  # optional i32[B, P] precomputed candidate pool ids
     expand_width: int = 8,  # beam W during build searches
+    seed_own: bool = False,  # seed the beam at the node's current edges
 ):
     """Search + prune new rows + phase-A backedge scatter.
+
+    ``seed_own`` (keep_current re-insertion passes only): start the beam
+    at the node's CURRENT out-edges instead of navigating from the start
+    node — the search begins inside the target neighbourhood, collapsing
+    the hop count (a local-join refinement; candidates the full descent
+    would contribute are already in the keep_current pool).
 
     ``keep_current``: union the node's EXISTING out-edges into its prune
     candidate pool (V ∪ N_out(p), the canonical DiskANN second-pass rule).
@@ -218,8 +228,10 @@ def _insert_core(
         cand_d, cand_i = _dedup(pd_, pi)
         cand_d, cand_i = sort_by_distance(cand_d, cand_i)
     else:
+        seeds = own_edges if (seed_own and keep_current) else None
         res = beam_search(
-            state, new_vecs, config, search_size, expand_width=expand_width
+            state, new_vecs, config, search_size, expand_width=expand_width,
+            seed_ids=seeds,
         )
         cand_d, cand_i = res.visited_dists, res.visited_ids  # [B, V] sorted
 
@@ -400,7 +412,8 @@ def _overflow_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "search_size", "intra_k", "chunk", "keep_current", "expand_width",
+        "config", "search_size", "intra_k", "chunk", "keep_current",
+        "expand_width", "seed_own",
     ),
 )
 def _insert_step(
@@ -417,6 +430,7 @@ def _insert_step(
     pool_d=None,
     pool_i=None,
     expand_width: int = 8,
+    seed_own: bool = False,
 ):
     """Full insert step: search + prune + backedges + ALL overflow rounds.
 
@@ -427,7 +441,7 @@ def _insert_step(
     """
     state, targets, sources, pending = _insert_core(
         state, new_ids, new_vecs, valid, config, search_size, intra_k,
-        keep_current, alpha, pool_d, pool_i, expand_width,
+        keep_current, alpha, pool_d, pool_i, expand_width, seed_own,
     )
     k_in = config.degree_bound
 
@@ -477,6 +491,7 @@ def insert_batch(
     pool_d: np.ndarray | None = None,
     pool_i: np.ndarray | None = None,
     expand_width: int = 0,
+    seed_own: bool = False,
 ) -> GraphState:
     """Insert a batch of points (host orchestration of jitted kernels).
 
@@ -525,6 +540,7 @@ def insert_batch(
         pd,
         pi,
         expand_width,
+        seed_own,
     )
     BUILD_TIMERS["batches"] += 1
     return state

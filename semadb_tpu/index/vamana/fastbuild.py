@@ -163,7 +163,13 @@ def build_pools(
         return pool_d, pool_i
 
     C = max(16, n // MEMBER_TARGET)
-    cents, _ = kmeans_fit_large(vecs, C, seed=seed, iters=KM_ITERS)
+    # Fit centroids on a strided subsample: pool quality only needs a
+    # reasonable space partition, not converged centroids (the same
+    # observation as the PQ codebook subsampling — BENCHMARKS.md round 3).
+    km_cap = int(os.environ.get("SEMADB_VAMANA_FB_KM_SAMPLE", 1 << 18))
+    km_cap = max(km_cap, 32 * C)
+    fit_rows = vecs[:: max(1, n // km_cap)] if n > km_cap else vecs
+    cents, _ = kmeans_fit_large(fit_rows, C, seed=seed, iters=KM_ITERS)
     asn = np.asarray(kmeans_assign(vecs, cents, t=T))  # [N, T] host
 
     # Host segment packing: entries (cluster, point, slot) grouped by cluster
@@ -298,13 +304,14 @@ def bulk_build_pools(
         pi_b = jnp.where(pi_b != NIL, ids_dev[jnp.clip(pi_b, 0, n - 1)], NIL)
 
     # Number of pass-2 rounds that expand pools through the current graph
-    # (0 = one pass-2 round from the raw cluster pools, no expansion).
+    # (0 = one pass-2 round from the raw cluster pools, no expansion;
+    # -1 = no pool pass-2 at all — the beam refine below is pass 2).
     n_expand = int(os.environ.get("SEMADB_VAMANA_FB_EXPAND", 1))
-    passes = [(1.0, "pass1", False)] + (
-        [(config.alpha, f"pass2.{e}", True) for e in range(n_expand)]
-        if n_expand
-        else [(config.alpha, "pass2", False)]
-    )
+    passes = [(1.0, "pass1", False)]
+    if n_expand > 0:
+        passes += [(config.alpha, f"pass2.{e}", True) for e in range(n_expand)]
+    elif n_expand == 0:
+        passes += [(config.alpha, "pass2", False)]
     for alpha, tag, expand in passes:
         with _logger().timed(f"vamana fastbuild {tag}", count=n):
             for i in range(0, n, chunk):
@@ -340,8 +347,9 @@ def bulk_build_pools(
     n_refine = int(os.environ.get("SEMADB_VAMANA_FB_REFINE", 0))
     if n_refine:
         refine_l = int(os.environ.get("SEMADB_VAMANA_FB_REFINE_L", 0))
+        seed_own = os.environ.get("SEMADB_VAMANA_FB_SEED_OWN", "0") == "1"
         with _logger().timed("vamana fastbuild refine", count=n):
-            index.refine(passes=n_refine, search_size=refine_l)
+            index.refine(passes=n_refine, search_size=refine_l, seed_own=seed_own)
 
     # Straggler rescue (prune.go:115-151 analog): attach any node BFS
     # cannot reach from the start to a spread representative set.

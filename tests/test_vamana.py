@@ -395,3 +395,39 @@ def test_insert_bulk_pool_build_invariants_and_recall():
     idx.insert_update_delete([(n + 10, nv[0])])
     _, i_ = idx.search_batch(nv, 1, search_size=36)
     assert i_[0][0] == n + 10
+
+
+def test_pool_build_seeded_refine_schedule(monkeypatch):
+    """The recommended fast-build schedule (pool pass 1 → beam refine with
+    own-edge seeding, no pool pass 2) holds invariants and recall."""
+    import numpy as np
+
+    from semadb_tpu.index.vamana import IndexVamana
+    from semadb_tpu.models.schema import VectorVamanaParams
+    from semadb_tpu.tools.datasets import embedding_like
+
+    monkeypatch.setenv("SEMADB_VAMANA_FB_EXPAND", "-1")
+    monkeypatch.setenv("SEMADB_VAMANA_FB_REFINE", "1")
+    monkeypatch.setenv("SEMADB_VAMANA_FB_SEED_OWN", "1")
+
+    n = 6000
+    ds = embedding_like(n, 32, 64, latent=16, seed=11, spread=0.5)
+    ids = np.arange(2, n + 2, dtype=np.int32)
+    p = VectorVamanaParams(
+        vector_size=32, distance_metric="euclidean",
+        search_size=75, degree_bound=32, alpha=1.2,
+    )
+    idx = IndexVamana(p)
+    idx.insert_bulk(ids, ds.train, build_mode="pool")
+
+    dd = (
+        (ds.test[:, None, :].astype(np.float64) - ds.train[None].astype(np.float64))
+        ** 2
+    ).sum(-1)
+    gt = np.argsort(dd, 1)[:, :10] + 2
+    _, i_ = idx.search_batch(ds.test, 10, search_size=75)
+    r = np.mean([len(set(i_[b]) & set(gt[b])) / 10 for b in range(64)])
+    assert r >= 0.98, f"seeded-refine pool build recall too low: {r}"
+    check_connectivity(idx)
+    adj = np.asarray(idx.state.adjacency)
+    assert (adj[ids] != NIL).sum(-1).max() <= idx.config.degree_bound

@@ -33,7 +33,8 @@ built for:
 Reference parity: this replaces vamana.go:190-253's parallel insert
 workers for the initial bulk load only; incremental writes keep the
 beam-search path (build.py). Quality is validated against the same recall
-harness as the two-pass build (tools/buildlab.py, BENCHMARKS.md).
+harness as the two-pass build (semadb_tpu/tools/annbench.py via
+BENCH_MODE=plain SEMADB_VAMANA_BUILD=pool, BENCHMARKS.md).
 """
 
 from __future__ import annotations

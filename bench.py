@@ -847,6 +847,9 @@ def main() -> None:
                 "vs_baseline": round(out["qps"] / BASELINE_QPS, 2),
                 "recall@10": out["recall@10"],
                 "build_s": out["build_s"],
+                "build_compile_s": out["build_compile_s"],
+                "build_exec_s": out["build_exec_s"],
+                "qps_spread": out["qps_spread"],
                 "n": N,
                 "query_batch": QUERY_BATCH,
                 "gt_queries": GT_QUERIES,

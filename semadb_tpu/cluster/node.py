@@ -152,6 +152,11 @@ class ClusterNode:
             max_cache_size=cfg.max_cache_size,
         )
         self.rpc = RPCClientPool(cfg.rpc_timeout, cfg.rpc_retries)
+        # Device-mesh data plane for shardPlacement="device" collections
+        # (cluster/meshsearch.py) — lazily constructed so nodes on a
+        # single-device host never touch mesh machinery.
+        self._mesh_searcher = None
+        self._mesh_searcher_init = False
         self._server: Optional[RPCServer] = None
         self._backup_timer: Optional[threading.Timer] = None
         self._handlers: Dict[str, Callable[[dict], dict]] = {
@@ -523,10 +528,19 @@ class ClusterNode:
             return sid
 
         count_point_op("insert", len(points))
-        assignments = distribute_points(
-            shards, points, self.cfg.max_shard_size, self.cfg.max_shard_point_count,
-            create_shard,
-        )
+        if col.shard_placement == "device":
+            from semadb_tpu.cluster.placement import distribute_points_spread
+
+            ms = self._mesh()
+            n_targets = ms.mesh.devices.size if ms is not None else 1
+            assignments = distribute_points_spread(
+                shards, points, n_targets, create_shard
+            )
+        else:
+            assignments = distribute_points(
+                shards, points, self.cfg.max_shard_size,
+                self.cfg.max_shard_point_count, create_shard,
+            )
         failed: List[FailedRange] = []
         lock = threading.Lock()
 
@@ -549,10 +563,93 @@ class ClusterNode:
             list(ex.map(lambda kv: do_insert(*kv), assignments.items()))
         return failed
 
+    def _mesh(self):
+        """Lazily construct the device-mesh searcher (None on 1 device)."""
+        if not self._mesh_searcher_init:
+            self._mesh_searcher_init = True
+            try:
+                from semadb_tpu.cluster.meshsearch import MeshSearcher
+
+                ms = MeshSearcher(self.shard_manager)
+                self._mesh_searcher = ms if ms.mesh is not None else None
+            except Exception as e:  # no jax mesh → host fan-out only
+                LOG.warn("mesh searcher unavailable", error=str(e))
+                self._mesh_searcher = None
+        return self._mesh_searcher
+
+    def _try_mesh_search(
+        self, col: Collection, srs: List[SearchRequest]
+    ) -> Optional[List[List[SearchResult]]]:
+        """Serve a batch through the device mesh when eligible, else None.
+
+        Replaces the reference's per-shard goroutine fan-out
+        (actions.go:274-378) with ONE sharded_*_search dispatch whose
+        top-k merge rides ICI; the result is the EXACT global top-k, so
+        no Poisson per-shard-limit shrink is needed.
+        """
+        import numpy as np
+
+        from semadb_tpu.shard.shard import postprocess_results
+
+        ms = self._mesh()
+        if ms is None or col.shard_placement != "device" or not col.shard_ids:
+            return None
+        if any(self._owner(sid) != self.my_hostname for sid in col.shard_ids):
+            return None
+        prop = None
+        vecs, ks, weights = [], [], []
+        search_size = probes = 0
+        for sr in srs:
+            p = ms.eligible_query(col, sr.query)
+            if p is None or (prop is not None and p != prop):
+                return None
+            prop = p
+            opts = sr.query.vector_vamana or sr.query.vector_ivf
+            vecs.append(np.asarray(opts.vector, np.float32))
+            ks.append(opts.limit)
+            weights.append(opts.weight if opts.weight is not None else 1.0)
+            search_size = max(search_size, getattr(opts, "search_size", 0))
+            probes = max(probes, getattr(opts, "num_probes", 0))
+        hits = ms.search_batch(
+            col, prop, np.stack(vecs), max(ks), search_size, probes
+        )
+        if hits is None:
+            return None
+        # UUID/data backfill: one read txn per shard that contributed hits
+        need: Dict[str, set] = {}
+        for row in hits:
+            for _, sid, nid in row:
+                need.setdefault(sid, set()).add(nid)
+        resolved = {}
+        for sid, nids in need.items():
+            ordered = sorted(nids)
+            resolved[sid] = self.shard_manager.do_with_shard(
+                col, sid, lambda s: s.resolve_node_ids(ordered)
+            )
+        out: List[List[SearchResult]] = []
+        for sr, row, kq, w in zip(srs, hits, ks, weights):
+            results = []
+            for dist, sid, nid in row[:kq]:
+                pt = resolved[sid].get(nid)
+                if pt is None:
+                    continue  # uncommitted/deleted id: tolerant resolution
+                results.append(
+                    SearchResult(
+                        point=pt, node_id=nid, distance=dist,
+                        hybrid_score=-dist * w,
+                    )
+                )
+            out.append(postprocess_results(sr, results))
+        return out
+
     def search_points(
         self, col: Collection, sr: SearchRequest
     ) -> List[SearchResult]:
         """Scatter-gather search (actions.go:274-378)."""
+        mesh_out = self._try_mesh_search(col, [sr])
+        if mesh_out is not None:
+            count_point_op("search")
+            return mesh_out[0]
         original_limit = sr.limit
         n_shards = max(len(col.shard_ids), 1)
         target = int(sr.limit / n_shards * POISSON_APPROX_A + POISSON_APPROX_B)
@@ -608,6 +705,10 @@ class ClusterNode:
         merge per request. RPC count is per-shard, not per-query —
         beyond-reference; the reference's network cost scales with
         queries × shards (actions.go:274-378)."""
+        mesh_out = self._try_mesh_search(col, srs)
+        if mesh_out is not None:
+            count_point_op("search", len(srs))
+            return mesh_out
         n_shards = max(len(col.shard_ids), 1)
         shard_srs = []
         for sr in srs:

@@ -52,3 +52,38 @@ def distribute_points(
             shards.append(ShardInfo(id=create_shard_fn()))
         i += 1
     return assignments
+
+
+def distribute_points_spread(
+    shards: List[ShardInfo],
+    points: List[Point],
+    n_targets: int,
+    create_shard_fn: Callable[[], str],
+) -> Dict[str, Tuple[int, int]]:
+    """Shard-per-device placement (``shardPlacement: "device"`` — beyond
+    reference): balance points EVENLY over exactly ``n_targets`` shards so
+    every mesh device carries equal search work, instead of the reference's
+    fill-first policy (placement.go:9-52) which leaves trailing devices
+    empty. Shards missing up to ``n_targets`` are created eagerly; the
+    batch is split to equalise final per-shard counts."""
+    if not points:
+        return {}
+    shards = list(shards)
+    while len(shards) < max(n_targets, 1):
+        shards.append(ShardInfo(id=create_shard_fn()))
+    total = sum(s.point_count for s in shards) + len(points)
+    target = -(-total // len(shards))  # ceil
+    assignments: Dict[str, Tuple[int, int]] = {}
+    last = 0
+    for shard in shards:
+        take = min(max(target - shard.point_count, 0), len(points) - last)
+        if take > 0:
+            assignments[shard.id] = (last, last + take)
+            last += take
+        if last == len(points):
+            break
+    if last < len(points):  # rounding remainder → last shard
+        sid = shards[-1].id
+        lo, _ = assignments.get(sid, (last, last))
+        assignments[sid] = (lo, len(points))
+    return assignments

@@ -56,11 +56,15 @@ class V2Handlers:
             schema.validate()
         except (ValidationError, KeyError, TypeError) as e:
             raise HttpError(400, f"invalid index schema: {e}")
+        placement = body.get("shardPlacement", "host")
+        if placement not in ("host", "device"):
+            raise HttpError(400, "shardPlacement must be 'host' or 'device'")
         col = Collection(
             user_id=ctx.user_id,
             id=col_id,
             index_schema=schema,
             user_plan=ctx.user_plan,
+            shard_placement=placement,
         )
         try:
             self.node.create_collection(col)

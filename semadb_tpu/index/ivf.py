@@ -712,6 +712,12 @@ class IndexIVF:
         # slab packing are not atomic across two concurrent writers.
         # Searches never take this lock — read overlap is unaffected.
         self._write_lock = threading.RLock()
+        # Dirty-row tracking for incremental snapshots (shard/snapshot.py):
+        # every write path below marks the rows it scatters; refits and
+        # resizes mark whole arrays. Fresh index = everything dirty.
+        from semadb_tpu.utils.dirty import DirtyTracker
+
+        self.dirty = DirtyTracker()
         # Per-node rerank matrix grows like the other engines' capacity
         self.capacity = 128
         self.vectors = jnp.zeros((self.capacity, D), jnp.float32)
@@ -760,6 +766,7 @@ class IndexIVF:
         )
         self.vectors = jnp.pad(self.vectors, ((0, new_cap - self.capacity), (0, 0)))
         self.capacity = new_cap
+        self.dirty.all("vectors")  # shape change: full rewrite of the array
 
     def __len__(self) -> int:
         return len(self._loc)
@@ -776,6 +783,9 @@ class IndexIVF:
                 self.ovf_vecs = jnp.pad(self.ovf_vecs, ((0, grow), (0, 0)))
             self.ovf_ids = jnp.pad(self.ovf_ids, (0, grow), constant_values=NIL)
             self._ovf_free.extend(range(old, old + grow))
+            self.dirty.all("ovf_vecs")
+            self.dirty.all("ovf_ids")
+            self.dirty.all("ovf_codes")
         return [self._ovf_free.pop() for _ in range(n)]
 
     def _assign_top(self, cents, t, row_ids=None, rows=None):
@@ -826,6 +836,9 @@ class IndexIVF:
         corpus is gathered from the ``vectors`` matrix, k-means labels are
         the only readback ([N] int32), and slabs/codes are built by device
         scatters with host-computed (cluster, rank) coordinates."""
+        # The refit rebuilds centroids/slabs/overflow wholesale (and may
+        # resize them): every array is dirty for the next snapshot.
+        self.dirty.everything()
         ids = np.fromiter(self._loc.keys(), np.int32, len(self._loc))
         n = len(ids)
         D = self.params.vector_size
@@ -1195,6 +1208,7 @@ class IndexIVF:
                     self.vectors = _set_rows(
                         self.vectors, jnp.asarray(_pad_dup(up_ids)), up_dev
                     )
+            self.dirty.rows("vectors", up_ids)
 
             # update = replace: pop every old location before placement
             for node_id, _ in ups:
@@ -1233,6 +1247,8 @@ class IndexIVF:
                 self.ovf_ids = self.ovf_ids.at[_pad_dup(slots)].set(
                     _pad_dup(up_ids)
                 )
+                self.dirty.rows("ovf_vecs", slots)
+                self.dirty.rows("ovf_ids", slots)
                 for nid, j in zip(up_ids, slots):
                     self._loc[int(nid)] = ("o", int(j))
         if removals:
@@ -1258,6 +1274,7 @@ class IndexIVF:
                     self.slab_ids, cs_d, jnp.asarray(_pad_dup(s_ss)),
                     jnp.full(cs_d.shape, NIL, jnp.int32),
                 )
+            self.dirty.rows("slab_ids", s_cs)
         if len(o_js):
             js_d = jnp.asarray(_pad_dup(o_js))
             with self._donate_lock:
@@ -1265,6 +1282,7 @@ class IndexIVF:
                     self.ovf_ids, js_d, jnp.full(js_d.shape, NIL, jnp.int32)
                 )
             self._ovf_free.extend(int(j) for j in o_js)
+            self.dirty.rows("ovf_ids", o_js)
 
     def _has_placeholders(self) -> bool:
         """True while any deferred-fit ``("o", -1)`` location exists (a
@@ -1332,6 +1350,7 @@ class IndexIVF:
                 vecs.astype(jnp.float32), ((lead, new_cap - n - lead), (0, 0))
             )
             self.capacity = new_cap
+            self.dirty.all("vectors")
         else:
             self._ensure_capacity(int(ids_np.max()))
             CH = 131072
@@ -1343,6 +1362,7 @@ class IndexIVF:
                     self.vectors = _set_rows(
                         self.vectors, jnp.asarray(ids_np[off : off + CH]), blk
                     )
+            self.dirty.rows("vectors", ids_np)
         fitted = self._n_at_fit > 0
         if not fitted:
             self._loc.update((int(i), ("o", -1)) for i in ids_np)
@@ -1455,6 +1475,12 @@ class IndexIVF:
                     jnp.asarray(all_ss),
                     jnp.asarray(ids_np[all_rows].astype(np.int32)),
                 )
+            self.dirty.rows("slab_ids", all_cs)
+            if self.pq_active:
+                self.dirty.rows("slab_codes", all_cs)
+            else:
+                self.dirty.rows("slabs", all_cs)
+                self.dirty.rows("slab_sq", all_cs)
         if len(ovf_rows):
             slots = np.array(self._ovf_slots(len(ovf_rows)), np.int32)
             slots_d = _pad_dup(slots)
@@ -1484,6 +1510,8 @@ class IndexIVF:
                 self.ovf_ids = _set_rows(
                     self.ovf_ids, jnp.asarray(slots_d), o_dev
                 )
+            self.dirty.rows("ovf_ids", slots)
+            self.dirty.rows("ovf_codes" if self.pq_active else "ovf_vecs", slots)
             for r, j in zip(ovf_rows, slots):
                 self._loc[int(ids_np[r])] = ("o", int(j))
         for placed, pcl, psl, primary in placed_cols:
@@ -1705,28 +1733,37 @@ class IndexIVF:
             return self._to_arrays_locked()
 
     def _to_arrays_locked(self) -> dict:
+        return {k: np.asarray(v) for k, v in self._device_arrays_locked().items()}
+
+    def device_arrays(self) -> dict:
+        """Device-resident snapshot view (no readback): the incremental
+        snapshot writer (shard/snapshot.py) slices only dirty chunks out
+        of these. Caller must hold ``_write_lock``."""
+        return self._device_arrays_locked()
+
+    def _device_arrays_locked(self) -> dict:
         if self._has_placeholders():
             # Deferred-fit placeholders have no device state — a snapshot
             # taken now would silently drop those points. Materialise them.
             self.flush_pending()
         out = {
-            "centroids": np.asarray(self.centroids),
-            "slabs": np.asarray(self.slabs),
-            "slab_sq": np.asarray(self.slab_sq),
-            "slab_ids": np.asarray(self.slab_ids),
-            "ovf_vecs": np.asarray(self.ovf_vecs),
-            "ovf_ids": np.asarray(self.ovf_ids),
-            "vectors": np.asarray(self.vectors),
+            "centroids": self.centroids,
+            "slabs": self.slabs,
+            "slab_sq": self.slab_sq,
+            "slab_ids": self.slab_ids,
+            "ovf_vecs": self.ovf_vecs,
+            "ovf_ids": self.ovf_ids,
+            "vectors": self.vectors,
             "n_at_fit": np.asarray([self._n_at_fit], np.int64),
         }
         if self._proj is not None:
-            out["proj"] = np.asarray(self._proj)
+            out["proj"] = self._proj
         if self._sup_cents is not None:
-            out["sup_cents"] = np.asarray(self._sup_cents)
+            out["sup_cents"] = self._sup_cents
         if self.pq_active:
-            out["pq_codebook"] = np.asarray(self.pq_codebook)
-            out["slab_codes"] = np.asarray(self.slab_codes)
-            out["ovf_codes"] = np.asarray(self.ovf_codes)
+            out["pq_codebook"] = self.pq_codebook
+            out["slab_codes"] = self.slab_codes
+            out["ovf_codes"] = self.ovf_codes
         return out
 
     @classmethod
@@ -1804,4 +1841,6 @@ class IndexIVF:
                 idx._loc2.setdefault(i, []).append((int(c), int(s)))
             else:
                 idx._loc[i] = ("s", int(c), int(s))
+        # Loaded state matches the snapshot it came from: nothing dirty.
+        idx.dirty.clear()
         return idx

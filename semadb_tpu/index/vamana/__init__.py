@@ -99,6 +99,10 @@ class IndexVamana:
         # entry points alongside the start node — cuts the initial descent
         # hops (the start node is a random unit vector, far from the data).
         self._entry_seeds: Optional[np.ndarray] = None
+        # Dirty-row tracking for incremental snapshots (shard/snapshot.py).
+        from semadb_tpu.utils.dirty import DirtyTracker
+
+        self.dirty = DirtyTracker()
 
     # -- persistence -------------------------------------------------------
     def to_arrays(self) -> dict:
@@ -110,6 +114,16 @@ class IndexVamana:
         out["store"] = self.store.to_arrays()
         return out
 
+    def device_arrays(self) -> dict:
+        """Device-resident snapshot view (no readback) for the incremental
+        snapshot writer (shard/snapshot.py)."""
+        return {
+            "vectors": self.state.vectors,
+            "adjacency": self.state.adjacency,
+            "exists": self.state.exists,
+            "store": self.store.device_arrays(),
+        }
+
     @classmethod
     def from_arrays(cls, params: VectorVamanaParams, arrays: dict) -> "IndexVamana":
         idx = cls(params, capacity=arrays["vectors"].shape[0])
@@ -120,6 +134,8 @@ class IndexVamana:
         )
         if "store" in arrays:
             idx.store.load_arrays(arrays["store"])
+        # Loaded state matches the snapshot it came from: nothing dirty.
+        idx.dirty.clear()
         return idx
 
     # -- introspection -----------------------------------------------------
@@ -134,6 +150,24 @@ class IndexVamana:
     def _ensure_capacity(self, max_id: int) -> None:
         if max_id >= self.state.capacity:
             self.state = grow_graph(self.state, required_capacity(max_id))
+            # Shape change: every capacity-shaped array rewrites in full
+            # (the quantizer code table pads lazily on the next encode).
+            for name in ("vectors", "adjacency", "exists", "store/codes"):
+                self.dirty.all(name)
+
+    def _mark_write(self, ids: np.ndarray) -> None:
+        """Mark the rows one insert batch touched: the batch's own rows
+        plus its backedge targets — exactly the entries of the freshly
+        written adjacency rows (phase-A appends and overflow re-prunes
+        both land on those targets). One [B, R] readback per batch, only
+        when fine-grained marks matter (a fresh bulk build is already
+        whole-state dirty and skips this)."""
+        self.dirty.rows("vectors", ids)
+        self.dirty.rows("exists", ids)
+        self.dirty.rows("store/codes", ids)
+        rows = np.asarray(self.state.adjacency[jnp.asarray(ids)])
+        targets = rows[rows != graph.NIL]
+        self.dirty.rows("adjacency", np.concatenate([ids, targets]))
 
     # -- writes ------------------------------------------------------------
     def insert_update_delete(
@@ -185,11 +219,17 @@ class IndexVamana:
             repair_ids = np.array([i for i, _ in updates] + deletes, dtype=np.int32)
             with _logger().timed("vamana delete repair", count=len(repair_ids)):
                 self.state = delete_batch(self.state, repair_ids, self.config)
+            # Repair re-prunes arbitrary rows (selected on device) and the
+            # finalize/rescue rewrites the start row: whole array dirty.
+            self.dirty.all("adjacency")
+            self.dirty.rows("exists", repair_ids)
         if updates:
             self._insert_chunked(updates)
         # Quantizer fit trigger at the end of the write, then flush
         # (vamana.go:255-276: vecStore.Fit() before flush).
-        self.store.maybe_fit(self.state.vectors, self.state.exists)
+        if self.store.maybe_fit(self.state.vectors, self.state.exists):
+            for name in ("store/codes", "store/aux", "store/rot"):
+                self.dirty.all(name)
         self._entry_seeds = None  # recompute lazily after any write
 
     def _insert_chunked(self, items: Sequence[Tuple[int, np.ndarray]]) -> None:
@@ -215,6 +255,8 @@ class IndexVamana:
             self.state = insert_batch(
                 self.state, ids, vecs, self.config, self.params.search_size
             )
+            if self.dirty.active:
+                self._mark_write(ids)
             # Keep the code table current for post-fit inserts
             # (binary.go/product.go Set encodes when already fitted)
             if self.store.fitted:
@@ -261,6 +303,9 @@ class IndexVamana:
             return
         vec_np = np.asarray(jax.device_get(vecs), np.float32)
         self._ensure_capacity(int(ids_np.max()))
+        # A bulk build's beam searches roam the whole graph and its
+        # backedge scatters land anywhere: the next snapshot is full.
+        self.dirty.everything()
         ids32 = ids_np.astype(np.int32)
         two_pass = TWO_PASS and n >= TWO_PASS_MIN
         a1 = 1.0 if two_pass else None
@@ -347,6 +392,7 @@ class IndexVamana:
         ids = ids[ids != START_ID]
         if not len(ids):
             return
+        self.dirty.all("adjacency")  # re-prunes every live row + backedges
         # One bulk readback of the live vectors (per-chunk device slicing
         # would cost a ~35ms tunnel roundtrip per chunk).
         vecs = np.asarray(self.state.vectors[jnp.asarray(ids)])

@@ -56,6 +56,13 @@ class Collection:
     created_at: int = 0
     shard_ids: List[str] = field(default_factory=list)
     user_plan: UserPlan = field(default_factory=UserPlan)
+    # Shard-per-device mesh serving (beyond reference — the reference's
+    # only data plane is host RPC fan-out, cluster/actions.go:274-378):
+    # "host" = rendezvous-routed RPC fan-out; "device" = this node stacks
+    # its local shards' device indices along a jax.sharding.Mesh axis and
+    # serves eligible vector queries with ONE sharded_*_search dispatch
+    # (ICI all-gather top-k merge) instead of N per-shard calls.
+    shard_placement: str = "host"
 
     def to_dict(self) -> dict:
         return {
@@ -67,6 +74,7 @@ class Collection:
             "shardIds": list(self.shard_ids),
             "userPlan": self.user_plan.to_dict(),
             "indexSchema": self.index_schema.to_dict(),
+            "shardPlacement": self.shard_placement,
         }
 
     @classmethod
@@ -80,4 +88,5 @@ class Collection:
             created_at=int(d.get("createdAt", 0)),
             shard_ids=list(d.get("shardIds", [])),
             user_plan=UserPlan.from_dict(d.get("userPlan", {})),
+            shard_placement=d.get("shardPlacement", "host"),
         )

@@ -134,6 +134,10 @@ def run(
     ``gt_queries`` queries (all when 0) while QPS times the full set."""
     import sys
 
+    from semadb_tpu.utils import compilemeter
+
+    compilemeter.install()
+
     def stage(msg: str) -> None:
         print(f"# annbench {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
 
@@ -169,21 +173,31 @@ def run(
     n_train = len(ds.train)
     bench = VamanaBench(dim=ds.train.shape[1], metric=ds.metric, **index_kw)
     stage(f"fit start n={n_train}")
+    c0 = compilemeter.seconds()
     build_s = bench.fit_dataset(ds)
-    stage(f"fit done {build_s:.1f}s")
+    build_compile_s = compilemeter.seconds() - c0
+    stage(
+        f"fit done {build_s:.1f}s "
+        f"(compile {build_compile_s:.1f}s / exec {build_s - build_compile_s:.1f}s)"
+    )
     op = query_search_size or num_probes
     # warmup
     bench.query_batch(ds.test[:batch], k, batch, op)
     stage("warmup done")
     # Best-of-3: the tunnelled link's wall time varies up to 10-17x
     # between identical runs (contention windows); the fastest pass is
-    # the closest estimate of device throughput.
+    # the closest estimate of device throughput. The full spread is
+    # reported alongside so the artifact carries the variance, not just
+    # the headline.
     ids, wall = bench.query_batch(ds.test, k, batch, op)
+    walls = [wall]
     for _ in range(2):
         ids2, w2 = bench.query_batch(ds.test, k, batch, op)
+        walls.append(w2)
         if w2 < wall:
             ids, wall = ids2, w2
-    stage(f"query done {wall:.2f}s (best of 3)")
+    walls.sort()
+    stage(f"query done {wall:.2f}s (best of 3; spread {walls})")
     recall = float(
         np.mean([len(set(ids[i]) & set(gt[i])) / k for i in range(n_gt)])
     )
@@ -204,13 +218,19 @@ def run(
                "qps": round(len(ds.test) / w2, 1)}
         stage(f"sweep {row}")
         sweep.append(row)
+    nq = len(ds.test)
     out = {
         "dataset": ds.name,
         "metric": ds.metric,
         "n": n_train,
         "recall@10": round(recall, 4),
-        "qps": round(len(ds.test) / wall, 1),
+        "qps": round(nq / wall, 1),
+        # Compile-vs-execute split + query-pass spread (VERDICT r3 weak #5:
+        # a single build_s number conflates cold compiles with device work)
         "build_s": round(build_s, 1),
+        "build_compile_s": round(build_compile_s, 1),
+        "build_exec_s": round(build_s - build_compile_s, 1),
+        "qps_spread": [round(nq / w, 1) for w in reversed(walls)],
         "margin": round(margin, 3),
     }
     if sweep:

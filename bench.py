@@ -964,10 +964,16 @@ def main() -> None:
         return
 
     from semadb_tpu.tools.annbench import run
-    from semadb_tpu.tools.datasets import embedding_like, embedding_like_device
+    from semadb_tpu.tools.datasets import (
+        embedding_like, embedding_like_adversarial, embedding_like_device,
+    )
 
     t0 = time.time()
-    if N * DIM >= 2**28 and MODE.startswith("ivf"):
+    if os.environ.get("BENCH_ADVERSARIAL"):
+        # Worst-case corpus: Zipf clusters + 10x density imbalance +
+        # near-duplicates + boundary queries (VERDICT r4 item #9).
+        ds = embedding_like_adversarial(N, DIM, N_QUERIES, metric=METRIC)
+    elif N * DIM >= 2**28 and MODE.startswith("ivf"):
         # High-dim/large corpora generate on-device: the host generator
         # takes 8-14 min at 1M x 1536d on one core and the corpus would
         # then cost a 6 GB tunnel upload.
@@ -990,6 +996,8 @@ def main() -> None:
     }[MODE]
     if METRIC == "cosine":
         name += "_cos"
+    if os.environ.get("BENCH_ADVERSARIAL"):
+        name += "_adv"
     print(
         json.dumps(
             {

@@ -138,6 +138,81 @@ def embedding_like(
     )
 
 
+def embedding_like_adversarial(
+    n: int,
+    dim: int,
+    n_queries: int,
+    latent: int = 64,
+    seed: int = 42,
+    metric: str = "euclidean",
+) -> AnnDataset:
+    """Worst-case generator (VERDICT r4 item #9): evidence the engines
+    don't depend on the friendly balanced mixture of :func:`embedding_like`.
+
+    Stresses, each targeting a specific engine weakness:
+      - **Zipf cluster sizes** (s=1.3): a few giant clusters + a long tail
+        of tiny ones — k-means partitions and slab capacity packing see
+        heavy spill; graph builds see hub regions.
+      - **10x density imbalance**: per-cluster spread varies log-uniformly,
+        so a global probe/beam budget that works for dense regions starves
+        sparse ones.
+      - **Near-duplicate groups** (5% of points are jittered copies of
+        others at ~1e-3 relative distance): quantizer codes collide, top-k
+        ties stress dedup, GT is ambiguous at machine precision.
+      - **Boundary queries** (half the test set interpolates between two
+        cluster centers): the nearest neighbours split across partitions,
+        the worst case for any single-assignment traversal.
+    """
+    rng = np.random.default_rng(seed)
+    latent = min(latent, dim)
+    n_clusters = max(n // 100, 4)
+    centers = rng.standard_normal((n_clusters, latent), dtype=np.float32)
+    a = rng.standard_normal((dim, latent), dtype=np.float32)
+    q_, _ = np.linalg.qr(a)
+    emb = q_.astype(np.float32)
+    # Zipf cluster mass + per-cluster spread in [0.2, 2.0]
+    mass = 1.0 / np.arange(1, n_clusters + 1) ** 1.3
+    mass = mass / mass.sum()
+    spreads = np.exp(
+        rng.uniform(np.log(0.2), np.log(2.0), n_clusters)
+    ).astype(np.float32)
+
+    def sample(m: int, seed_off: int, boundary_frac: float = 0.0) -> np.ndarray:
+        r2 = np.random.default_rng(seed + seed_off)
+        assign = r2.choice(n_clusters, m, p=mass)
+        z = centers[assign] + spreads[assign, None] * r2.standard_normal(
+            (m, latent), dtype=np.float32
+        )
+        if boundary_frac > 0:
+            nb = int(m * boundary_frac)
+            a1 = r2.choice(n_clusters, nb, p=mass)
+            a2 = r2.choice(n_clusters, nb, p=mass)
+            t = r2.uniform(0.35, 0.65, nb).astype(np.float32)[:, None]
+            z[:nb] = (
+                (1 - t) * centers[a1] + t * centers[a2]
+                + 0.3 * r2.standard_normal((nb, latent), dtype=np.float32)
+            )
+        x = z @ emb.T + 0.25 * r2.standard_normal((m, dim), dtype=np.float32)
+        return x.astype(np.float32)
+
+    train = sample(n, 1)
+    # Near-duplicate groups: overwrite 5% of rows with jittered copies
+    n_dup = n // 20
+    src = rng.integers(0, n, n_dup)
+    dst = rng.integers(0, n, n_dup)
+    scale = np.maximum(np.linalg.norm(train[src], axis=1, keepdims=True), 1e-6)
+    train[dst] = train[src] + 1e-3 * scale * rng.standard_normal(
+        (n_dup, dim)
+    ).astype(np.float32)
+    test = sample(n_queries, 2, boundary_frac=0.5)
+    if metric == "cosine":
+        train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+        test = test / np.maximum(np.linalg.norm(test, axis=1, keepdims=True), 1e-12)
+    return AnnDataset(
+        name=f"adversarial-{n}x{dim}", metric=metric, train=train, test=test
+    )
+
+
 def embedding_like_views(
     n: int,
     dims: list[int],

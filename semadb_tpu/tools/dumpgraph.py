@@ -13,6 +13,7 @@ import sys
 import numpy as np
 
 from semadb_tpu.index.manager import IndexManager
+from semadb_tpu.shard import snapshot as snap
 from semadb_tpu.shard.shard import _unpack_arrays
 from semadb_tpu.store.diskstore import open_store
 
@@ -23,10 +24,17 @@ def dump_graph(store_path: str, prop: str, out_path: str = "") -> int:
     rows = []
 
     def reader(bm):
-        raw = bm.get(name).get(b"_deviceState")
-        if raw is None:
-            raise SystemExit(f"no vamana state for property {prop} in {store_path}")
-        arrays = _unpack_arrays(raw)
+        bucket = bm.get(name)
+        # Chunked incremental snapshot (current format), falling back to
+        # the legacy single-blob `_deviceState` key for old shard files.
+        arrays = snap.read_snapshot(bucket)
+        if arrays is None:
+            raw = bucket.get(b"_deviceState")
+            if raw is None:
+                raise SystemExit(
+                    f"no vamana state for property {prop} in {store_path}"
+                )
+            arrays = _unpack_arrays(raw)
         adj = arrays["adjacency"]
         exists = arrays["exists"]
         for nid in np.nonzero(exists)[0]:

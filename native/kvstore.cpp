@@ -211,6 +211,51 @@ int64_t sdb_get(Store* s, const char* bucket, const char* key, uint32_t klen,
 
 void sdb_free(void* p) { free(p); }
 
+// Batched get of nk fixed-length keys (klen bytes each, concatenated in
+// keys). All present values are copied into ONE malloc'd buffer (*out,
+// released with sdb_free); lens[i] receives value i's length, or -1 when
+// key i is absent. Returns total value bytes, or -1 on allocation
+// failure. One mutex acquisition + one Python->C crossing for the whole
+// batch — the search result backfill path reads tens of thousands of
+// point records per request batch (shard.go:350-371 analog), and
+// per-key sdb_get calls were measured at ~10us of ctypes overhead each.
+int64_t sdb_multi_get(Store* s, const char* bucket, const char* keys,
+                      uint32_t klen, uint32_t nk, char** out,
+                      int64_t* lens) {
+  std::lock_guard<std::mutex> g(s->mu);
+  auto it = s->buckets.find(bucket);
+  if (it == s->buckets.end()) {
+    for (uint32_t i = 0; i < nk; i++) lens[i] = -1;
+    *out = (char*)malloc(1);
+    return *out ? 0 : -1;
+  }
+  auto& data = it->second.data;
+  std::vector<const std::string*> vals(nk, nullptr);
+  int64_t total = 0;
+  std::string k;
+  for (uint32_t i = 0; i < nk; i++) {
+    k.assign(keys + (size_t)i * klen, klen);
+    auto kit = data.find(k);
+    if (kit == data.end()) {
+      lens[i] = -1;
+      continue;
+    }
+    vals[i] = &kit->second;
+    lens[i] = (int64_t)kit->second.size();
+    total += lens[i];
+  }
+  char* buf = (char*)malloc(total ? (size_t)total : 1);
+  if (!buf) return -1;
+  char* p = buf;
+  for (uint32_t i = 0; i < nk; i++) {
+    if (!vals[i]) continue;
+    memcpy(p, vals[i]->data(), vals[i]->size());
+    p += vals[i]->size();
+  }
+  *out = buf;
+  return total;
+}
+
 int sdb_commit(Store* s) {
   std::lock_guard<std::mutex> g(s->mu);
   if (s->log) {

@@ -668,8 +668,20 @@ class ClusterNode:
 
         def do_search(sid: str):
             try:
+                owner = self._owner(sid)
+                if owner == self.my_hostname:
+                    # Self-route without the wire codec (rpchandlers.go:49-51:
+                    # local handlers receive the structs directly — only
+                    # remote calls pay serialization).
+                    with observe_rpc("SearchPoints"):
+                        out = self.shard_manager.do_with_shard(
+                            col, sid, lambda s: s.search_points(shard_sr)
+                        )
+                    with lock:
+                        results.extend(out)
+                    return
                 resp = self._call(
-                    self._owner(sid),
+                    owner,
                     "SearchPoints",
                     {
                         "collection": col.to_dict(),
@@ -729,8 +741,19 @@ class ClusterNode:
 
         def do_search(sid: str):
             try:
+                owner = self._owner(sid)
+                if owner == self.my_hostname:
+                    # Self-route without the wire codec (rpchandlers.go:49-51)
+                    with observe_rpc("SearchPointsBatch"):
+                        out = self.shard_manager.do_with_shard(
+                            col, sid, lambda s: s.search_points_batch(shard_srs)
+                        )
+                    with lock:
+                        for qi, pts in enumerate(out):
+                            merged[qi].extend(pts)
+                    return
                 resp = self._call(
-                    self._owner(sid),
+                    owner,
                     "SearchPointsBatch",
                     {
                         "collection": col.to_dict(),

@@ -207,6 +207,9 @@ class V1Handlers:
                     },
                 },
                 "limit": max(min(limit, 75), 1),
+                # handlers.go:555 — v1 selects metadata explicitly; without
+                # a select, the shard returns id/distance only.
+                "select": ["metadata"],
             }
         )
         try:
@@ -216,7 +219,9 @@ class V1Handlers:
         results = self.node.search_points(col, sr)
         out = []
         for r in results:
-            m = r.point.as_map() if r.point is not None else {}
+            m = r.decoded_data if r.decoded_data is not None else (
+                r.point.as_map() if r.point is not None else {}
+            )
             out.append(
                 {
                     "id": str(r.point.id) if r.point else "",

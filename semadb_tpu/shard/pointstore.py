@@ -67,6 +67,45 @@ def get_point_by_node_id(
     return ShardPoint(point=Point(id=pid, data=data), node_id=node_id)
 
 
+def _uuid_from_bytes(raw: bytes) -> uuid_mod.UUID:
+    """UUID constructed without ``UUID.__init__``'s kwarg dispatch and
+    validation (~7us -> ~1us): the bytes come straight from our own
+    ``n<id>i`` records, which ``set_point`` only ever writes from a valid
+    UUID. The search backfill constructs tens of thousands per batch."""
+    u = uuid_mod.UUID.__new__(uuid_mod.UUID)
+    object.__setattr__(u, "int", int.from_bytes(raw, "big"))
+    object.__setattr__(u, "is_safe", uuid_mod.SafeUUID.unknown)
+    return u
+
+
+def get_points_by_node_ids(
+    bucket: Bucket, node_ids, with_data: bool = True
+) -> list:
+    """Batched ``get_point_by_node_id``: one ``multi_get`` for all the id
+    records (+ one for data when requested) instead of 2 bucket gets per
+    point. Returns a list aligned with ``node_ids`` whose entries are
+    ``ShardPoint`` or ``None`` for ids with no committed point record
+    (the tolerant-resolution case in Shard.search_points_batch).
+    Reference analog: the per-result GetPointByNodeId loop of
+    shard.go:350-371 — batched here because Python per-call overhead is
+    ~10us where Go's is nanoseconds."""
+    id_keys = [node_key(nid, b"i") for nid in node_ids]
+    raws = bucket.multi_get(id_keys)
+    datas = None
+    if with_data:
+        datas = bucket.multi_get([node_key(nid, b"d") for nid in node_ids])
+    out = []
+    for i, (nid, raw) in enumerate(zip(node_ids, raws)):
+        if raw is None:
+            out.append(None)
+            continue
+        data = (datas[i] or b"") if with_data else b""
+        out.append(
+            ShardPoint(point=Point(id=_uuid_from_bytes(raw), data=data), node_id=nid)
+        )
+    return out
+
+
 def delete_point(bucket: Bucket, sp: ShardPoint) -> None:
     bucket.delete(node_key(sp.node_id, b"i"))
     bucket.delete(node_key(sp.node_id, b"d"))

@@ -387,38 +387,53 @@ class Shard:
             b_points = bm.get(pointstore.POINTS_BUCKET_NAME)
             im = IndexManager(bm, self.collection.index_schema, self.device_indices)
             pairs = im.search_batch([r.query for r in requests])
-            with_data = True
+            # Reference parity (shard.go:352): point DATA is fetched only
+            # when the request selects fields (we also fetch it for sort,
+            # which needs data values — a conservative superset). Requests
+            # without select get _id/_distance/_score only, which is also
+            # what makes the id-only ANN serving shape cheap.
+            wd = [bool(req.select) or bool(req.sort) for req in requests]
+            # Flatten (request, ranked-result|None, node id) preserving
+            # per-request order: ranked results first, then anything left
+            # in the result set appended unranked (shard.go:350-371).
+            flat: List[tuple] = []
             for oi, (rset, results) in enumerate(pairs):
-                # Backfill UUID + data for ordered results; anything left
-                # in the result set but not in ordered results is appended
-                # unranked (shard.go:350-371)
                 covered = set()
-                out = batched[oi]
-                # Tolerant resolution: the device index is shared and
-                # mutated in place by a concurrent write TRANSACTION, so a
-                # search can surface a node id whose point record hasn't
-                # committed to the store yet (the reference can't hit this
-                # — its index and pointstore share one bbolt snapshot).
-                # Such ids are dropped from this result set; they become
-                # visible the moment the writer commits. Deletes are the
-                # mirror case (index entry gone first) and already
-                # invisible to search.
                 for r in results:
-                    try:
-                        sp = pointstore.get_point_by_node_id(
-                            b_points, r.node_id, with_data
-                        )
-                    except NotFoundError:
-                        continue
-                    r.point = sp.point
+                    flat.append((oi, r, r.node_id))
                     covered.add(r.node_id)
-                    out.append(r)
                 for nid in sorted(rset - covered):
-                    try:
-                        sp = pointstore.get_point_by_node_id(b_points, nid, with_data)
-                    except NotFoundError:
-                        continue
-                    out.append(SearchResult(point=sp.point, node_id=nid))
+                    flat.append((oi, None, nid))
+            # Batched backfill: one multi_get for all id records (+ one
+            # for data) instead of 2 bucket gets per result — the hot
+            # host-side cost of the serving path on a 1-vCPU box.
+            id_raws = b_points.multi_get(
+                [pointstore.node_key(nid, b"i") for (_, _, nid) in flat]
+            )
+            data_keys = [
+                pointstore.node_key(nid, b"d")
+                for (oi, _, nid) in flat
+                if wd[oi]
+            ]
+            data_raws = iter(b_points.multi_get(data_keys))
+            # Tolerant resolution: the device index is shared and mutated
+            # in place by a concurrent write TRANSACTION, so a search can
+            # surface a node id whose point record hasn't committed to
+            # the store yet (the reference can't hit this — its index and
+            # pointstore share one bbolt snapshot). Such ids are dropped
+            # from this result set; they become visible the moment the
+            # writer commits. Deletes are the mirror case (index entry
+            # gone first) and already invisible to search.
+            for (oi, r, nid), raw in zip(flat, id_raws):
+                data = (next(data_raws) or b"") if wd[oi] else b""
+                if raw is None:
+                    continue
+                point = Point(id=pointstore._uuid_from_bytes(raw), data=data)
+                if r is not None:
+                    r.point = point
+                    batched[oi].append(r)
+                else:
+                    batched[oi].append(SearchResult(point=point, node_id=nid))
 
         # shard.go:460 logs search duration
         with LOG.timed("search points", n=len(requests)):

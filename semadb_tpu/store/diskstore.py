@@ -45,6 +45,11 @@ class Bucket:
     def get(self, key: bytes) -> Optional[bytes]:
         return self._data.get(key)
 
+    def multi_get(self, keys) -> list:
+        """Batched get (native backend does this in one C call)."""
+        g = self._data.get
+        return [g(k) for k in keys]
+
     def put(self, key: bytes, value: bytes) -> None:
         if self._read_only:
             raise RuntimeError("bucket is read-only")

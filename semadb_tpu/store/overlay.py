@@ -47,6 +47,19 @@ class OverlayBucket:
             return v  # type: ignore[return-value]
         return self._base_get(key)
 
+    def multi_get(self, keys) -> list:
+        """Batched get honoring staged overlay state."""
+        out = []
+        for k in keys:
+            v = self._overlay.get(k, None)
+            if v is _TOMBSTONE:
+                out.append(None)
+            elif v is not None:
+                out.append(v)
+            else:
+                out.append(self._base_get(k))
+        return out
+
     def put(self, key: bytes, value: bytes) -> None:
         if self._read_only:
             raise RuntimeError("bucket is read-only")

@@ -162,6 +162,7 @@ def test_insert_search_update_delete_roundtrip(tmp_path):
                 },
             },
             "limit": 5,
+            "select": ["*"],
         }
     )
     res = node.search_points(col2, sr)
@@ -207,6 +208,7 @@ def test_multi_shard_distribution(tmp_path):
                 },
             },
             "limit": 10,
+            "select": ["*"],
         }
     )
     res = node.search_points(col, sr)
@@ -263,6 +265,7 @@ def test_two_node_network(tmp_path):
                     },
                 },
                 "limit": 3,
+                "select": ["*"],
             }
         )
         res = node_b.search_points(col, sr)

@@ -67,6 +67,7 @@ def search_req(x, limit=5):
                 },
             },
             "limit": limit,
+            "select": ["*"],
         }
     )
 
@@ -295,6 +296,7 @@ def test_parallel_subquery_fanout_deterministic():
                 ],
             },
             "limit": 10,
+            "select": ["*"],
         }
     )
     results = []

@@ -149,6 +149,7 @@ def test_point_crud_and_search(server):
                 },
             },
             "limit": 3,
+            "select": ["*"],
         },
         headers=HEADERS,
     )
@@ -299,7 +300,8 @@ def test_haversine_e2e(server):
             opts["searchSize"] = 36
         r = requests.post(
             f"{server}/v2/collections/geo/points/search",
-            json={"query": {"property": prop, opts_key: opts}, "limit": 3},
+            json={"query": {"property": prop, opts_key: opts}, "limit": 3,
+                  "select": ["*"]},
             headers=HEADERS,
         )
         assert r.status_code == 200, r.text
@@ -415,7 +417,7 @@ def test_batch_search(server):
                    "vectorVamana": {"vector": [float(i), float(i)],
                                      "operator": "near", "searchSize": 36,
                                      "limit": 3}},
-         "limit": 3}
+         "limit": 3, "select": ["*"]}
         for i in (3, 17, 31)
     ]
     rb = requests.post(
@@ -447,7 +449,7 @@ def test_batch_search(server):
         queries[0],
         {"query": {"property": "size",
                    "integer": {"operator": "equals", "value": 17}},
-         "limit": 5},
+         "limit": 5, "select": ["*"]},
     ]
     rm = requests.post(
         f"{server}/v2/collections/bat/points/search/batch",
@@ -481,6 +483,7 @@ def test_packed_vector_query(server):
                   "vectorVamana": {"vector": qv.tobytes(), "operator": "near",
                                     "searchSize": 36, "limit": 3}},
         "limit": 3,
+        "select": ["*"],
     })
     h = dict(HEADERS, **{"Content-Type": "application/msgpack",
                          "Accept": "application/msgpack"})

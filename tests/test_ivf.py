@@ -290,6 +290,7 @@ def test_shard_and_http_integration(tmp_path):
                     },
                 },
                 "limit": 3,
+                "select": ["*"],
             },
             headers=H,
         )

@@ -130,6 +130,7 @@ def test_update_merge_and_tombstone():
                     "string": {"value": "delta", "operator": "equals"},
                 },
                 "limit": 10,
+                "select": ["*"],
             }
         )
     )
@@ -173,6 +174,7 @@ def test_hybrid_and_search():
                 ],
             },
             "limit": 10,
+            "select": ["*"],
         }
     )
     res = shard.search_points(req)
@@ -201,6 +203,7 @@ def test_or_query_score_fusion():
                 ],
             },
             "limit": 10,
+            "select": ["*"],
         }
     )
     res = shard.search_points(req)
@@ -223,6 +226,7 @@ def test_text_search():
                 },
             },
             "limit": 5,
+            "select": ["*"],
         }
     )
     res = shard.search_points(req)
@@ -241,6 +245,7 @@ def test_string_array_and_filters():
                 "stringArray": {"value": ["l1"], "operator": "containsAny"},
             },
             "limit": 100,
+            "select": ["*"],
         }
     )
     res = shard.search_points(req)
@@ -264,6 +269,7 @@ def test_string_array_and_filters():
                 },
             },
             "limit": 10,
+            "select": ["*"],
         }
     )
     res2 = shard.search_points(req2)
@@ -282,6 +288,7 @@ def test_range_queries():
                 "float": {"value": 2.0, "endValue": 4.0, "operator": "inRange"},
             },
             "limit": 100,
+            "select": ["*"],
         }
     )
     res = shard.search_points(req)

@@ -139,6 +139,7 @@ def test_filtered_fused_search():
                     },
                 ),
                 "limit": 5,
+                "select": ["*"],
             }
         )
     )

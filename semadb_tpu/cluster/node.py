@@ -838,6 +838,15 @@ def curate_failed_points(
     return [FailedPoint(id=i, error=err) for i in all_ids if i not in success]
 
 
+def _vec_wire(v) -> bytes:
+    """Wire encoding of a query vector: packed little-endian f32 bytes.
+    ``decode_vector`` on the receiving side accepts this form natively,
+    and it is both smaller (4 B/component vs a msgpack float box) and
+    decode-free (one frombuffer) — the measured host cost of list-form
+    vectors dominated batched RPC fan-out on a 1-vCPU node."""
+    return np.asarray(v, dtype="<f4").tobytes()
+
+
 def _search_request_to_dict(sr: SearchRequest) -> dict:
     """Wire encoding of a SearchRequest (query AST round-trip)."""
 
@@ -846,7 +855,7 @@ def _search_request_to_dict(sr: SearchRequest) -> dict:
         if q.vector_vamana is not None:
             o = q.vector_vamana
             out["vectorVamana"] = {
-                "vector": list(o.vector), "operator": o.operator,
+                "vector": _vec_wire(o.vector), "operator": o.operator,
                 "searchSize": o.search_size, "limit": o.limit,
                 **({"filter": q_to_dict(o.filter)} if o.filter else {}),
                 **({"weight": o.weight} if o.weight is not None else {}),
@@ -854,14 +863,14 @@ def _search_request_to_dict(sr: SearchRequest) -> dict:
         if q.vector_flat is not None:
             o = q.vector_flat
             out["vectorFlat"] = {
-                "vector": list(o.vector), "operator": o.operator, "limit": o.limit,
+                "vector": _vec_wire(o.vector), "operator": o.operator, "limit": o.limit,
                 **({"filter": q_to_dict(o.filter)} if o.filter else {}),
                 **({"weight": o.weight} if o.weight is not None else {}),
             }
         if q.vector_ivf is not None:
             o = q.vector_ivf
             out["vectorIVF"] = {
-                "vector": list(o.vector), "operator": o.operator, "limit": o.limit,
+                "vector": _vec_wire(o.vector), "operator": o.operator, "limit": o.limit,
                 **({"numProbes": o.num_probes} if o.num_probes else {}),
                 **({"filter": q_to_dict(o.filter)} if o.filter else {}),
                 **({"weight": o.weight} if o.weight is not None else {}),
@@ -869,7 +878,7 @@ def _search_request_to_dict(sr: SearchRequest) -> dict:
         if q.vector_fused is not None:
             o = q.vector_fused
             out["vectorFused"] = {
-                "vectors": [list(v) for v in o.vectors], "operator": o.operator,
+                "vectors": [_vec_wire(v) for v in o.vectors], "operator": o.operator,
                 "limit": o.limit,
                 **({"weights": [float(w) for w in o.weights]} if o.weights else {}),
                 **({"numProbes": o.num_probes} if o.num_probes else {}),

@@ -44,6 +44,19 @@ OP_DELETE = "delete"
 OP_SKIP = "skip"
 
 
+def _filters_equal(a, b) -> bool:
+    """Structural equality of two optional filter Query trees, tolerant of
+    ndarray vector fields (packed wire vectors decode to numpy arrays,
+    whose ``==`` is elementwise): an ambiguous comparison just means the
+    batch falls back to the per-query path — correct, only slower."""
+    if a is None or b is None:
+        return a is b
+    try:
+        return bool(a == b)
+    except ValueError:
+        return False
+
+
 def get_operation(prop: str, prev_data: Optional[bytes], new_data: Optional[bytes]):
     """(prev_value, new_value, op) for one property (utils.go:38-69)."""
     prev = access_nested(decode_point_data(prev_data), prop) if prev_data else None
@@ -366,22 +379,28 @@ class IndexManager:
                 )
             else:
                 d, i = idx.search_batch(vecs, k=o0.limit, filter_mask=filter_mask)
+        # One bulk device→host conversion + tolist(): iterating numpy rows
+        # boxes every element into a np scalar (~5× the cost of a Python
+        # float loop), measurable at 10k results per 1024-query batch on
+        # the 1-vCPU serving host.
+        d_host = np.asarray(d)
+        i_host = np.asarray(i)
+        valid = (i_host >= 0) & np.isfinite(d_host)
+        d_list = d_host.tolist()
+        i_list = i_host.tolist()
+        v_list = valid.tolist()
         out: List[Tuple[Set[int], List[SearchResult]]] = []
         for b, o in enumerate(opts_list):
             w = o.weight if o.weight is not None else 1.0
-            rset: Set[int] = set()
-            results: List[SearchResult] = []
-            for dist, nid in zip(d[b], i[b]):
-                if nid < 0 or not np.isfinite(dist):
-                    continue
-                rset.add(int(nid))
-                results.append(
-                    SearchResult(
-                        point=None, node_id=int(nid),
-                        distance=float(dist), hybrid_score=-float(dist) * w,
-                    )
+            results: List[SearchResult] = [
+                SearchResult(
+                    point=None, node_id=nid,
+                    distance=dist, hybrid_score=-dist * w,
                 )
-            out.append((rset, results))
+                for dist, nid, ok in zip(d_list[b], i_list[b], v_list[b])
+                if ok
+            ]
+            out.append(({r.node_id for r in results}, results))
         return out
 
     def _batch_plan(self, queries: List[Query]):
@@ -413,7 +432,7 @@ class IndexManager:
             same = (
                 o.limit == o0.limit
                 and o.weight == o0.weight
-                and o.filter == o0.filter  # dataclass structural equality
+                and _filters_equal(o.filter, o0.filter)
                 and getattr(o, "search_size", 0) == getattr(o0, "search_size", 0)
                 and getattr(o, "num_probes", 0) == getattr(o0, "num_probes", 0)
                 and getattr(o, "weights", None) == getattr(o0, "weights", None)

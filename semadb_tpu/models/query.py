@@ -14,17 +14,20 @@ from semadb_tpu.models import constants as C
 from semadb_tpu.models.errors import ValidationError
 
 
-def decode_vector(v) -> list:
+def decode_vector(v):
     """Accept a query vector as a JSON/msgpack float list OR packed
     little-endian f32 bytes (msgpack ``bin``). The packed form is the
     fast wire encoding for batched search: 1024 x 128-d query vectors
     decode with one ``frombuffer`` instead of 131k float boxes
     (beyond-reference; the reference only takes float arrays,
-    models/search.go)."""
+    models/search.go). The packed path keeps the numpy array end to
+    end — ``np.asarray``/``np.stack`` on it is free, where a per-query
+    list→array conversion measured ~0.2 ms on the 1-vCPU serving host
+    (the dominant host cost of a 1024-query batch call)."""
     if isinstance(v, (bytes, bytearray, memoryview)):
         import numpy as _np
 
-        return _np.frombuffer(bytes(v), dtype="<f4").tolist()
+        return _np.frombuffer(bytes(v), dtype="<f4")
     return list(v)
 
 

@@ -775,6 +775,112 @@ def _run_write(jax) -> None:
     )
 
 
+def _run_text(jax) -> None:
+    """Full-text TF-IDF ingest + search at ≥100k docs through the real
+    Shard write/read path (host-side engine, no device). The corpus is
+    Zipf-distributed over a 20k-word vocabulary (natural-language shape:
+    a few very common terms, a long rare tail) so the queries exercise
+    both wide postings (common-term containsAny forces TF-IDF scoring
+    over tens of thousands of candidate docs — the text.go:353-372
+    analog cost) and selective ones. Reference rows have no text perf
+    numbers; the contract is text.go parity behavior at scale."""
+    import tempfile
+    import uuid as uuid_mod
+
+    import numpy as np
+
+    from semadb_tpu.models.collection import Collection, UserPlan
+    from semadb_tpu.models.point import Point
+    from semadb_tpu.models.query import SearchRequest
+    from semadb_tpu.models.schema import IndexSchema
+    from semadb_tpu.shard.shard import Shard
+    from semadb_tpu.store.diskstore import open_store
+
+    def stage(msg):
+        print(f"# text {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+    n = N if N != 1_000_000 else 100_000  # text default: 100k docs
+    V = 20_000
+    L = 12  # terms per doc
+    rng = np.random.default_rng(7)
+    # Zipf ranks over the vocab (s≈1.1), pre-drawn as one matrix
+    ranks = rng.zipf(1.1, size=(n, L)).astype(np.int64)
+    ranks = np.minimum(ranks - 1, V - 1)
+    stage(f"corpus drawn ({n} docs x {L} terms, vocab {V})")
+
+    schema = IndexSchema.from_dict(
+        {"body": {"type": "text", "text": {"analyser": "standard"}}}
+    )
+    col = Collection(
+        user_id="bench", id="textb", index_schema=schema, user_plan=UserPlan()
+    )
+    tmp = tempfile.mkdtemp(prefix="textbench")
+    shard = Shard(open_store(os.path.join(tmp, "sharddb")), col)
+
+    words = [f"w{i}" for i in range(V)]
+    t0 = time.time()
+    B = 10_000  # batch per write txn: measures per-txn cache reconstruction
+    for lo in range(0, n, B):
+        pts = [
+            Point.from_map(
+                {"body": " ".join(words[r] for r in ranks[i])},
+                uuid_mod.UUID(int=i + 1),
+            )
+            for i in range(lo, min(lo + B, n))
+        ]
+        shard.insert_points(pts)
+    ingest_s = time.time() - t0
+    stage(f"ingest done {ingest_s:.1f}s ({n / ingest_s:.0f} docs/s, {n // B} txns)")
+
+    def run_queries(qs, tag):
+        t0 = time.time()
+        total = 0
+        for q in qs:
+            res = shard.search_points(SearchRequest.from_dict(
+                {"query": {"property": "body", "text": q}, "limit": 10}
+            ))
+            total += len(res)
+        wall = time.time() - t0
+        stage(f"{tag}: {len(qs) / wall:.1f} qps ({total} results)")
+        return len(qs) / wall
+
+    # Common terms (ranks 0-9 appear in ~half the docs): worst-case TF-IDF
+    # scoring breadth. Mid terms (ranks 100-999): typical queries.
+    common = [
+        {"value": f"{words[a]} {words[b]}", "operator": "containsAny", "limit": 10}
+        for a in range(4) for b in range(4, 8)
+    ]
+    mid_pairs = rng.integers(100, 1000, size=(400, 2))
+    mid_any = [
+        {"value": f"{words[a]} {words[b]}", "operator": "containsAny", "limit": 10}
+        for a, b in mid_pairs
+    ]
+    mid_all = [
+        {"value": f"{words[a]} {words[b]}", "operator": "containsAll", "limit": 10}
+        for a, b in mid_pairs
+    ]
+    qps_common = run_queries(common, "containsAny common (wide postings)")
+    qps_any = run_queries(mid_any, "containsAny mid")
+    qps_all = run_queries(mid_all, "containsAll mid")
+    shard.close()
+    print(
+        json.dumps(
+            {
+                "metric": f"text{n//1000}k_v{V//1000}k_search_qps",
+                "value": round(qps_any, 1),
+                "unit": "qps",
+                "vs_baseline": 0,
+                "ingest_docs_per_s": round(n / ingest_s, 1),
+                "qps_containsAny_common": round(qps_common, 1),
+                "qps_containsAny_mid": round(qps_any, 1),
+                "qps_containsAll_mid": round(qps_all, 1),
+                "n_docs": n,
+                "platform": "host",
+            }
+        )
+    )
+
+
 def _run_shardwrite(jax) -> None:
     """PRODUCT-path sustained writes with durability ENABLED (VERDICT r3
     weak #2 'done' criterion): 1k-point insert transactions through a real
@@ -938,6 +1044,12 @@ def main() -> None:
         setup_logging(debug=False, pretty=True)
         for name in ("ivf", "vamana", "fused", "shard", "kmeans"):
             logging.getLogger(name).setLevel(logging.DEBUG)
+    if MODE == "text":
+        # Host-only engine: run on the CPU backend and skip the TPU
+        # preflight so a text bench never claims (or waits on) the chip.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        _run_text(None)
+        return
     _preflight()
     import jax
 

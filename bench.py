@@ -1101,6 +1101,7 @@ def main() -> None:
         ds, k=10, batch=QUERY_BATCH, query_search_size=SEARCH_L,
         quantizer=_quantizer(), engine=engine,
         gt_queries=GT_QUERIES, num_probes=PROBES, sweep_ops=sweep_ops,
+        assign_copies=int(os.environ.get("BENCH_COPIES", 2)),
     )
     name = {
         "ivf": "ivf", "ivfpq": "ivfpq", "plain": "vamana",

@@ -37,6 +37,26 @@ from semadb_tpu.models.schema import VectorVamanaParams
 # parallel-batch approximation of sequential insertion stays benign.
 INSERT_CHUNK = 512
 
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=("metric", "s"))
+def _route_seeds(cents, reps, exists, q, metric: str, s: int):
+    """Per-query entry seeds: the live representatives of the ``s``
+    nearest pool-build clusters — one [B, C] MXU contraction + top_k.
+    Dead representatives (deleted since the build) degrade to NIL seeds,
+    which the beam search ignores."""
+    from semadb_tpu.ops.distance import pairwise_distance
+
+    d = pairwise_distance(q, cents, metric)  # [B, C]
+    _, top = _jax.lax.top_k(-d, s)
+    seeds = reps[top]  # [B, s]
+    ok = exists[jnp.clip(seeds, 0, exists.shape[0] - 1)] & (seeds >= 0)
+    return jnp.where(ok, seeds, NIL)
+
 import os as _os
 
 # Two-pass bulk build (DiskANN's canonical schedule): pass 1 builds the
@@ -99,6 +119,14 @@ class IndexVamana:
         # entry points alongside the start node — cuts the initial descent
         # hops (the start node is a random unit vector, far from the data).
         self._entry_seeds: Optional[np.ndarray] = None
+        # Query-routed entry (pool builds): k-means centroids + one live
+        # representative node per cluster. Searches seed their beam at the
+        # nearest clusters' representatives (one [B, C] matmul), so deep
+        # recall rests on LOCAL graph quality instead of long-range
+        # navigation from the start node — the TPU-idiomatic replacement
+        # for the navigable-highway edges an incremental beam build grows
+        # (vamana.go:93-120's random start + organic backedges).
+        self._route: Optional[tuple] = None  # (cents f32[C,D], reps i32[C])
         # Dirty-row tracking for incremental snapshots (shard/snapshot.py).
         from semadb_tpu.utils.dirty import DirtyTracker
 
@@ -111,18 +139,25 @@ class IndexVamana:
             "adjacency": np.asarray(self.state.adjacency),
             "exists": np.asarray(self.state.exists),
         }
+        if self._route is not None:
+            out["route_cents"] = np.asarray(self._route[0])
+            out["route_reps"] = np.asarray(self._route[1])
         out["store"] = self.store.to_arrays()
         return out
 
     def device_arrays(self) -> dict:
         """Device-resident snapshot view (no readback) for the incremental
         snapshot writer (shard/snapshot.py)."""
-        return {
+        out = {
             "vectors": self.state.vectors,
             "adjacency": self.state.adjacency,
             "exists": self.state.exists,
             "store": self.store.device_arrays(),
         }
+        if self._route is not None:
+            out["route_cents"] = self._route[0]
+            out["route_reps"] = self._route[1]
+        return out
 
     @classmethod
     def from_arrays(cls, params: VectorVamanaParams, arrays: dict) -> "IndexVamana":
@@ -132,6 +167,11 @@ class IndexVamana:
             adjacency=jnp.asarray(arrays["adjacency"]),
             exists=jnp.asarray(arrays["exists"]),
         )
+        if "route_cents" in arrays:
+            idx._route = (
+                jnp.asarray(arrays["route_cents"]),
+                jnp.asarray(arrays["route_reps"]),
+            )
         if "store" in arrays:
             idx.store.load_arrays(arrays["store"])
         # Loaded state matches the snapshot it came from: nothing dirty.
@@ -449,12 +489,13 @@ class IndexVamana:
                     qcodes, ((0, self.state.capacity - qcodes.shape[0]), (0, 0))
                 )
             qquery = self.store.prepare_queries(q)
-        seeds = self._get_entry_seeds()
-        seed_arr = None
-        if seeds is not None:
-            seed_arr = jnp.broadcast_to(
-                jnp.asarray(seeds, jnp.int32)[None, :], (Bp, len(seeds))
-            )
+        seed_arr = self._routed_seed_arr(q)
+        if seed_arr is None:
+            seeds = self._get_entry_seeds()
+            if seeds is not None:
+                seed_arr = jnp.broadcast_to(
+                    jnp.asarray(seeds, jnp.int32)[None, :], (Bp, len(seeds))
+                )
         return search_mod.search(
             self.state, q, self.config, search_size, k,
             quant=quant, qcodes=qcodes, qquery=qquery, seed_ids=seed_arr,
@@ -510,6 +551,27 @@ class IndexVamana:
         return np.asarray(d)[:B], np.asarray(i)[:B]
 
     N_ENTRY_SEEDS = 16
+
+    N_ROUTE_SEEDS = 8
+
+    def set_query_routing(self, cents, reps) -> None:
+        """Install query-routed entry: ``cents`` f32[C, D] cluster
+        centroids (the pool build's k-means) and ``reps`` i32[C] one live
+        node id per cluster. Cleared by nothing — stale reps are masked
+        by the exists bits at query time, so incremental writes/deletes
+        only dilute routing quality, never correctness."""
+        self._route = (jnp.asarray(cents, jnp.float32), jnp.asarray(reps, jnp.int32))
+        self.dirty.all("route_cents")
+        self.dirty.all("route_reps")
+
+    def _routed_seed_arr(self, q) -> Optional[jnp.ndarray]:
+        if self._route is None:
+            return None
+        cents, reps = self._route
+        return _route_seeds(
+            cents, reps, self.state.exists, q, self.config.metric,
+            self.N_ROUTE_SEEDS,
+        )
 
     def _get_entry_seeds(self) -> Optional[np.ndarray]:
         if self._entry_seeds is None:

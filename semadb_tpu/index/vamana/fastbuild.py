@@ -137,8 +137,11 @@ def build_pools(
     vecs: jax.Array,  # f32[N, D] device-resident batch vectors
     metric: str,
     seed: int = 0,
-) -> tuple[jax.Array, jax.Array]:
-    """→ (pool_d f32[N, P], pool_i i32[N, P]) of BATCH indices, NIL-padded.
+):
+    """→ (pool_d f32[N, P], pool_i i32[N, P], cents f32[C, D]|None,
+    reps i32[C]|None). Pool entries are BATCH indices, NIL-padded;
+    ``reps[c]`` is one member batch index per cluster (the query-routing
+    representative) or NIL for empty clusters.
 
     P = ASSIGN_T·KNN_K + N_RAND. Runs entirely on device except the member
     grouping (one [N, T] readback + numpy segment packing).
@@ -161,7 +164,7 @@ def build_pools(
         pool_d, pool_i = _pool_rand(
             pool_d, pool_i, vecs, jnp.asarray(seed, jnp.int32), metric
         )
-        return pool_d, pool_i
+        return pool_d, pool_i, None, None
 
     C = max(16, n // MEMBER_TARGET)
     # Fit centroids on a strided subsample: pool quality only needs a
@@ -190,25 +193,63 @@ def build_pools(
     slot = np.zeros((C, m_max), np.int32)
     member[flat_c[order][keep], pos[keep]] = flat_p[order][keep]
     slot[flat_c[order][keep], pos[keep]] = flat_t[order][keep]
+    reps = member[:, 0].copy()  # one member per cluster (NIL when empty)
 
-    G = max(8, min(C, GROUP_BYTES // max(m_max * m_max * 4, 1)))
-    Cp = _round_up(C, G)
-    if Cp != C:
-        member = np.concatenate(
-            [member, np.full((Cp - C, m_max), NIL, np.int32)]
-        )
-        slot = np.concatenate([slot, np.zeros((Cp - C, m_max), np.int32)])
-    for g0 in range(0, Cp, G):
-        pool_d, pool_i = _pool_group(
-            pool_d, pool_i,
-            jnp.asarray(member[g0 : g0 + G]),
-            jnp.asarray(slot[g0 : g0 + G]),
-            vecs, metric, K,
-        )
+    # Size-bucketed dispatch: padding every cluster to the HEAVY-TAIL max
+    # wastes m_max²/m̄² of the pairwise matmul (measured 16× at 1M with
+    # T=3: m̄≈768, m_max=3072 → the pool stage alone cost 180 s). Buckets
+    # of power-of-two widths bound the padding waste at 2× for a handful
+    # of compile shapes.
+    eff = np.minimum(counts, m_max).astype(np.int64)
+    widths = []
+    w = 256
+    while w < m_max:
+        widths.append(w)
+        w *= 2
+    widths.append(m_max)
+    lo = 0
+    for w in widths:
+        sel = np.nonzero((eff > lo) & (eff <= w))[0]
+        lo = w
+        if len(sel) == 0:
+            continue
+        mb = member[sel, :w]
+        sb = slot[sel, :w]
+        G = max(8, min(len(sel), GROUP_BYTES // max(w * w * 4, 1)))
+        Cp = _round_up(len(sel), G)
+        if Cp != len(sel):
+            mb = np.concatenate([mb, np.full((Cp - len(sel), w), NIL, np.int32)])
+            sb = np.concatenate([sb, np.zeros((Cp - len(sel), w), np.int32)])
+        for g0 in range(0, Cp, G):
+            pool_d, pool_i = _pool_group(
+                pool_d, pool_i,
+                jnp.asarray(mb[g0 : g0 + G]),
+                jnp.asarray(sb[g0 : g0 + G]),
+                vecs, metric, min(K, w - 1) if w <= K else K,
+            )
     pool_d, pool_i = _pool_rand(
         pool_d, pool_i, vecs, jnp.asarray(seed, jnp.int32), metric
     )
-    return pool_d, pool_i
+    return pool_d, pool_i, np.asarray(cents), reps
+
+
+@functools.partial(jax.jit, static_argnames=("keep",), donate_argnums=(0, 1))
+def _truncate_pools(pool_d, pool_i, keep: int):
+    """Keep each point's ``keep`` nearest kNN-pool candidates plus the
+    trailing N_RAND random far columns. Rich pools (T=3/K=96) lift recall
+    through WHICH candidates survive, not how many the prune sees — the
+    insert passes cost ~linear in pool width (measured 60 → 208 s for
+    pass2 at P=144 → 304), so the width is cut back before inserting.
+    Duplicate ids across assignment slots carry identical distances and
+    collapse in the insert path's merge-dedup."""
+    n, P = pool_i.shape
+    nr = N_RAND
+    kd, kj = jax.lax.top_k(-pool_d[:, : P - nr], keep)
+    ki = jnp.take_along_axis(pool_i[:, : P - nr], kj, axis=1)
+    return (
+        jnp.concatenate([-kd, pool_d[:, P - nr :]], axis=1),
+        jnp.concatenate([ki, pool_i[:, P - nr :]], axis=1),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "e1", "e2"))
@@ -299,10 +340,19 @@ def bulk_build_pools(
         index.state = _adopt_vectors(
             index.state, jnp.asarray(ids32), vecs_dev
         )
-        pd_b, pi_b = build_pools(vecs_dev, config.metric)
+        pd_b, pi_b, cents, reps = build_pools(vecs_dev, config.metric)
         # Map batch indices → node ids
         ids_dev = jnp.asarray(ids32)
         pi_b = jnp.where(pi_b != NIL, ids_dev[jnp.clip(pi_b, 0, n - 1)], NIL)
+        if cents is not None:
+            # Query-routed entry: the pool k-means doubles as a coarse
+            # quantizer — searches seed at the nearest clusters' members
+            # instead of descending from the random start node.
+            rep_ids = np.where(reps != NIL, ids32[np.clip(reps, 0, n - 1)], NIL)
+            index.set_query_routing(cents, rep_ids.astype(np.int32))
+        trunc = int(os.environ.get("SEMADB_VAMANA_FB_TRUNC", 0))
+        if trunc and trunc + N_RAND < pd_b.shape[1]:
+            pd_b, pi_b = _truncate_pools(pd_b, pi_b, trunc)
 
     # Number of pass-2 rounds that expand pools through the current graph
     # (0 = one pass-2 round from the raw cluster pools, no expansion;

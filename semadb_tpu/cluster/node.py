@@ -18,6 +18,8 @@ from typing import Callable, Dict, List, Optional, Set, Tuple
 
 import msgpack
 
+import numpy as np
+
 from semadb_tpu.cluster.hashing import rendezvous_hash
 from semadb_tpu.cluster.metrics import count_point_op, observe_rpc
 from semadb_tpu.cluster.placement import ShardInfo, distribute_points
@@ -30,7 +32,7 @@ from semadb_tpu.models.errors import (
     QuotaReachedError,
     ShardUnavailableError,
 )
-from semadb_tpu.models.point import Point, SearchResult
+from semadb_tpu.models.point import Point, SearchResult, result_doc
 from semadb_tpu.models.query import SearchRequest
 from semadb_tpu.store.diskstore import open_store
 from semadb_tpu.utils.compare import sort_search_results
@@ -173,6 +175,7 @@ class ClusterNode:
             "DeletePoints": self._rpc_delete_points,
             "SearchPoints": self._rpc_search_points,
             "SearchPointsBatch": self._rpc_search_points_batch,
+            "SearchPointsBatchWire": self._rpc_search_points_batch_wire,
             "SendShard": self._rpc_send_shard,
         }
 
@@ -393,6 +396,17 @@ class ClusterNode:
         )
         return {"points": [_result_to_wire(r) for r in results]}
 
+    def _rpc_search_points_batch_wire(self, req: dict) -> dict:
+        """Wire-document batch search: the shard emits final user docs
+        (id-only fast path when the batch qualifies), so the caller
+        merges and returns them without any re-materialisation."""
+        col = Collection.from_dict(req["collection"])
+        srs = [SearchRequest.from_dict(d) for d in req["searchRequests"]]
+        results = self.shard_manager.do_with_shard(
+            col, req["shardId"], lambda s: s.search_points_batch_wire(srs)
+        )
+        return {"results": results}
+
     def _rpc_search_points_batch(self, req: dict) -> dict:
         col = Collection.from_dict(req["collection"])
         srs = [SearchRequest.from_dict(d) for d in req["searchRequests"]]
@@ -587,8 +601,6 @@ class ClusterNode:
         top-k merge rides ICI; the result is the EXACT global top-k, so
         no Poisson per-shard-limit shrink is needed.
         """
-        import numpy as np
-
         from semadb_tpu.shard.shard import postprocess_results
 
         ms = self._mesh()
@@ -783,6 +795,84 @@ class ClusterNode:
                 else:
                     sort_search_results(results, sr.sort)
             out.append(results[: sr.limit])
+        return out
+
+    def search_points_batch_wire(
+        self, col: Collection, srs: List[SearchRequest]
+    ) -> List[list]:
+        """Batch search returning final WIRE documents per query.
+
+        The id-only ANN shape (no select/sort/offset) rides
+        Shard.search_points_batch_wire end to end: device arrays → uuid
+        strings → response dicts, with cross-shard merging on the
+        ``_hybridScore`` key — no SearchResult/Point objects anywhere on
+        the path. Anything else delegates to :meth:`search_points_batch`
+        and converts once at the end (identical documents)."""
+        fast = all(not sr.select and not sr.sort and not sr.offset for sr in srs)
+        if not fast:
+            return [
+                [result_doc(r) for r in row]
+                for row in self.search_points_batch(col, srs)
+            ]
+        mesh_out = self._try_mesh_search(col, srs)
+        if mesh_out is not None:
+            count_point_op("search", len(srs))
+            return [[result_doc(r) for r in row] for row in mesh_out]
+        n_shards = max(len(col.shard_ids), 1)
+        shard_srs = []
+        for sr in srs:
+            target = int(sr.limit / n_shards * POISSON_APPROX_A + POISSON_APPROX_B)
+            target = min(target, self.cfg.max_search_limit, sr.limit)
+            shard_srs.append(
+                SearchRequest(
+                    query=sr.query, select=sr.select, sort=sr.sort,
+                    offset=0, limit=target,
+                )
+            )
+
+        count_point_op("search", len(srs))
+        merged: List[list] = [[] for _ in srs]
+        lock = threading.Lock()
+        errors: List[Exception] = []
+
+        def do_search(sid: str):
+            try:
+                owner = self._owner(sid)
+                if owner == self.my_hostname:
+                    with observe_rpc("SearchPointsBatchWire"):
+                        out = self.shard_manager.do_with_shard(
+                            col, sid,
+                            lambda s: s.search_points_batch_wire(shard_srs),
+                        )
+                else:
+                    out = self._call(
+                        owner,
+                        "SearchPointsBatchWire",
+                        {
+                            "collection": col.to_dict(),
+                            "shardId": sid,
+                            "searchRequests": [
+                                _search_request_to_dict(s) for s in shard_srs
+                            ],
+                        },
+                    )["results"]
+                with lock:
+                    for qi, docs in enumerate(out):
+                        merged[qi].extend(docs)
+            except Exception as e:
+                with lock:
+                    errors.append(e)
+
+        with LOG.timed("batch search fan-out", shards=n_shards, queries=len(srs)):
+            with ThreadPoolExecutor(max_workers=n_shards) as ex:
+                list(ex.map(do_search, col.shard_ids))
+        if errors:
+            raise ShardUnavailableError(f"shard could not search points: {errors[0]}")
+        out: List[list] = []
+        for sr, docs in zip(srs, merged):
+            if len(col.shard_ids) > 1:
+                docs.sort(key=lambda d: -d["_hybridScore"])
+            out.append(docs[: sr.limit])
         return out
 
     def update_points(self, col: Collection, points: List[Point]) -> List[FailedPoint]:

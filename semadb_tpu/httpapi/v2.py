@@ -174,10 +174,10 @@ class V2Handlers:
         except (ValidationError, KeyError, TypeError) as e:
             raise HttpError(400, f"invalid search request: {e}")
         try:
-            results = self.node.search_points(col, sr)
+            rows = self.node.search_points_batch_wire(col, [sr])
         except ShardUnavailableError as e:
             raise HttpError(503, str(e))
-        return 200, {"points": [_result_doc(r) for r in results]}
+        return 200, {"points": rows[0]}
 
     # Batch cap: one [B, D] device dispatch per shard; 4096 matches the
     # engines' largest query shape bucket.
@@ -208,31 +208,10 @@ class V2Handlers:
         except (ValidationError, KeyError, TypeError) as e:
             raise HttpError(400, f"invalid search request: {e}")
         try:
-            batched = self.node.search_points_batch(col, srs)
+            batched = self.node.search_points_batch_wire(col, srs)
         except ShardUnavailableError as e:
             raise HttpError(503, str(e))
-        return 200, {
-            "results": [
-                {"points": [_result_doc(r) for r in one]} for one in batched
-            ]
-        }
-
-
-def _result_doc(r) -> dict:
-    """Re-inject metadata fields (handlers.go:461-487)."""
-    doc = (
-        dict(r.decoded_data)
-        if r.decoded_data is not None
-        else (r.point.as_map() if r.point is not None and r.point.data else {})
-    )
-    if r.point is not None:
-        doc["_id"] = str(r.point.id)
-    if r.distance is not None:
-        doc["_distance"] = r.distance
-    if r.score is not None:
-        doc["_score"] = r.score
-    doc["_hybridScore"] = r.hybrid_score
-    return doc
+        return 200, {"results": [{"points": one} for one in batched]}
 
 
 def register_routes(router, node: ClusterNode, prefix: str = "/v2"):

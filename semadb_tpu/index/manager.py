@@ -332,9 +332,39 @@ class IndexManager:
         filters (the filter subquery is computed once and shared)."""
         if len(queries) == 1:
             return [self.search(queries[0])]
+        arrs = self.search_batch_arrays(queries)
+        if arrs is None:
+            return [self.search(q) for q in queries]
+        d_host, i_host, valid, w = arrs
+        # One bulk device→host conversion + tolist(): iterating numpy rows
+        # boxes every element into a np scalar (~5× the cost of a Python
+        # float loop), measurable at 10k results per 1024-query batch on
+        # the 1-vCPU serving host.
+        d_list = d_host.tolist()
+        i_list = i_host.tolist()
+        v_list = valid.tolist()
+        out: List[Tuple[Set[int], List[SearchResult]]] = []
+        for b in range(len(queries)):
+            results: List[SearchResult] = [
+                SearchResult(
+                    point=None, node_id=nid,
+                    distance=dist, hybrid_score=-dist * w,
+                )
+                for dist, nid, ok in zip(d_list[b], i_list[b], v_list[b])
+                if ok
+            ]
+            out.append(({r.node_id for r in results}, results))
+        return out
+
+    def search_batch_arrays(self, queries: List[Query]):
+        """Array core of :meth:`search_batch`: ``(d f32[B,K], i i32[B,K],
+        valid bool[B,K], weight)`` host arrays for a homogeneous vector
+        batch, or None when no batch plan applies. The id-only serving
+        fast path (Shard.search_points_batch_wire) consumes the arrays
+        directly — no per-result SearchResult/Point objects."""
         plan = self._batch_plan(queries)
         if plan is None:
-            return [self.search(q) for q in queries]
+            return None
         itype, prop, params, opts_list = plan
         o0 = opts_list[0]
         filter_set = None
@@ -379,29 +409,11 @@ class IndexManager:
                 )
             else:
                 d, i = idx.search_batch(vecs, k=o0.limit, filter_mask=filter_mask)
-        # One bulk device→host conversion + tolist(): iterating numpy rows
-        # boxes every element into a np scalar (~5× the cost of a Python
-        # float loop), measurable at 10k results per 1024-query batch on
-        # the 1-vCPU serving host.
         d_host = np.asarray(d)
         i_host = np.asarray(i)
         valid = (i_host >= 0) & np.isfinite(d_host)
-        d_list = d_host.tolist()
-        i_list = i_host.tolist()
-        v_list = valid.tolist()
-        out: List[Tuple[Set[int], List[SearchResult]]] = []
-        for b, o in enumerate(opts_list):
-            w = o.weight if o.weight is not None else 1.0
-            results: List[SearchResult] = [
-                SearchResult(
-                    point=None, node_id=nid,
-                    distance=dist, hybrid_score=-dist * w,
-                )
-                for dist, nid, ok in zip(d_list[b], i_list[b], v_list[b])
-                if ok
-            ]
-            out.append(({r.node_id for r in results}, results))
-        return out
+        w = o0.weight if o0.weight is not None else 1.0
+        return d_host, i_host, valid, w
 
     def _batch_plan(self, queries: List[Query]):
         """(itype, property, params, [opts]) when every query hits the same

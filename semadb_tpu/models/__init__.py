@@ -22,6 +22,7 @@ from semadb_tpu.models.point import (  # noqa: F401
     decode_point_data,
     encode_point_data,
     extract_id_field,
+    result_doc,
 )
 from semadb_tpu.models.quantizer import (  # noqa: F401
     BinaryQuantizerParams,

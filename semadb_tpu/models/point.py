@@ -116,3 +116,25 @@ class SearchResult:
             out["_score"] = self.score
         out["_hybridScore"] = self.hybrid_score
         return out
+
+
+def result_doc(r: SearchResult) -> dict:
+    """Wire/user document for a search result — the reference's response
+    shape (handlers.go:461-487): data fields re-injected with ``_id`` /
+    ``_distance`` / ``_score`` / ``_hybridScore`` metadata. Tolerates a
+    missing point (id-only results mid-pipeline). The id-only serving
+    fast path (Shard.search_points_batch_wire) emits this shape directly
+    from arrays; this function is the object-path equivalent."""
+    doc = (
+        dict(r.decoded_data)
+        if r.decoded_data is not None
+        else (r.point.as_map() if r.point is not None and r.point.data else {})
+    )
+    if r.point is not None:
+        doc["_id"] = str(r.point.id)
+    if r.distance is not None:
+        doc["_distance"] = r.distance
+    if r.score is not None:
+        doc["_score"] = r.score
+    doc["_hybridScore"] = r.hybrid_score
+    return doc

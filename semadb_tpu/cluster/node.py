@@ -831,6 +831,15 @@ class ClusterNode:
             )
 
         count_point_op("search", len(srs))
+        if len(col.shard_ids) == 1 and self._owner(col.shard_ids[0]) == self.my_hostname:
+            # Single local shard (the common single-node serving layout):
+            # no fan-out thread, no merge — per-shard results ARE final
+            # (targets above equal the caller limits when n_shards == 1).
+            with observe_rpc("SearchPointsBatchWire"):
+                return self.shard_manager.do_with_shard(
+                    col, col.shard_ids[0],
+                    lambda s: s.search_points_batch_wire(shard_srs),
+                )
         merged: List[list] = [[] for _ in srs]
         lock = threading.Lock()
         errors: List[Exception] = []

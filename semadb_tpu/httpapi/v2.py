@@ -199,11 +199,35 @@ class V2Handlers:
                 400, f"at most {self.MAX_BATCH_QUERIES} queries per batch"
             )
         srs = []
+        # Validation memo: serving batches are homogeneous except for the
+        # vector payload, and validate()/validate_schema() outcomes depend
+        # only on the request SHAPE (property, option type, operator,
+        # probes, limits, weight, vector length) — so each distinct shape
+        # is validated once per batch instead of once per query (~20 µs x
+        # B on a 1-vCPU host). Filters / _and / _or / sort fall back to
+        # full per-request validation.
+        seen_shapes: set = set()
         try:
             for d in reqs:
                 sr = SearchRequest.from_dict(d)
-                sr.validate()
-                sr.query.validate_schema(col.index_schema)
+                q = sr.query
+                vo = q.vector_ivf or q.vector_vamana or q.vector_flat
+                key = None
+                if (
+                    vo is not None and not q.and_ and not q.or_
+                    and vo.filter is None and not sr.sort
+                ):
+                    key = (
+                        q.property, type(vo).__name__, vo.operator,
+                        getattr(vo, "num_probes", 0),
+                        getattr(vo, "search_size", 0), vo.limit, vo.weight,
+                        len(vo.vector), sr.offset, sr.limit,
+                    )
+                if key is None or key not in seen_shapes:
+                    sr.validate()
+                    sr.query.validate_schema(col.index_schema)
+                    if key is not None:
+                        seen_shapes.add(key)
                 srs.append(sr)
         except (ValidationError, KeyError, TypeError) as e:
             raise HttpError(400, f"invalid search request: {e}")

@@ -96,6 +96,52 @@ def get_uuid_strs_by_node_ids(bucket: Bucket, node_ids) -> list:
     return out
 
 
+class UuidStrCache:
+    """Lazily-filled node-id → canonical UUID string cache for the
+    id-only serving path.
+
+    Safety argument: a node id's UUID is immutable for its lifetime —
+    updates keep the node id (shard.go:231-325 semantics), and only a
+    delete frees an id for reuse by a later insert. Write transactions
+    stage in a per-txn overlay (store/overlay.py), so concurrent readers
+    only ever observe committed records: every entry filled here came
+    from committed state and stays valid until a committed delete frees
+    the id. ``Shard.delete_points`` invalidates the freed ids (even on
+    txn failure — a spurious drop only costs a refetch). ``None``
+    resolutions (tolerant-resolution misses from concurrent uncommitted
+    writes) are never cached.
+
+    Bounded: past ``max_entries`` the cache clears wholesale — at 10M
+    points an unbounded dict of 36-char strings would cost ~2 GB of host
+    RAM for a tail of ids that are rarely re-requested."""
+
+    def __init__(self, max_entries: int = 4_000_000):
+        self._strs: dict = {}
+        self._max = max_entries
+
+    def lookup(self, bucket: Bucket, node_ids) -> list:
+        strs = self._strs
+        missing = [nid for nid in node_ids if nid not in strs]
+        if missing:
+            if len(strs) + len(missing) > self._max:
+                strs.clear()
+            fetched = get_uuid_strs_by_node_ids(bucket, missing)
+            for nid, s in zip(missing, fetched):
+                if s is not None:
+                    strs[nid] = s
+            if len(missing) == len(node_ids):
+                return fetched
+        return [strs.get(nid) for nid in node_ids]
+
+    def invalidate(self, node_ids) -> None:
+        strs = self._strs
+        for nid in node_ids:
+            strs.pop(nid, None)
+
+    def clear(self) -> None:
+        self._strs.clear()
+
+
 def get_points_by_node_ids(
     bucket: Bucket, node_ids, with_data: bool = True
 ) -> list:

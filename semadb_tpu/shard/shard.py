@@ -69,6 +69,9 @@ class Shard:
         # Monotonic per-process write counter: the mesh-serving cache
         # (cluster/meshsearch.py) compares it to detect stale stacked state.
         self.write_version = 0
+        # node-id → uuid-string cache for the id-only serving path;
+        # delete_points invalidates freed ids (see UuidStrCache docstring).
+        self._uuid_strs = pointstore.UuidStrCache()
         self._load_device_indices()
 
     # -- device index persistence -----------------------------------------
@@ -322,6 +325,7 @@ class Shard:
         """shard.go DeletePoints: free node ids, remove from pointstore,
         dispatch with PreviousData only; missing ids silently skipped."""
         deleted: List[uuid_mod.UUID] = []
+        freed_ids: List[int] = []
 
         def writer(bm):
             b_points = bm.get(pointstore.POINTS_BUCKET_NAME)
@@ -334,6 +338,7 @@ class Shard:
                 sp = pointstore.get_point_by_uuid(b_points, pid)
                 pointstore.delete_point(b_points, sp)
                 counter.free_id(sp.node_id)
+                freed_ids.append(sp.node_id)
                 changes.append(IndexPointChange(sp.node_id, sp.point.data, None))
                 deleted.append(pid)
             im = IndexManager(bm, self.collection.index_schema, self.device_indices)
@@ -342,7 +347,12 @@ class Shard:
             counter.flush()
 
         with LOG.timed("delete points", count=len(delete_set)):
-            self._write_with_scrap(writer)
+            try:
+                self._write_with_scrap(writer)
+            finally:
+                # Freed ids may be reused by later inserts under new
+                # UUIDs; dropping on failure too is conservative-safe.
+                self._uuid_strs.invalidate(freed_ids)
         return deleted
 
     # -- search ------------------------------------------------------------
@@ -480,18 +490,17 @@ class Shard:
                 d, i, v, w = arrs
                 b_points = bm.get(pointstore.POINTS_BUCKET_NAME)
                 d_list = d.tolist()
+                h_list = (d * -w).tolist()  # hybrid scores, one vec op
                 i_list = i.tolist()
                 v_list = v.tolist()
                 flat_ids: List[int] = []
                 for ib, vb in zip(i_list, v_list):
                     flat_ids.extend(nid for nid, ok in zip(ib, vb) if ok)
-                id_strs = iter(
-                    pointstore.get_uuid_strs_by_node_ids(b_points, flat_ids)
-                )
+                id_strs = iter(self._uuid_strs.lookup(b_points, flat_ids))
                 docs: List[list] = []
-                for db, vb, req in zip(d_list, v_list, requests):
+                for db, hb, vb, req in zip(d_list, h_list, v_list, requests):
                     row = []
-                    for dist, ok in zip(db, vb):
+                    for dist, hs, ok in zip(db, hb, vb):
                         if not ok:
                             continue
                         s = next(id_strs)
@@ -500,11 +509,7 @@ class Shard:
                             # uncommitted write txn (see the object path)
                             continue
                         row.append(
-                            {
-                                "_id": s,
-                                "_distance": dist,
-                                "_hybridScore": -dist * w,
-                            }
+                            {"_id": s, "_distance": dist, "_hybridScore": hs}
                         )
                     docs.append(row[: req.limit or None])
                 out_docs = docs

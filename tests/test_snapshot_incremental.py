@@ -205,3 +205,74 @@ def test_legacy_blob_still_readable(tmp_path):
     shard3 = make_shard(path, ivf_schema())
     assert ids_of(shard3.search_points(query(probe))) == ids_of(res)
     shard3.close()
+
+
+def test_journal_only_durability_long_journal(tmp_path):
+    """Default cadence: NO hot-path flush — the per-txn journal alone
+    carries durability, and load replays it (coalesced) over the last
+    consistent cut. Interleaves inserts, updates and deletes of the SAME
+    ids across txns so the coalescing group-cut logic (repeated id ends a
+    group) is exercised, then reopens without close ("crash")."""
+    import msgpack as mp
+
+    from semadb_tpu.shard import shard as shardmod
+
+    assert shardmod.FLUSH_EVERY_TXNS == 0  # journal-only is the default
+
+    path = str(tmp_path / "s.sdb")
+    shard = make_shard(path, ivf_schema())
+    shard.insert_points(make_points(200))
+    shard.flush()  # one consistent cut
+    # 12 journaled txns, never flushed: inserts + updates + deletes that
+    # revisit ids from earlier txns (forces group cuts during replay).
+    for t in range(6):
+        shard.insert_points(make_points(20, offset=200 + t * 20))
+        upd = []
+        for i in range(3):
+            x = 200 + t * 20 + i
+            vec = np.zeros(DIM, np.float32)
+            vec[0] = 10_000 + x  # moved far away
+            upd.append(Point(id=uuid.UUID(int=x + 1),
+                             data=mp.packb({"emb": vec.tolist()})))
+        shard.update_points(upd)
+        shard.delete_points({uuid.UUID(int=200 + t * 20 + 5 + 1)})
+    assert shard._delta_txns >= 12  # nothing flushed them
+
+    probe = np.zeros(DIM, np.float32)
+    probe[0] = 10_302.0  # near an UPDATED vector (x=302, updated in t=5)
+    want_updated = ids_of(shard.search_points(query(probe)))
+    probe2 = np.zeros(DIM, np.float32)
+    probe2[0] = 245.0  # near a DELETED vector (x=245, deleted in t=2)
+    want_deleted_absent = ids_of(shard.search_points(query(probe2)))
+    assert uuid.UUID(int=303) in want_updated
+    assert uuid.UUID(int=246) not in want_deleted_absent
+    del shard  # crash: journal tail only
+
+    shard2 = make_shard(path, ivf_schema())
+    assert ids_of(shard2.search_points(query(probe))) == want_updated
+    assert ids_of(shard2.search_points(query(probe2))) == want_deleted_absent
+    shard2.close()
+
+
+def test_flush_journal_mb_trigger(tmp_path, monkeypatch):
+    """SEMADB_FLUSH_JOURNAL_MB: retained-journal-bytes threshold compacts
+    on the write path when opted in."""
+    from semadb_tpu.shard import shard as shardmod
+
+    monkeypatch.setattr(shardmod, "FLUSH_JOURNAL_MB", 0.01)  # ~10 KiB
+    shard = make_shard(str(tmp_path / "s.sdb"), ivf_schema())
+    shard.insert_points(make_points(400))  # >> 10 KiB of journal
+    assert shard._delta_txns == 0  # the trigger flushed and reset
+    assert shard._journal_bytes == 0
+
+    records = [0]
+
+    def reader(bm):
+        from semadb_tpu.shard.shard import DELTA_PREFIX
+
+        for name, _ in shard.device_indices.items():
+            records[0] += sum(1 for _ in bm.get(name).prefix_scan(DELTA_PREFIX))
+
+    shard.db.read(reader)
+    assert records[0] == 0  # journal truncated by the compaction
+    shard.close()

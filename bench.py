@@ -1036,7 +1036,15 @@ def _run_shardwrite(jax) -> None:
     _, want_ids = idx.search_batch(probes, 10)
     journal_txns = shard._delta_txns
     shard.db.close()  # release the file; no flush = simulated crash
-    del shard, idx
+    # Break the flush-wrapper reference cycle (timed_flush closure ->
+    # orig_flush bound method -> shard -> engine HBM): at 10M the old
+    # engine's ~12 GB must actually free before the reopened engine
+    # replays, or the chip OOMs.
+    shard.flush = orig_flush
+    del shard, idx, orig_flush, timed_flush
+    import gc
+
+    gc.collect()
     t0 = time.time()
     shard = Shard(open_store(os.path.join(tmp, "sharddb.sdb")), col)
     idx2 = shard.device_indices[bucket]

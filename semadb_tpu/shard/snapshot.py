@@ -136,7 +136,12 @@ def _fetch_chunks(arr, chunks: np.ndarray, chunk: int, n_rows: int) -> list:
             for c in chunks
         ]
     n_chunks_total = _n_chunks(n_rows, chunk)
-    if len(chunks) >= n_chunks_total:
+    # Past half the grid, a plain full readback beats a gather — and the
+    # gather's device-side result buffer (rows x row_bytes) would sit
+    # NEXT to the array it copies, which at 10M-scale slab arrays is a
+    # multi-GB transient the chip may not have (measured OOM on the
+    # post-replay close compaction, where ~half the slab grid is dirty).
+    if len(chunks) * 2 >= n_chunks_total:
         host = np.asarray(arr)
         return [
             host[c * chunk : min((c + 1) * chunk, n_rows)] for c in chunks
@@ -146,7 +151,17 @@ def _fetch_chunks(arr, chunks: np.ndarray, chunk: int, n_rows: int) -> list:
     rows = np.concatenate(
         [np.arange(c * chunk, min((c + 1) * chunk, n_rows)) for c in chunks]
     )
-    gathered = np.asarray(arr[jnp.asarray(rows, jnp.int32)])
+    # Bound the gather transient: batch so each device-side result stays
+    # under ~256 MiB regardless of how many chunks are dirty.
+    row_bytes = int(np.dtype(arr.dtype).itemsize) * int(
+        np.prod(arr.shape[1:], dtype=np.int64)
+    )
+    batch_rows = max(1, (1 << 28) // max(row_bytes, 1))
+    parts = [
+        np.asarray(arr[jnp.asarray(rows[lo : lo + batch_rows], jnp.int32)])
+        for lo in range(0, len(rows), batch_rows)
+    ]
+    gathered = parts[0] if len(parts) == 1 else np.concatenate(parts)
     out, off = [], 0
     for c in chunks:
         ln = min((c + 1) * chunk, n_rows) - c * chunk

@@ -92,46 +92,62 @@ class MeshSearcher:
 
     # -- stacking --------------------------------------------------------------
     def _collect(self, col: Collection, prop: str):
-        """Grab (device index, version) per shard under the shard locks."""
+        """Capture a consistent per-shard snapshot under the shard locks.
+
+        The capture happens INSIDE the do_with_shard callback (the per-
+        shard lock serialises it against writes routed through the shard
+        manager) — reading engine attributes after the lock is released
+        could hand the stacker a torn view, e.g. new slab_ids with old
+        slabs. Vamana's GraphState is replaced wholesale per write, so
+        capturing the reference is the snapshot; IVF captures its array
+        set under the engine's own write lock (capture_stack_view)."""
+        from semadb_tpu.index.ivf import IndexIVF
         from semadb_tpu.index.manager import IndexManager
+        from semadb_tpu.index.vamana import IndexVamana
 
         params = col.index_schema.get(prop)
         bucket = IndexManager.bucket_name(params.type, prop)
         out = []
         for sid in col.shard_ids:
             def fn(shard):
-                return shard.device_indices.get(bucket), shard.write_version
+                idx = shard.device_indices.get(bucket)
+                if isinstance(idx, IndexVamana):
+                    cap = ("vamana", idx.state, idx.config)
+                elif isinstance(idx, IndexIVF):
+                    cap = ("ivf", idx.capture_stack_view(), None)
+                else:
+                    cap = None
+                return cap, shard.write_version
 
-            idx, ver = self.shard_manager.do_with_shard(col, sid, fn)
-            if idx is None:
+            cap, ver = self.shard_manager.do_with_shard(col, sid, fn)
+            if cap is None:
                 return None
-            out.append((idx, ver))
+            out.append((cap, ver))
         return out
 
     def _build(self, col: Collection, prop: str) -> Optional[_Stacked]:
-        from semadb_tpu.index.ivf import IndexIVF
-        from semadb_tpu.index.vamana import IndexVamana
         from semadb_tpu.parallel.fanout import stack_ivf_states, stack_states
 
         pairs = self._collect(col, prop)
         if pairs is None:
             return None
-        indices = [p[0] for p in pairs]
+        caps = [p[0] for p in pairs]
         versions = tuple(p[1] for p in pairs)
-        if all(isinstance(i, IndexVamana) for i in indices):
-            states = [i.state for i in indices]
+        if all(c[0] == "vamana" for c in caps):
+            states = [c[1] for c in caps]
             cap = max(s.capacity for s in states)
             states = [_pad_state(s, cap) for s in states]
             stacked = stack_states(states, self.mesh)
             return _Stacked(
                 kind="vamana", stacked=stacked, shard_ids=list(col.shard_ids),
-                versions=versions, config=indices[0].config,
+                versions=versions, config=caps[0][2],
             )
-        if all(isinstance(i, IndexIVF) for i in indices):
-            stacked = stack_ivf_states(indices, self.mesh)  # raises on PQ
+        if all(c[0] == "ivf" for c in caps):
+            views = [c[1] for c in caps]
+            stacked = stack_ivf_states(views, self.mesh)  # raises on PQ
             return _Stacked(
                 kind="ivf", stacked=stacked, shard_ids=list(col.shard_ids),
-                versions=versions, probes=indices[0]._num_probes(0),
+                versions=versions, probes=views[0]._num_probes(0),
             )
         return None
 

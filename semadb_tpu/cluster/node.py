@@ -632,11 +632,16 @@ class ClusterNode:
         for row in hits:
             for _, sid, nid in row:
                 need.setdefault(sid, set()).add(nid)
+        # Match the host path's with-data gate (shard.py wd logic and the
+        # reference's withData = len(Select)>0, shard.go:352): no select
+        # and no sort → results carry _id/_distance/_hybridScore only, so
+        # both data planes answer identically.
+        with_data = any(bool(sr.select) or bool(sr.sort) for sr in srs)
         resolved = {}
         for sid, nids in need.items():
             ordered = sorted(nids)
             resolved[sid] = self.shard_manager.do_with_shard(
-                col, sid, lambda s: s.resolve_node_ids(ordered)
+                col, sid, lambda s: s.resolve_node_ids(ordered, with_data)
             )
         out: List[List[SearchResult]] = []
         for sr, row, kq, w in zip(srs, hits, ks, weights):

@@ -745,6 +745,35 @@ class IndexIVF:
     def pq_active(self) -> bool:
         return self.pq_codebook is not None
 
+    def capture_stack_view(self):
+        """Consistent snapshot of the arrays the mesh fan-out stacks
+        (parallel/fanout.stack_ivf_states), taken under ``_write_lock`` so
+        a concurrent write can't interleave between attribute reads and
+        hand the stacker a torn view (e.g. new slab_ids with old slabs).
+        Device arrays are immutable buffers — capturing the references is
+        enough; only the capture itself must be atomic vs writers."""
+        import types
+
+        with self._write_lock:
+            p0 = self._num_probes(0)
+            return types.SimpleNamespace(
+                params=self.params,
+                metric=self.metric,
+                pq_active=self.pq_active,
+                centroids=self.centroids,
+                slabs=self.slabs,
+                slab_sq=self.slab_sq,
+                slab_ids=self.slab_ids,
+                ovf_vecs=self.ovf_vecs,
+                ovf_ids=self.ovf_ids,
+                vectors=self.vectors,
+                _proj=self._proj,
+                _sq=self._sq,  # reads only self.metric (immutable)
+                # default probe count frozen at capture time (the live
+                # method reads centroid count, which a refit can change)
+                _num_probes=lambda requested=0: requested or p0,
+            )
+
     # -- internals ----------------------------------------------------------
     @staticmethod
     def _prep(v: np.ndarray) -> np.ndarray:

@@ -8,6 +8,7 @@ Parity reference: shard/pointstore/pointstore.go with the same key layout:
 from __future__ import annotations
 
 import struct
+import threading
 import uuid as uuid_mod
 from dataclasses import dataclass
 from typing import Optional
@@ -111,6 +112,17 @@ class UuidStrCache:
     resolutions (tolerant-resolution misses from concurrent uncommitted
     writes) are never cached.
 
+    Generation guard: ``lookup`` fetches from committed state and only
+    then inserts into the dict — if a delete txn commits AND invalidates
+    in between, the just-fetched (pre-delete) strings would land AFTER
+    the invalidate and, because freed node ids are reused LIFO, would
+    serve the deleted point's UUID for a brand-new point until the
+    wholesale clear. A generation counter bumped by every
+    ``invalidate``/``clear`` closes the window: ``lookup`` snapshots the
+    generation before the fetch and skips caching when any invalidation
+    ran concurrently (results are still returned — only the cache insert
+    is dropped, costing one refetch).
+
     Bounded: past ``max_entries`` the cache clears wholesale — at 10M
     points an unbounded dict of 36-char strings would cost ~2 GB of host
     RAM for a tail of ids that are rarely re-requested."""
@@ -118,28 +130,41 @@ class UuidStrCache:
     def __init__(self, max_entries: int = 4_000_000):
         self._strs: dict = {}
         self._max = max_entries
+        self._gen = 0
+        self._lock = threading.Lock()
 
     def lookup(self, bucket: Bucket, node_ids) -> list:
         strs = self._strs
         missing = [nid for nid in node_ids if nid not in strs]
         if missing:
-            if len(strs) + len(missing) > self._max:
-                strs.clear()
+            with self._lock:
+                if len(strs) + len(missing) > self._max:
+                    self._gen += 1
+                    strs.clear()
+                gen = self._gen
+            # Fetch outside the lock (store I/O); the insert below is
+            # discarded if any invalidate ran since the gen snapshot.
             fetched = get_uuid_strs_by_node_ids(bucket, missing)
-            for nid, s in zip(missing, fetched):
-                if s is not None:
-                    strs[nid] = s
+            with self._lock:
+                if self._gen == gen:
+                    for nid, s in zip(missing, fetched):
+                        if s is not None:
+                            strs[nid] = s
             if len(missing) == len(node_ids):
                 return fetched
         return [strs.get(nid) for nid in node_ids]
 
     def invalidate(self, node_ids) -> None:
-        strs = self._strs
-        for nid in node_ids:
-            strs.pop(nid, None)
+        with self._lock:
+            self._gen += 1
+            strs = self._strs
+            for nid in node_ids:
+                strs.pop(nid, None)
 
     def clear(self) -> None:
-        self._strs.clear()
+        with self._lock:
+            self._gen += 1
+            self._strs.clear()
 
 
 def get_points_by_node_ids(

@@ -84,10 +84,17 @@ class Shard:
             loader=self._load_one_index, budget=hbm_budget
         )
         self._delta_txns = 0
-        self._journal_bytes = 0  # retained journal size (this process)
-        # Monotonic per-process write counter: the mesh-serving cache
-        # (cluster/meshsearch.py) compares it to detect stale stacked state.
-        self.write_version = 0
+        # Retained journal size; _load_device_indices seeds it from the
+        # records already on disk so the SEMADB_FLUSH_JOURNAL_MB trigger
+        # counts a journal carried across reopens, not just this process's
+        # writes.
+        self._journal_bytes = 0
+        # Monotonic write counter, seeded per-open with random bits: the
+        # mesh-serving cache (cluster/meshsearch.py) compares versions by
+        # equality, so a counter restarting at 0 after a shard-manager
+        # eviction + reopen could false-match a cached stack built against
+        # the previous Shard instance after the same number of writes.
+        self.write_version = int.from_bytes(os.urandom(7), "big") << 24
         # node-id → uuid-string cache for the id-only serving path;
         # delete_points invalidates freed ids (see UuidStrCache docstring).
         self._uuid_strs = pointstore.UuidStrCache()
@@ -111,7 +118,7 @@ class Shard:
     def _read_index_from(self, bm, name: str, params):
         """Reconstruct one device index: last snapshot + journal replay (in
         key order — big-endian seq, so iteration order IS commit order).
-        Returns (index|None, journal_record_count)."""
+        Returns (index|None, journal_record_count, journal_bytes)."""
         from semadb_tpu.index.flat import IndexFlat
         from semadb_tpu.index.vamana import IndexVamana
 
@@ -126,8 +133,9 @@ class Shard:
             if raw is not None:
                 arrays = _unpack_arrays(raw)
         deltas = list(bucket.prefix_scan(DELTA_PREFIX))
+        delta_bytes = sum(len(rec) for _, rec in deltas)
         if arrays is None and not deltas:
-            return None, 0
+            return None, 0, 0
         if arrays is None:
             idx = self._make_index(params)
         elif params.type == C.INDEX_TYPE_VECTOR_VAMANA:
@@ -162,7 +170,7 @@ class Shard:
                 group_ids.add(item[0])
         if group:
             idx.insert_update_delete(group)
-        return idx, len(deltas)
+        return idx, len(deltas), delta_bytes
 
     def _params_for_bucket(self, name: str):
         for prop, params in self.collection.index_schema.items():
@@ -183,7 +191,7 @@ class Shard:
         out = [None]
 
         def reader(bm):
-            out[0], _ = self._read_index_from(bm, name, params)
+            out[0], _, _ = self._read_index_from(bm, name, params)
 
         self.db.read(reader)
         return out[0]
@@ -191,6 +199,7 @@ class Shard:
     def _load_device_indices(self) -> None:
         def reader(bm):
             self._delta_txns = 0
+            self._journal_bytes = 0
             for prop, params in self.collection.index_schema.items():
                 if params.type not in (
                     C.INDEX_TYPE_VECTOR_VAMANA,
@@ -200,10 +209,11 @@ class Shard:
                 ):
                     continue
                 name = IndexManager.bucket_name(params.type, prop)
-                idx, n_deltas = self._read_index_from(bm, name, params)
+                idx, n_deltas, n_bytes = self._read_index_from(bm, name, params)
                 if idx is None:
                     continue
                 self._delta_txns = max(self._delta_txns, n_deltas)
+                self._journal_bytes += n_bytes
                 self.device_indices[name] = idx
 
         self.db.read(reader)

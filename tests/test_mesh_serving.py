@@ -120,6 +120,19 @@ def test_mesh_search_matches_host_fanout(tmp_path, kind):
         assert calls
         assert gotb[0][0].point.id == uuid.UUID(int=118)
         assert gotb[1][0].point.id == uuid.UUID(int=43)
+
+        # With no select/sort, BOTH data planes return id-only results
+        # (reference: withData = len(Select)>0, shard.go:352). The mesh
+        # path must not leak full payloads where the host path doesn't.
+        for r_mesh, r_host in zip(got, want):
+            assert r_mesh.point.data == r_host.point.data == b""
+        assert got[0].decoded_data in (None, {})
+        # With a select, both planes decode the selected fields
+        sr_sel = request(q, kind)
+        sr_sel.select = ["emb"]
+        calls.clear()
+        got_sel = node.search_points(dev_col, sr_sel)
+        assert calls and "emb" in (got_sel[0].decoded_data or {})
     finally:
         node.close()
 

@@ -157,3 +157,92 @@ def test_grow_policy():
     # result always holds max_id
     for cur, mid, rb in [(128, 10**6, 512), (4096, 123456, 64)]:
         assert next_capacity(cur, mid, rb) > mid
+
+
+def test_uuidstrcache_invalidate_during_lookup_not_cached():
+    """ADVICE r4 (high): a delete committing + invalidating between the
+    cache's fetch and its insert must not leave the PRE-delete UUID cached
+    for a node id that a new insert immediately reuses (LIFO free list)."""
+    import uuid as uuid_mod
+
+    from semadb_tpu.store.diskstore import DiskStore
+
+    db = DiskStore("")
+    cache = pointstore.UuidStrCache()
+    old_id = uuid_mod.UUID(int=111)
+    new_id = uuid_mod.UUID(int=222)
+
+    def w(bm):
+        b = bm.get(pointstore.POINTS_BUCKET_NAME)
+        pointstore.set_point(b, pointstore.ShardPoint(Point(id=old_id, data=b"x"), 7))
+
+    db.write(w)
+
+    class RacingBucket:
+        """Bucket proxy whose multi_get simulates the interleaving: the
+        fetch returns pre-delete state, then the delete commits and
+        invalidates BEFORE the cache inserts."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def multi_get(self, keys):
+            out = self._inner.multi_get(keys)
+            # delete commits + reuses the node id, then invalidates
+            def w2(bm):
+                b = bm.get(pointstore.POINTS_BUCKET_NAME)
+                pointstore.delete_point(
+                    b, pointstore.ShardPoint(Point(id=old_id, data=b""), 7)
+                )
+                pointstore.set_point(
+                    b, pointstore.ShardPoint(Point(id=new_id, data=b"y"), 7)
+                )
+            db.write(w2)
+            cache.invalidate([7])
+            return out
+
+    def r(bm):
+        b = bm.get(pointstore.POINTS_BUCKET_NAME)
+        got = cache.lookup(RacingBucket(b), [7])
+        # The racing lookup itself returns the pre-delete snapshot it
+        # fetched (fine: that read began before the delete committed)...
+        assert got == [str(old_id)]
+
+    db.read(r)
+
+    # ...but it must NOT have poisoned the cache: a fresh lookup resolves
+    # the REUSED id to the new point's UUID.
+    def r2(bm):
+        b = bm.get(pointstore.POINTS_BUCKET_NAME)
+        assert cache.lookup(b, [7]) == [str(new_id)]
+
+    db.read(r2)
+
+
+def test_shard_write_version_unique_across_reopen(tmp_path):
+    """ADVICE r4 (medium): write_version must not collide across a close +
+    reopen of the same shard file — the mesh cache compares versions by
+    equality, so a counter restarting at 0 could false-match."""
+    import uuid as uuid_mod
+
+    from semadb_tpu.models import Collection, IndexSchema, UserPlan
+    from semadb_tpu.shard.shard import Shard
+    from semadb_tpu.store.diskstore import DiskStore
+
+    col = Collection(
+        user_id="u", id="c",
+        index_schema=IndexSchema.from_dict(
+            {"v": {"type": "vectorFlat", "vectorFlat": {
+                "vectorSize": 2, "distanceMetric": "euclidean"}}}
+        ),
+        user_plan=UserPlan(),
+    )
+    path = str(tmp_path / "s.db")
+    seen = set()
+    for _ in range(3):
+        db = DiskStore(path)
+        sh = Shard(db, col)
+        sh.insert_points([Point.from_map({"v": [1.0, 2.0]}, uuid_mod.uuid4())])
+        assert sh.write_version not in seen
+        seen.add(sh.write_version)
+        sh.close()

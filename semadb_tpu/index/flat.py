@@ -30,8 +30,12 @@ class IndexFlat:
     """
 
     def __init__(self, params: VectorFlatParams, capacity: int = MIN_CAPACITY):
+        from semadb_tpu.utils.grow import initial_capacity
+
         self.params = params
-        self.capacity = max(capacity, MIN_CAPACITY)
+        self.capacity = max(
+            capacity, initial_capacity(params.vector_size * 4, MIN_CAPACITY)
+        )
         self.vectors = jnp.zeros((self.capacity, params.vector_size), jnp.float32)
         self.exists = jnp.zeros((self.capacity,), bool)
         self.store = VectorStore(

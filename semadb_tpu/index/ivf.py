@@ -718,8 +718,15 @@ class IndexIVF:
         from semadb_tpu.utils.dirty import DirtyTracker
 
         self.dirty = DirtyTracker()
+        # Grow-ahead bookkeeping (_maybe_grow_ahead)
+        self._grow_thread = None
+        self._max_seen = 0
         # Per-node rerank matrix grows like the other engines' capacity
-        self.capacity = 128
+        # (or starts pre-grown under SEMADB_PREGROW_ROWS — no growth
+        # event, and so no re-pad/recompile, ever lands in a write txn)
+        from semadb_tpu.utils.grow import initial_capacity
+
+        self.capacity = initial_capacity(D * 4, 128)
         self.vectors = jnp.zeros((self.capacity, D), jnp.float32)
         # IVF-PQ: codebook fits once at the quantizer trigger; when active,
         # slabs/overflow hold u8 codes and scoring is ADC + f32 rerank.
@@ -788,6 +795,7 @@ class IndexIVF:
         return jnp.zeros(arr.shape[:-1], jnp.float32)
 
     def _ensure_capacity(self, max_id: int) -> None:
+        self._max_seen = max(getattr(self, "_max_seen", 0), max_id)
         if max_id < self.capacity:
             return
         new_cap = next_capacity(
@@ -796,6 +804,61 @@ class IndexIVF:
         self.vectors = jnp.pad(self.vectors, ((0, new_cap - self.capacity), (0, 0)))
         self.capacity = new_cap
         self.dirty.all("vectors")  # shape change: full rewrite of the array
+
+    # -- grow-ahead: keep bucket crossings out of user write txns ------------
+    def _maybe_grow_ahead(self) -> None:
+        """Spawn one daemon grower when occupancy passes the threshold.
+
+        A growth event inside a write txn costs re-pad + new-shape kernel
+        compiles (measured 17-26 s p99 at 1M/10M, BENCHMARKS.md round-4
+        shardwrite) — bbolt never charges a user txn O(state)
+        (diskstore/diskstore.go:45-95), so neither should we. The grower
+        (a) AOT-warms the persistent compile cache for the next bucket's
+        write-scatter shapes WITHOUT any lock, then (b) pads under the
+        write lock — a dispatch-only operation once the cache is warm."""
+        from semadb_tpu.utils.grow import GROW_AHEAD_FRAC
+
+        if GROW_AHEAD_FRAC <= 0 or self._grow_thread is not None:
+            return
+        if getattr(self, "_max_seen", 0) < GROW_AHEAD_FRAC * self.capacity:
+            return
+        t = threading.Thread(target=self._grow_ahead, daemon=True)
+        self._grow_thread = t
+        t.start()
+
+    def _grow_ahead(self) -> None:
+        try:
+            target = next_capacity(
+                self.capacity, self.capacity, self.params.vector_size * 4
+            )
+            self.warm_capacity_shapes(target)
+            with self._write_lock:
+                if self.capacity < target:
+                    with self._donate_lock:
+                        self.vectors = jnp.pad(
+                            self.vectors, ((0, target - self.capacity), (0, 0))
+                        )
+                    self.capacity = target
+                    self.dirty.all("vectors")
+        except Exception as e:  # pragma: no cover - never break the write path
+            LOG.warn("grow-ahead failed; synchronous growth will cover", error=str(e))
+        finally:
+            self._grow_thread = None
+
+    def warm_capacity_shapes(self, capacity: int = 0, buckets=(64, 1024)) -> None:
+        """Populate the persistent XLA compile cache for the write-path
+        scatter kernels at ``capacity`` (default: current) without
+        touching live arrays or taking any lock: AOT lower+compile on
+        ShapeDtypeStructs. The later real dispatch re-lowers and hits the
+        cache, so a cold first-write / post-growth txn pays ~100 ms of
+        tracing instead of the full XLA compile."""
+        cap = capacity or self.capacity
+        D = self.params.vector_size
+        dst = jax.ShapeDtypeStruct((cap, D), jnp.float32)
+        for b in buckets:
+            rows = jax.ShapeDtypeStruct((b,), jnp.int32)
+            vals = jax.ShapeDtypeStruct((b, D), jnp.float32)
+            _set_rows.lower(dst, rows, vals).compile()
 
     def __len__(self) -> int:
         return len(self._loc)
@@ -1193,7 +1256,9 @@ class IndexIVF:
         (~28 ms each — measured 28 s per 1k-point txn at 10M). For
         device-resident batches use :meth:`insert_bulk`."""
         with self._write_lock:
-            return self._insert_update_delete_locked(changes)
+            out = self._insert_update_delete_locked(changes)
+        self._maybe_grow_ahead()
+        return out
 
     def _insert_update_delete_locked(
         self, changes: Iterable[Tuple[int, Optional[np.ndarray]]]
@@ -1339,7 +1404,9 @@ class IndexIVF:
         1536d); call :meth:`flush_pending` afterwards.
         """
         with self._write_lock:
-            return self._insert_bulk_locked(ids, vecs, defer_fit)
+            out = self._insert_bulk_locked(ids, vecs, defer_fit)
+        self._maybe_grow_ahead()
+        return out
 
     def _insert_bulk_locked(self, ids, vecs, defer_fit: bool) -> None:
         ids_np = np.asarray(ids, np.int64)

@@ -69,7 +69,10 @@ def make_start_vector(dim: int, seed: int = 0) -> np.ndarray:
 
 
 def init_graph(config: GraphConfig, capacity: int = MIN_CAPACITY, seed: int = 0) -> GraphState:
-    capacity = max(int(capacity), MIN_CAPACITY)
+    from semadb_tpu.utils.grow import initial_capacity
+
+    row_bytes = (config.dim + config.degree_bound) * 4
+    capacity = max(int(capacity), MIN_CAPACITY, initial_capacity(row_bytes, MIN_CAPACITY))
     vectors = jnp.zeros((capacity, config.dim), dtype=jnp.float32)
     vectors = vectors.at[START_ID].set(jnp.asarray(make_start_vector(config.dim, seed)))
     adjacency = jnp.full((capacity, config.degree_bound), NIL, dtype=jnp.int32)

@@ -31,6 +31,16 @@ GROW_MIN_BYTES = int(os.environ.get("SEMADB_GROW_MIN_BYTES", 2**23))
 # sizes a 4× jump wastes HBM (12M×128d = 6 GB for a 3.1M-point index)
 # and compiles are already rare.
 GROW_BIG_BYTES = int(os.environ.get("SEMADB_GROW_BIG_BYTES", 2**29))
+# Deployments that know their corpus size skip every growth event (and
+# its re-pad + recompile) by pre-growing: engines start at a capacity
+# holding this many rows. bbolt never charges a user txn O(state)
+# (diskstore.go:45-95) — with pre-grow, neither do we.
+PREGROW_ROWS = int(os.environ.get("SEMADB_PREGROW_ROWS", 0))
+# Background grow-ahead: when a write leaves occupancy above this
+# fraction of capacity, the engine grows (and warms the new shape's
+# kernels) on a daemon thread so the NEXT bucket crossing never happens
+# inside a user write txn. 0 disables.
+GROW_AHEAD_FRAC = float(os.environ.get("SEMADB_GROW_AHEAD_FRAC", 0.8))
 
 
 def next_capacity(current: int, max_id: int, row_bytes: int) -> int:
@@ -46,3 +56,14 @@ def next_capacity(current: int, max_id: int, row_bytes: int) -> int:
     while cap <= max_id:
         cap *= 2 if cap * row_bytes >= GROW_BIG_BYTES else GROW_FACTOR
     return cap
+
+
+def initial_capacity(row_bytes: int, default: int = 128) -> int:
+    """Engine construction capacity: ``default`` (tiny — an empty
+    collection costs nothing) unless SEMADB_PREGROW_ROWS asks for a
+    pre-grown start. Pre-grow rounds up to a 4096 multiple — one
+    deliberate shape, not a growth-bucket overshoot (×4 over-allocation
+    at 10M × 128d would waste 15 GB of HBM)."""
+    if PREGROW_ROWS <= 0:
+        return default
+    return max(default, -(-PREGROW_ROWS // 4096) * 4096)

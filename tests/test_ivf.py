@@ -876,3 +876,45 @@ def test_auto_slab_growth():
     )
     idx2.insert_update_delete(zip(np.arange(2, 4098, dtype=np.int32), vecs))
     assert idx2.slab == 512
+
+
+def test_grow_ahead_and_pregrow():
+    """VERDICT r4 #3: capacity growth must not land inside a user write
+    txn. (a) occupancy past SEMADB_GROW_AHEAD_FRAC spawns a background
+    grower that pre-pads to the next bucket; (b) SEMADB_PREGROW_ROWS
+    starts the engine at final capacity so growth never happens."""
+    import time
+
+    import semadb_tpu.utils.grow as grow
+    from semadb_tpu.models.schema import VectorIVFParams
+
+    p = VectorIVFParams(vector_size=8, distance_metric="euclidean")
+    rng = np.random.default_rng(0)
+    idx = IndexIVF(p)
+    assert idx.capacity == 128
+    # 110/128 > 0.8 -> grower fires after the txn returns
+    idx.insert_update_delete(
+        [(i + 2, rng.standard_normal(8).astype(np.float32)) for i in range(110)]
+    )
+    for _ in range(100):
+        if idx._grow_thread is None and idx.capacity > 128:
+            break
+        time.sleep(0.05)
+    assert idx.capacity > 128, "grow-ahead did not grow"
+    # the grown index still serves and accepts writes
+    v = rng.standard_normal(8).astype(np.float32)
+    idx.insert_update_delete([(500, v)])
+    d, i = idx.search_batch(v[None, :], 1)
+    assert int(np.asarray(i)[0, 0]) == 500
+
+    # pregrow: engine starts at (rounded) requested capacity
+    old = grow.PREGROW_ROWS
+    try:
+        grow.PREGROW_ROWS = 50_000
+        idx2 = IndexIVF(p)
+        assert idx2.capacity >= 50_000 and idx2.capacity % 4096 == 0
+    finally:
+        grow.PREGROW_ROWS = old
+
+    # AOT warm compiles without touching live arrays
+    idx.warm_capacity_shapes(idx.capacity * 4, buckets=(64,))

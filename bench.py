@@ -1185,6 +1185,7 @@ def main() -> None:
                 "unit": "qps",
                 "vs_baseline": round(out["qps"] / BASELINE_QPS, 2),
                 "recall@10": out["recall@10"],
+                "recall_eps@10": out.get("recall_eps@10"),
                 "build_s": out["build_s"],
                 "build_compile_s": out["build_compile_s"],
                 "build_exec_s": out["build_exec_s"],

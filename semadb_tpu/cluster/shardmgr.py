@@ -30,6 +30,12 @@ class ManagedShard:
     timer: Optional[threading.Timer] = None
     last_used: float = 0.0
     in_use: int = 0  # requests holding this shard; guarded by ShardManager._mu
+    # Set (under _mu) when an idle-timeout cleanup committed to closing
+    # this entry; do_with_shard must then WAIT for closed_ev instead of
+    # loading a second Shard on the same store file while the first one
+    # is still flushing (close-time compaction can run minutes at 10M).
+    closing: bool = False
+    closed_ev: threading.Event = field(default_factory=threading.Event)
 
 
 class ShardManager:
@@ -73,14 +79,23 @@ class ShardManager:
         survives cancel(), wins ms.lock after we release _mu, and closes
         the shard under our feet: _cleanup re-checks in_use under _mu and
         skips entries acquired since the timer fired."""
-        with self._mu:
-            ms = self._shards.get(shard_id)
-            if ms is None:
-                ms = self._load(col, shard_id)
-                self._shards[shard_id] = ms
-            if ms.timer is not None:
-                ms.timer.cancel()
-            ms.in_use += 1
+        while True:
+            with self._mu:
+                ms = self._shards.get(shard_id)
+                if ms is None:
+                    ms = self._load(col, shard_id)
+                    self._shards[shard_id] = ms
+                if not ms.closing:
+                    if ms.timer is not None:
+                        ms.timer.cancel()
+                    ms.in_use += 1
+                    break
+                ev = ms.closed_ev
+            # A timeout-unload is mid-close (possibly a multi-minute
+            # compaction at scale): wait for it to finish, then reload —
+            # two live Shard handles on one store file would race the
+            # flush against the fresh load.
+            ev.wait()
         try:
             with ms.lock:
                 ms.last_used = time.monotonic()
@@ -103,21 +118,33 @@ class ShardManager:
             ms = self._shards.get(shard_id)
             if ms is None or ms.in_use > 0:
                 return  # busy: the active request re-arms the timer on exit
-            self._shards.pop(shard_id)
-        # ms is now unreachable from the dict: no new request can acquire it.
-        with ms.lock:
-            if self.backup_fn is not None:
-                try:
-                    self.backup_fn(ms.shard, col)
-                except Exception:
-                    pass
-            ms.shard.close()
+            # Keep the entry visible but marked: a request arriving during
+            # the (possibly long) close below waits on closed_ev instead
+            # of opening a second store handle on the same file.
+            ms.closing = True
+        try:
+            with ms.lock:
+                if self.backup_fn is not None:
+                    try:
+                        self.backup_fn(ms.shard, col)
+                    except Exception:
+                        pass
+                ms.shard.close()
+        finally:
+            with self._mu:
+                if self._shards.get(shard_id) is ms:
+                    self._shards.pop(shard_id)
+            ms.closed_ev.set()
 
     def unload_all(self) -> None:
         with self._mu:
             items = list(self._shards.items())
             self._shards.clear()
         for _, ms in items:
+            if ms.closing:
+                # A timeout cleanup is already closing it; don't double-close
+                ms.closed_ev.wait()
+                continue
             if ms.timer is not None:
                 ms.timer.cancel()
             with ms.lock:
@@ -138,8 +165,13 @@ class ShardManager:
                 ):
                     if ms.timer is not None:
                         ms.timer.cancel()
-                    with ms.lock:
-                        ms.shard.db.close()
+                    if not ms.closing:
+                        # (a closing entry is being closed by the cleanup
+                        # thread, which holds ms.lock — waiting for it
+                        # here while holding _mu would deadlock; the
+                        # files are removed below regardless)
+                        with ms.lock:
+                            ms.shard.db.close()
                     del self._shards[sid]
                     deleted.append(sid)
         if base and os.path.isdir(base):

@@ -38,6 +38,7 @@ class IndexFlat:
         )
         self.vectors = jnp.zeros((self.capacity, params.vector_size), jnp.float32)
         self.exists = jnp.zeros((self.capacity,), bool)
+        self._max_seen = 0  # snapshot row bound (highest id ever written)
         self.store = VectorStore(
             QuantConfig.from_params(
                 params.quantizer, params.vector_size, params.distance_metric
@@ -48,6 +49,7 @@ class IndexFlat:
         return int(jnp.sum(self.exists))
 
     def _ensure_capacity(self, max_id: int) -> None:
+        self._max_seen = max(self._max_seen, int(max_id))
         if max_id < self.capacity:
             return
         new_cap = next_capacity(
@@ -112,10 +114,31 @@ class IndexFlat:
             "store": self.store.to_arrays(),
         }
 
+    def snapshot_row_bounds(self) -> dict:
+        """Used-row bounds for the incremental snapshot writer (see
+        IndexIVF.snapshot_row_bounds)."""
+        b = min(self.capacity, int(self._max_seen) + 1)
+        return {"vectors": b, "exists": b, "store/codes": b}
+
     @classmethod
     def from_arrays(cls, params: VectorFlatParams, arrays: dict) -> "IndexFlat":
-        idx = cls(params, capacity=arrays["vectors"].shape[0])
-        idx.vectors = jnp.asarray(arrays["vectors"])
-        idx.exists = jnp.asarray(arrays["exists"])
+        rows = int(arrays["vectors"].shape[0])
+        idx = cls(params, capacity=rows)
+        # Row-bounded snapshots persist only used rows; re-pad on device
+        # to the growth-policy bucket so write shapes match pre-crash.
+        target = max(
+            idx.capacity,
+            next_capacity(128, rows - 1, params.vector_size * 4) if rows else 128,
+        )
+        vec = jnp.asarray(arrays["vectors"])
+        ex = jnp.asarray(arrays["exists"])
+        if target > rows:
+            vec = jnp.pad(vec, ((0, target - rows), (0, 0)))
+            ex = jnp.pad(ex, (0, target - rows))
+        idx.vectors = vec
+        idx.exists = ex
+        idx.capacity = target
+        idx._max_seen = max(rows - 1, 0)
         idx.store.load_arrays(arrays.get("store", {}))
+        idx.store.ensure_rows(target)
         return idx

@@ -333,6 +333,43 @@ class FusedHybridIVF:
         out["fused_scales"] = self._s.copy()
         return out
 
+    def device_arrays(self) -> dict:
+        """Device-resident snapshot view for the incremental snapshot
+        writer (see IndexIVF.device_arrays) — the inner engine's arrays
+        (derived slabs elided, vectors row-bounded) plus the fused
+        metadata, with the probe-centroid surgery re-applied exactly as
+        in :meth:`to_arrays`."""
+        out = self.index.device_arrays()
+        self._fix_probe_centroids()
+        self.index.dirty.all("centroids")  # surgery rewrote them
+        out["centroids"] = self.index.centroids
+        out["fused_meta"] = np.array(
+            [len(self.view_dims)] + self.view_dims, np.int64
+        )
+        out["fused_metrics"] = np.array(
+            [_VIEW_METRICS.index(m) for m in self.view_metrics], np.int64
+        )
+        out["fused_weights"] = np.asarray(self.default_weights, np.float32)
+        out["fused_scales"] = self._s.copy()
+        return out
+
+    def snapshot_row_bounds(self) -> dict:
+        return self.index.snapshot_row_bounds()
+
+    @property
+    def dirty(self):
+        return self.index.dirty
+
+    @property
+    def _write_lock(self):
+        return self.index._write_lock
+
+    def _has_placeholders(self) -> bool:
+        return self.index._has_placeholders()
+
+    def flush_pending(self) -> None:
+        self.index.flush_pending()
+
     @classmethod
     def from_arrays(cls, arrays: dict, params=None) -> "FusedHybridIVF":
         """Rebuild from a snapshot. ``params`` (schema VectorFusedParams)

@@ -1844,40 +1844,65 @@ class IndexIVF:
             self.flush_pending()
         out = {
             "centroids": self.centroids,
-            "slabs": self.slabs,
-            "slab_sq": self.slab_sq,
             "slab_ids": self.slab_ids,
-            "ovf_vecs": self.ovf_vecs,
             "ovf_ids": self.ovf_ids,
             "vectors": self.vectors,
             "n_at_fit": np.asarray([self._n_at_fit], np.int64),
         }
+        if self.pq_active:
+            # PQ mode: codes are the mass (slabs/ovf_vecs are shrunk to
+            # dummies by _refit) — persist them; codes are not cheaply
+            # derivable from f32 vectors at load.
+            out["slabs"] = self.slabs
+            out["slab_sq"] = self.slab_sq
+            out["ovf_vecs"] = self.ovf_vecs
+            out["pq_codebook"] = self.pq_codebook
+            out["slab_codes"] = self.slab_codes
+            out["ovf_codes"] = self.ovf_codes
+        # else: slabs / slab_sq / ovf_vecs are DERIVED state —
+        # slabs[c,s] == cast(proj(vectors[slab_ids[c,s]])) (zero at NIL),
+        # exactly what _refit builds (_slabs_from_ids). from_arrays
+        # reconstructs them with one device gather at load, so the
+        # snapshot never pays their readback (at 10M the slab grid alone
+        # is ~3-5 GB that scatter-heavy writes re-dirty within a few
+        # txns) and reopen never pays their upload.
         if self._proj is not None:
             out["proj"] = self._proj
         if self._sup_cents is not None:
             out["sup_cents"] = self._sup_cents
-        if self.pq_active:
-            out["pq_codebook"] = self.pq_codebook
-            out["slab_codes"] = self.slab_codes
-            out["ovf_codes"] = self.ovf_codes
         return out
+
+    def snapshot_row_bounds(self) -> dict:
+        """Used-row bounds for the incremental snapshot writer: the
+        rerank matrix is capacity-padded (16M rows for a 10M corpus) —
+        rows past the highest id ever written are zeros that never need
+        to cross the tunnel. from_arrays re-pads to the policy bucket."""
+        return {"vectors": min(self.capacity, int(self._max_seen) + 1)}
 
     @classmethod
     def from_arrays(cls, params: VectorIVFParams, arrays: dict) -> "IndexIVF":
+        from semadb_tpu.utils.grow import next_capacity
+
         idx = cls(params)
+        D = params.vector_size
         idx.centroids = jnp.asarray(arrays["centroids"])
-        idx.slabs = jnp.asarray(arrays["slabs"])
-        if "slab_sq" in arrays:
-            idx.slab_sq = jnp.asarray(arrays["slab_sq"])
-        else:  # pre-round-2 snapshots: recompute
-            idx.slab_sq = jnp.sum(
-                jnp.square(idx.slabs.astype(jnp.float32)), axis=-1
-            )
         idx.slab_ids = jnp.asarray(arrays["slab_ids"])
-        idx.ovf_vecs = jnp.asarray(arrays["ovf_vecs"])
         idx.ovf_ids = jnp.asarray(arrays["ovf_ids"])
-        idx.vectors = jnp.asarray(arrays["vectors"])
-        idx.capacity = idx.vectors.shape[0]
+        # Row-bounded snapshots persist only the used rows of the rerank
+        # matrix; re-pad to the growth-policy bucket ON DEVICE (the
+        # padded tail never crosses the tunnel), so post-reopen write
+        # shapes match the pre-crash process and hit the compile cache.
+        vec = jnp.asarray(arrays["vectors"])
+        rows = int(vec.shape[0])
+        cap = max(
+            next_capacity(128, rows - 1, D * 4) if rows else 128,
+            idx.capacity,  # covers SEMADB_PREGROW_ROWS
+        )
+        if cap > rows:
+            vec = jnp.pad(vec, ((0, cap - rows), (0, 0)))
+        idx.vectors = vec
+        idx.capacity = cap
+        idx._max_seen = max(rows - 1, 0)
         idx._n_at_fit = int(arrays["n_at_fit"][0])
         idx.slab = idx.slab_ids.shape[1]
         if "proj" in arrays:
@@ -1889,7 +1914,37 @@ class IndexIVF:
             # score there, never with this process' fresh random basis
             # (a mismatched basis mis-scores every slab row).
             idx._proj = None
-            idx.tdim = int(idx.slabs.shape[-1])
+            idx.tdim = (
+                int(arrays["slabs"].shape[-1]) if "slabs" in arrays else D
+            )
+        if "slabs" in arrays:
+            idx.slabs = jnp.asarray(arrays["slabs"])
+            if "slab_sq" in arrays:
+                idx.slab_sq = jnp.asarray(arrays["slab_sq"])
+            else:  # pre-round-2 snapshots: recompute
+                idx.slab_sq = jnp.sum(
+                    jnp.square(idx.slabs.astype(jnp.float32)), axis=-1
+                )
+            idx.ovf_vecs = jnp.asarray(arrays["ovf_vecs"])
+        else:
+            # Derived-state snapshot: rebuild slabs/overflow from the
+            # rerank matrix with one device gather — the same
+            # construction _refit uses, so search behaviour is identical
+            # (NIL slots are zeroed here where a live engine may hold
+            # stale rows; both are masked out of scoring).
+            Cn = int(idx.slab_ids.shape[0])
+            bf16 = Cn * idx.slab * idx.tdim * 4 > SLAB_BF16_BYTES
+            idx.slabs, idx.slab_sq = _slabs_from_ids(
+                idx.vectors, idx.slab_ids, idx._proj,
+                out_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                want_sq=idx.metric == C.DISTANCE_EUCLIDEAN,
+            )
+            ovf_rows = idx.vectors[jnp.clip(idx.ovf_ids, 0, cap - 1)]
+            if idx._proj is not None:
+                ovf_rows = ovf_rows @ idx._proj
+            idx.ovf_vecs = jnp.where(
+                (idx.ovf_ids != NIL)[:, None], ovf_rows, 0.0
+            )
         if "sup_cents" in arrays:
             idx._sup_cents = jnp.asarray(arrays["sup_cents"])
         if "pq_codebook" in arrays:

@@ -131,6 +131,10 @@ class IndexVamana:
         from semadb_tpu.utils.dirty import DirtyTracker
 
         self.dirty = DirtyTracker()
+        # Highest node id ever written — the snapshot row bound (rows
+        # past it are capacity padding that never needs to leave the
+        # device). START_ID is always live.
+        self._max_seen = graph.START_ID
 
     # -- persistence -------------------------------------------------------
     def to_arrays(self) -> dict:
@@ -161,12 +165,23 @@ class IndexVamana:
 
     @classmethod
     def from_arrays(cls, params: VectorVamanaParams, arrays: dict) -> "IndexVamana":
-        idx = cls(params, capacity=arrays["vectors"].shape[0])
-        idx.state = GraphState(
+        rows = int(arrays["vectors"].shape[0])
+        idx = cls(params, capacity=rows)
+        state = GraphState(
             vectors=jnp.asarray(arrays["vectors"]),
             adjacency=jnp.asarray(arrays["adjacency"]),
             exists=jnp.asarray(arrays["exists"]),
         )
+        # Row-bounded snapshots persist only used rows; re-pad to the
+        # growth-policy bucket on device (see IndexIVF.from_arrays).
+        target = max(
+            graph.required_capacity(max(rows - 1, 0), idx.config),
+            idx.state.capacity,  # covers SEMADB_PREGROW_ROWS (init_graph)
+        )
+        if state.capacity < target:
+            state = grow_graph(state, target)
+        idx.state = state
+        idx._max_seen = max(rows - 1, graph.START_ID)
         if "route_cents" in arrays:
             idx._route = (
                 jnp.asarray(arrays["route_cents"]),
@@ -174,6 +189,7 @@ class IndexVamana:
             )
         if "store" in arrays:
             idx.store.load_arrays(arrays["store"])
+            idx.store.ensure_rows(idx.state.capacity)
         # Loaded state matches the snapshot it came from: nothing dirty.
         idx.dirty.clear()
         return idx
@@ -187,7 +203,17 @@ class IndexVamana:
             return False
         return bool(self.state.exists[node_id]) and node_id != START_ID
 
+    def snapshot_row_bounds(self) -> dict:
+        """Used-row bounds for the incremental snapshot writer (see
+        IndexIVF.snapshot_row_bounds): graph arrays are capacity-padded;
+        from_arrays re-pads to the policy bucket on device."""
+        b = min(self.state.capacity, int(self._max_seen) + 1)
+        return {
+            "vectors": b, "adjacency": b, "exists": b, "store/codes": b,
+        }
+
     def _ensure_capacity(self, max_id: int) -> None:
+        self._max_seen = max(self._max_seen, int(max_id))
         if max_id >= self.state.capacity:
             self.state = grow_graph(self.state, required_capacity(max_id))
             # Shape change: every capacity-shaped array rewrites in full

@@ -136,13 +136,21 @@ def _fetch_chunks(arr, chunks: np.ndarray, chunk: int, n_rows: int) -> list:
             for c in chunks
         ]
     n_chunks_total = _n_chunks(n_rows, chunk)
-    # Past half the grid, a plain full readback beats a gather — and the
-    # gather's device-side result buffer (rows x row_bytes) would sit
-    # NEXT to the array it copies, which at 10M-scale slab arrays is a
-    # multi-GB transient the chip may not have (measured OOM on the
-    # post-replay close compaction, where ~half the slab grid is dirty).
+    # Past half the grid, a plain readback beats a gather — blocked into
+    # ≤256 MiB contiguous slices so (a) the device-side slice transient
+    # stays bounded (a full-array gather result next to multi-GB slab
+    # arrays OOMed the post-replay close compaction) and (b) only rows
+    # below the snapshot bound cross the tunnel (the capacity-padded tail
+    # of a 16M-row vectors matrix is 3 GB of zeros at 10M).
+    row_bytes = int(np.dtype(arr.dtype).itemsize) * int(
+        np.prod(arr.shape[1:], dtype=np.int64)
+    )
     if len(chunks) * 2 >= n_chunks_total:
-        host = np.asarray(arr)
+        blk_rows = max(1, (1 << 28) // max(row_bytes, 1))
+        host = np.empty((n_rows,) + tuple(arr.shape[1:]), np.dtype(arr.dtype))
+        for lo in range(0, n_rows, blk_rows):
+            hi = min(lo + blk_rows, n_rows)
+            host[lo:hi] = np.asarray(arr[lo:hi])
         return [
             host[c * chunk : min((c + 1) * chunk, n_rows)] for c in chunks
         ]
@@ -153,9 +161,6 @@ def _fetch_chunks(arr, chunks: np.ndarray, chunk: int, n_rows: int) -> list:
     )
     # Bound the gather transient: batch so each device-side result stays
     # under ~256 MiB regardless of how many chunks are dirty.
-    row_bytes = int(np.dtype(arr.dtype).itemsize) * int(
-        np.prod(arr.shape[1:], dtype=np.int64)
-    )
     batch_rows = max(1, (1 << 28) // max(row_bytes, 1))
     parts = [
         np.asarray(arr[jnp.asarray(rows[lo : lo + batch_rows], jnp.int32)])
@@ -193,6 +198,13 @@ def write_snapshot(bucket, idx) -> int:
         else:
             everything, marks = True, {}
 
+        # Row bounds: engines whose big arrays are capacity-padded report
+        # the USED row count per path — chunks past it are never written
+        # (or read back). At 10M the vectors matrix alone saves the whole
+        # zero-padded tail (16M-capacity rows for a 10M corpus).
+        bounds_fn = getattr(idx, "snapshot_row_bounds", None)
+        bounds = bounds_fn() if bounds_fn is not None else {}
+
         raw_meta = bucket.get(DS_META_KEY)
         prev = (
             msgpack.unpackb(raw_meta, raw=False, strict_map_key=False)
@@ -208,48 +220,54 @@ def write_snapshot(bucket, idx) -> int:
             if not _is_arraylike(arr) or len(getattr(arr, "shape", ())) == 0:
                 small[path] = arr
                 continue
+            shape = tuple(int(s) for s in arr.shape)
+            n_rows = max(0, min(int(bounds.get(path, shape[0])), shape[0]))
             nbytes = int(np.dtype(arr.dtype).itemsize) * int(
-                np.prod(arr.shape, dtype=np.int64)
+                np.prod((n_rows,) + shape[1:], dtype=np.int64)
             )
             if nbytes <= SMALL_MAX_BYTES:
-                small[path] = np.asarray(arr)
+                small[path] = np.asarray(arr[:n_rows] if n_rows < shape[0] else arr)
                 continue
-            shape = tuple(int(s) for s in arr.shape)
             dtype = str(np.dtype(arr.dtype))
             chunk = _chunk_rows(shape, arr.dtype)
             meta_arrays[path] = {
-                "dtype": dtype, "shape": list(shape), "chunk": chunk,
+                "dtype": dtype, "shape": [n_rows, *shape[1:]], "chunk": chunk,
             }
             p = prev_arrays.get(path)
+            prev_rows = int(p.get("shape", [0])[0]) if p is not None else 0
             layout_ok = (
                 p is not None
                 and p.get("dtype") == dtype
-                and list(p.get("shape", [])) == list(shape)
+                and list(p.get("shape", []))[1:] == list(shape[1:])
                 and p.get("chunk") == chunk
+                and prev_rows <= n_rows  # row growth is compatible
             )
-            n_total = _n_chunks(shape[0], chunk)
+            n_total = _n_chunks(n_rows, chunk)
             mark = marks.get(path, _CLEAN)
             if everything or not layout_ok or mark is ALL:
                 dirty = np.arange(n_total)
             elif mark is _CLEAN:
                 dirty = np.empty(0, np.int64)  # clean array: keep chunks
             else:
-                rows = mark[(mark >= 0) & (mark < shape[0])]
+                rows = mark[(mark >= 0) & (mark < n_rows)]
                 dirty = np.unique(rows // chunk)
+            if layout_ok and prev_rows < n_rows:
+                # The previous LAST chunk may have been partial; rewrite it
+                # (and everything after) so record lengths match the grid.
+                first_new = max(0, _n_chunks(prev_rows, chunk) - 1)
+                dirty = np.union1d(dirty, np.arange(first_new, n_total))
             for blk, c in zip(
-                _fetch_chunks(arr, dirty, chunk, shape[0]), dirty
+                _fetch_chunks(arr, dirty, chunk, n_rows), dirty
             ):
                 bucket.put(_chunk_key(path, int(c)), blk.tobytes())
                 written += 1
             # Stale chunks past the new grid (shape shrink or layout
             # change with fewer chunks)
             if p is not None:
-                prev_total = _n_chunks(
-                    int(p.get("shape", [0])[0]), int(p.get("chunk", 1))
-                )
+                prev_total = _n_chunks(prev_rows, int(p.get("chunk", 1)))
                 for c in range(n_total, prev_total):
                     bucket.delete(_chunk_key(path, c))
-        # Arrays that vanished since the last snapshot
+        # Arrays that vanished since the last snapshot (or moved to small)
         for path, p in prev_arrays.items():
             if path in meta_arrays:
                 continue

@@ -171,6 +171,14 @@ def run(
     drand = np.linalg.norm(ds.train[ra] - ds.train[rb], axis=1).mean()
     margin = float(dk / max(drand, 1e-12))
     n_train = len(ds.train)
+    # Epsilon-recall needs train rows for RETURNED ids after the query
+    # pass, but fit_dataset drops ds.train to free host RAM — keep a
+    # reference only when the corpus is small enough that holding it
+    # through the build is safe (≤2 GB).
+    train_ref = ds.train if ds.train.nbytes <= 2**31 else None
+    d_gt_k = np.linalg.norm(
+        ds.test[:n_gt] - ds.train[gt[:n_gt, min(k, gt.shape[1]) - 1]], axis=1
+    ).astype(np.float64)
     bench = VamanaBench(dim=ds.train.shape[1], metric=ds.metric, **index_kw)
     stage(f"fit start n={n_train}")
     c0 = compilemeter.seconds()
@@ -201,6 +209,26 @@ def run(
     recall = float(
         np.mean([len(set(ids[i]) & set(gt[i])) / k for i in range(n_gt)])
     )
+
+    # Epsilon-recall: on corpora with near-duplicate groups the exact
+    # top-k is ambiguous at machine precision (many candidates tie the
+    # k-th distance); a returned point whose TRUE distance is within
+    # (1+eps) of the k-th ground-truth distance is not a retrieval miss.
+    # ann-benchmarks reports the same diagnostic as "epsilon recall".
+    def eps_recall(ids_arr, eps: float = 1e-3):
+        if train_ref is None:
+            return None
+        ii = np.asarray(ids_arr[:n_gt])[:, :k]
+        ok_id = ii >= 0
+        d_ret = np.linalg.norm(
+            ds.test[:n_gt, None, :].astype(np.float64)
+            - train_ref[np.clip(ii, 0, n_train - 1)].astype(np.float64),
+            axis=2,
+        )
+        ok = ok_id & (d_ret <= d_gt_k[:, None] * (1.0 + eps) + 1e-9)
+        return float(np.mean(np.sum(ok, axis=1) / k))
+
+    recall_eps = eps_recall(ids)
     # Extra operating points on the SAME build (a 10M build costs ~4 min;
     # the recall/QPS pareto needs several probe/L values per build).
     sweep = []
@@ -214,7 +242,9 @@ def run(
         r2 = float(
             np.mean([len(set(ids2[i]) & set(gt[i])) / k for i in range(n_gt)])
         )
+        re2 = eps_recall(ids2)
         row = {"op": op2, "recall@10": round(r2, 4),
+               "recall_eps@10": round(re2, 4) if re2 is not None else None,
                "qps": round(len(ds.test) / w2, 1)}
         stage(f"sweep {row}")
         sweep.append(row)
@@ -224,6 +254,7 @@ def run(
         "metric": ds.metric,
         "n": n_train,
         "recall@10": round(recall, 4),
+        "recall_eps@10": round(recall_eps, 4) if recall_eps is not None else None,
         "qps": round(nq / wall, 1),
         # Compile-vs-execute split + query-pass spread (VERDICT r3 weak #5:
         # a single build_s number conflates cold compiles with device work)

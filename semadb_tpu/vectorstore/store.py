@@ -505,6 +505,20 @@ class VectorStore:
                 out["rot"] = self.state.rot
         return out
 
+    def ensure_rows(self, n: int) -> None:
+        """Pad the code table to at least ``n`` rows (row-bounded
+        snapshots persist only used rows; search kernels index codes with
+        node ids up to the engine's capacity)."""
+        if self.fitted and self.state.codes.shape[0] < n:
+            self.state = QuantState(
+                codes=jnp.pad(
+                    self.state.codes,
+                    ((0, n - self.state.codes.shape[0]), (0, 0)),
+                ),
+                aux=self.state.aux,
+                rot=self.state.rot,
+            )
+
     def load_arrays(self, arrays: dict) -> None:
         if arrays.get("fitted"):
             self.state = QuantState(

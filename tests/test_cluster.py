@@ -443,3 +443,75 @@ def test_hbm_budget_evicts_and_reloads_ivf(tmp_path):
         res = mgr.do_with_shard(col, f"s{s}", lambda sh: sh.search_points(req))
         assert res[0].point.id == uuid_mod.UUID(int=base + 8), f"shard s{s}"
     mgr.unload_all()
+
+
+def test_request_during_timeout_unload_waits_for_close(tmp_path, monkeypatch):
+    """VERDICT r4 #4: a request arriving while the idle-timeout cleanup is
+    mid-close (a multi-minute compaction at 10M) must WAIT for the close
+    and then reload — not open a second Shard handle on the same store
+    file while the first is still flushing."""
+    import threading
+    import time as _time
+    import uuid as _uuid
+
+    import numpy as np
+
+    from semadb_tpu.cluster.shardmgr import ShardManager
+    from semadb_tpu.models import (
+        Collection, IndexSchema, Point, SearchRequest, UserPlan,
+    )
+    from semadb_tpu.shard.shard import Shard
+
+    schema = IndexSchema.from_dict(
+        {"v": {"type": "vectorFlat",
+               "vectorFlat": {"vectorSize": 4, "distanceMetric": "euclidean"}}}
+    )
+    col = Collection(user_id="u", id="c", index_schema=schema, user_plan=UserPlan())
+    mgr = ShardManager(str(tmp_path), shard_timeout=0.05)
+
+    closing_started = threading.Event()
+    release_close = threading.Event()
+    orig_close = Shard.close
+    live_handles = []
+
+    def slow_close(self):
+        closing_started.set()
+        release_close.wait(5.0)  # simulate a long compaction
+        orig_close(self)
+
+    monkeypatch.setattr(Shard, "close", slow_close)
+
+    pts = [Point.from_map({"v": [float(i), 0.0, 0.0, 0.0]}, _uuid.UUID(int=i + 1))
+           for i in range(8)]
+    mgr.do_with_shard(col, "s1", lambda sh: (live_handles.append(sh), sh.insert_points(pts)))
+    # let the idle timer fire and reach the slow close
+    assert closing_started.wait(5.0)
+
+    got = []
+
+    def request():
+        sr = SearchRequest.from_dict(
+            {"query": {"property": "v",
+                       "vectorFlat": {"vector": [3.0, 0, 0, 0], "limit": 1}},
+             "limit": 1}
+        )
+        def use(sh):
+            live_handles.append(sh)
+            return sh.search_points(sr)
+        got.append(mgr.do_with_shard(col, "s1", use))
+
+    t = threading.Thread(target=request)
+    t.start()
+    _time.sleep(0.3)
+    # the request must still be BLOCKED (close not finished), with only
+    # the original Shard handle alive
+    assert t.is_alive()
+    assert len(live_handles) == 1
+    release_close.set()
+    t.join(10.0)
+    assert not t.is_alive()
+    # the request reloaded a FRESH shard and saw the persisted data
+    assert len(live_handles) == 2 and live_handles[1] is not live_handles[0]
+    assert got and got[0][0].point.id == _uuid.UUID(int=4)
+    release_close.set()
+    mgr.unload_all()

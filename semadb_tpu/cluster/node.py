@@ -608,23 +608,52 @@ class ClusterNode:
             return None
         if any(self._owner(sid) != self.my_hostname for sid in col.shard_ids):
             return None
+        from semadb_tpu.index.manager import _filters_equal
+
         prop = None
-        vecs, ks, weights = [], [], []
+        vecs, ks, weights, filters = [], [], [], []
+        fused_views, fused_weights = [], []
         search_size = probes = 0
         for sr in srs:
             p = ms.eligible_query(col, sr.query)
             if p is None or (prop is not None and p != prop):
                 return None
             prop = p
-            opts = sr.query.vector_vamana or sr.query.vector_ivf
-            vecs.append(np.asarray(opts.vector, np.float32))
+            fopts = sr.query.vector_fused
+            if fopts is not None:
+                fused_views.append(
+                    [np.asarray(v, np.float32) for v in fopts.vectors]
+                )
+                fused_weights.append(fopts.weights)
+                opts = fopts
+            else:
+                opts = sr.query.vector_vamana or sr.query.vector_ivf
+                vecs.append(np.asarray(opts.vector, np.float32))
+            filters.append(opts.filter)
             ks.append(opts.limit)
             weights.append(opts.weight if opts.weight is not None else 1.0)
             search_size = max(search_size, getattr(opts, "search_size", 0))
             probes = max(probes, getattr(opts, "num_probes", 0))
-        hits = ms.search_batch(
-            col, prop, np.stack(vecs), max(ks), search_size, probes
-        )
+        # One mask set serves the whole batch, so every request must carry
+        # the SAME filter (structurally); mixed-filter batches fall back.
+        filter_query = filters[0]
+        if any(not _filters_equal(f, filter_query) for f in filters[1:]):
+            return None
+        if fused_views and len(fused_views) != len(srs):
+            return None  # mixed fused / plain batches: host fan-out
+        if fused_views:
+            nviews = len(fused_views[0])
+            qviews = [
+                np.stack([fv[i] for fv in fused_views]) for i in range(nviews)
+            ]
+            hits = ms.search_batch_fused(
+                col, prop, qviews, fused_weights, max(ks), probes
+            )
+        else:
+            hits = ms.search_batch(
+                col, prop, np.stack(vecs), max(ks), search_size, probes,
+                filter_query=filter_query,
+            )
         if hits is None:
             return None
         # UUID/data backfill: one read txn per shard that contributed hits

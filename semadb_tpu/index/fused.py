@@ -333,6 +333,31 @@ class FusedHybridIVF:
         out["fused_scales"] = self._s.copy()
         return out
 
+    def capture_stack_view(self):
+        """Consistent snapshot for the mesh fan-out (see
+        IndexIVF.capture_stack_view): the inner engine's stackable array
+        view plus a frozen psi mapper. The psi mapping is PER SHARD — it
+        bakes in this shard's fitted norm scales (_s), so the mesh path
+        must map queries with each shard's own capture and add each
+        shard's rank constant before the cross-shard top-k merge (raw
+        engine scores are only comparable within one shard)."""
+        import types
+
+        inner = self.index.capture_stack_view()
+        ps = types.SimpleNamespace(
+            view_dims=list(self.view_dims),
+            view_metrics=list(self.view_metrics),
+            default_weights=list(self.default_weights),
+            _a=self._a.copy(),
+            _s=self._s.copy(),
+            _eucl=list(self._eucl),
+        )
+        ps._check_views = lambda qv: FusedHybridIVF._check_views(ps, qv)
+        ps.psi = lambda qviews, weights=None: FusedHybridIVF._psi(
+            ps, qviews, weights
+        )
+        return inner, ps
+
     def device_arrays(self) -> dict:
         """Device-resident snapshot view for the incremental snapshot
         writer (see IndexIVF.device_arrays) — the inner engine's arrays

@@ -189,72 +189,112 @@ def sharded_delete_step(
     return fan(stacked, del_masks)
 
 
-def stack_ivf_states(indices, mesh) -> dict:
-    """Stack per-shard IndexIVF device arrays along a mesh-sharded axis.
+def _pad_to(x, shape, fill=0):
+    pads = [(0, t - s) for s, t in zip(x.shape, shape)]
+    if all(p == (0, 0) for p in pads):
+        return x
+    return jnp.pad(x, pads, constant_values=fill)
 
-    Shards grown independently diverge in overflow size / capacity /
-    cluster count, so each array is zero/NIL-padded to the fleet maximum
-    before stacking (padded centroids get a huge norm so probe selection
-    never picks them; padded id slots are NIL so scoring masks them).
-    Slab size must match (it is a config constant). Returns the dict
-    consumed by :func:`sharded_ivf_search`.
-    """
 
-    def pad_to(x, shape, fill=0):
-        pads = [(0, t - s) for s, t in zip(x.shape, shape)]
-        if all(p == (0, 0) for p in pads):
-            return x
-        return jnp.pad(x, pads, constant_values=fill)
-
-    from semadb_tpu.index.ivf import NIL
-
-    # PQ-mode shards hold u8 codes + per-query ADC tables, which this
-    # stacking does NOT carry (slab_codes/ovf_codes/codebook) — stacking
-    # them would silently mis-score every hit. Reject explicitly; the
-    # caller (cluster/meshsearch.py) falls back to the host fan-out.
+def ivf_stack_geometry(indices) -> dict:
+    """Fleet-maximum padding geometry for :func:`pad_ivf_view` — shards
+    grown independently diverge in overflow size / capacity / cluster
+    count. Raises on PQ-mode shards: their u8 codes + per-query ADC
+    tables are not carried by this stacking and would silently mis-score
+    every hit; the caller (cluster/meshsearch.py) falls back to the host
+    fan-out."""
     if any(getattr(i, "pq_active", False) for i in indices):
         raise NotImplementedError(
             "PQ-mode IVF shards are not supported in the mesh fan-out; "
             "use host fan-out or full-precision shards"
         )
-    max_c = max(i.centroids.shape[0] for i in indices)
-    max_o = max(i.ovf_ids.shape[0] for i in indices)
-    max_cap = max(i.vectors.shape[0] for i in indices)
-    S = indices[0].slab_ids.shape[1]
-    D = indices[0].params.vector_size
-    tdim = indices[0].slabs.shape[-1]  # traversal width (projected if <D)
+    return {
+        "max_c": max(i.centroids.shape[0] for i in indices),
+        "max_o": max(i.ovf_ids.shape[0] for i in indices),
+        "max_cap": max(i.vectors.shape[0] for i in indices),
+        "S": indices[0].slab_ids.shape[1],
+        "D": indices[0].params.vector_size,
+        # traversal width (projected if < D)
+        "tdim": indices[0].slabs.shape[-1],
+        "has_proj": indices[0]._proj is not None,
+    }
 
-    def one(idx):
-        assert idx.slab_ids.shape[1] == S, "slab size must match across shards"
-        # Probe in the same (possibly projected) space the slabs live in
-        cents_t = (
-            idx.centroids @ idx._proj if idx._proj is not None else idx.centroids
-        )
-        cents = pad_to(cents_t, (max_c, tdim), 1e15)
-        out = {
-            "centroids": cents,
-            "cent_sq": idx._sq(cents) if idx.metric == "euclidean"
-            # non-euclidean drops the norm term: pad a huge penalty instead
-            else pad_to(jnp.zeros(cents_t.shape[0]), (max_c,), 1e30),
-            "slabs": pad_to(idx.slabs, (max_c, S, tdim)),
-            "slab_sq": pad_to(idx.slab_sq, (max_c, S)),
-            "slab_ids": pad_to(idx.slab_ids, (max_c, S), NIL),
-            "ovf_vecs": pad_to(idx.ovf_vecs, (max_o, tdim)),
-            "ovf_sq": pad_to(idx._sq(idx.ovf_vecs), (max_o,)),
-            "ovf_ids": pad_to(idx.ovf_ids, (max_o,), NIL),
-            "vectors": pad_to(idx.vectors, (max_cap, D)),
-        }
-        if idx._proj is not None:
-            # Per-shard basis: after a refit each shard derives its own
-            # PCA projection from its LOCAL sample. Stack + shard them —
-            # never broadcast one shard's basis, that would silently
-            # mis-score every other shard's (projected) slabs.
-            out["proj"] = idx._proj
-        return out
 
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[one(i) for i in indices])
+def ivf_view_fits(idx, geom: dict) -> bool:
+    """True when ``idx`` can be padded into ``geom`` — the incremental
+    restack precondition (cluster/meshsearch.py updates one shard's slice
+    in place instead of rebuilding the whole stack)."""
+    return (
+        not getattr(idx, "pq_active", False)
+        and idx.slab_ids.shape[1] == geom["S"]
+        and idx.slabs.shape[-1] == geom["tdim"]
+        and (idx._proj is not None) == geom["has_proj"]
+        and idx.centroids.shape[0] <= geom["max_c"]
+        and idx.ovf_ids.shape[0] <= geom["max_o"]
+        and idx.vectors.shape[0] <= geom["max_cap"]
+    )
+
+
+def pad_ivf_view(idx, geom: dict) -> dict:
+    """One shard's device arrays padded to the stack geometry (padded
+    centroids get a huge norm so probe selection never picks them; padded
+    id slots are NIL so scoring masks them)."""
+    from semadb_tpu.index.ivf import NIL
+
+    max_c, max_o, max_cap = geom["max_c"], geom["max_o"], geom["max_cap"]
+    S, D, tdim = geom["S"], geom["D"], geom["tdim"]
+    assert idx.slab_ids.shape[1] == S, "slab size must match across shards"
+    # Probe in the same (possibly projected) space the slabs live in
+    cents_t = (
+        idx.centroids @ idx._proj if idx._proj is not None else idx.centroids
+    )
+    cents = _pad_to(cents_t, (max_c, tdim), 1e15)
+    out = {
+        "centroids": cents,
+        "cent_sq": idx._sq(cents) if idx.metric == "euclidean"
+        # non-euclidean drops the norm term: pad a huge penalty instead
+        else _pad_to(jnp.zeros(cents_t.shape[0]), (max_c,), 1e30),
+        "slabs": _pad_to(idx.slabs, (max_c, S, tdim)),
+        "slab_sq": _pad_to(idx.slab_sq, (max_c, S)),
+        "slab_ids": _pad_to(idx.slab_ids, (max_c, S), NIL),
+        "ovf_vecs": _pad_to(idx.ovf_vecs, (max_o, tdim)),
+        "ovf_sq": _pad_to(idx._sq(idx.ovf_vecs), (max_o,)),
+        "ovf_ids": _pad_to(idx.ovf_ids, (max_o,), NIL),
+        "vectors": _pad_to(idx.vectors, (max_cap, D)),
+    }
+    if idx._proj is not None:
+        # Per-shard basis: after a refit each shard derives its own
+        # PCA projection from its LOCAL sample. Stack + shard them —
+        # never broadcast one shard's basis, that would silently
+        # mis-score every other shard's (projected) slabs.
+        out["proj"] = idx._proj
+    return out
+
+
+def stack_ivf_states(indices, mesh) -> dict:
+    """Stack per-shard IndexIVF device arrays along a mesh-sharded axis.
+    Returns the dict consumed by :func:`sharded_ivf_search`."""
+    geom = ivf_stack_geometry(indices)
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[pad_ivf_view(i, geom) for i in indices]
+    )
     sharding = NamedSharding(mesh, P(SHARD_AXIS))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
+
+
+def update_stacked_shard(stacked, si: int, view: dict, mesh) -> dict:
+    """Incremental restack: replace ONE shard's slice of the stacked tree
+    (a write to shard ``si`` otherwise discards and rebuilds every
+    shard's copy — full restack at 1M×8 re-uploads GBs). The update is a
+    device-side row scatter per array; only device ``si``'s slice
+    changes."""
+    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+    out = dict(stacked)
+    for key, new in view.items():
+        cur = stacked[key]
+        upd = cur.at[si].set(new)
+        out[key] = jax.device_put(upd, sharding)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("p", "k", "mesh", "metric"))
@@ -290,3 +330,126 @@ def sharded_ivf_search(
         check_vma=False,
     )
     return fan(stacked, queries)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "mesh", "metric"))
+def sharded_fused_search(
+    stacked: dict,
+    psi: jax.Array,  # f32[S, B, aug_dim] — per-SHARD psi-mapped queries
+    const: jax.Array,  # f32[S, B] — per-shard rank constants
+    p: int,
+    k: int,
+    mesh,
+    metric: str = "dot",
+):
+    """Fused-hybrid fan-out over the mesh (index/fused.py served
+    shard-parallel). The psi mapping bakes in PER-SHARD fitted norm
+    scales, so queries arrive already mapped per shard (axis-sharded
+    [S, B, aug]) and each device adds ITS OWN rank constant to the raw
+    engine scores BEFORE the cross-shard top-k merge — raw engine scores
+    from different shards are not comparable (fused.py _psi sign
+    convention: engine distance = fused_distance − const)."""
+    from semadb_tpu.index.ivf import _ivf_query
+
+    def local(st: dict, q: jax.Array, c: jax.Array):
+        st = jax.tree.map(lambda x: x[0], st)
+        q = q[0]  # [B, aug]
+        c = c[0]  # [B]
+        d, i = _ivf_query(
+            st["centroids"], st["cent_sq"], st["slabs"], st["slab_sq"],
+            st["slab_ids"], st["ovf_vecs"], st["ovf_sq"], st["ovf_ids"],
+            q, st["vectors"], None, st.get("proj"), p, k, 1, metric,
+            dedup=True,
+        )
+        d = jnp.where(jnp.isfinite(d), d + c[:, None], d)
+        sh = jnp.full_like(i, jax.lax.axis_index(SHARD_AXIS))
+        return _allgather_topk(d, i, sh, k)
+
+    fan = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(SHARD_AXIS), stacked),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fan(stacked, psi, const)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "search_size", "k", "mesh")
+)
+def sharded_search_filtered(
+    stacked: GraphState,
+    queries: jax.Array,  # f32[B, D] (replicated)
+    masks: jax.Array,  # bool[S, cap] — per-shard admissible node ids
+    config: GraphConfig,
+    search_size: int,
+    k: int,
+    mesh,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Filtered fan-out search (search.go:27-51 semantics, shard-parallel):
+    each device seeds from ITS shard's filter members and admits only
+    members, then one ICI all-gather merges the per-shard top-k."""
+    from semadb_tpu.index.vamana.search import search_filtered
+
+    def local(st: GraphState, q: jax.Array, m: jax.Array):
+        st = jax.tree.map(lambda x: x[0], st)
+        d, i = search_filtered(st, q, m[0], config, search_size, k)
+        sh = jnp.full_like(i, jax.lax.axis_index(SHARD_AXIS))
+        return _allgather_topk(d, i, sh, k)
+
+    fan = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(SHARD_AXIS), stacked),
+            P(),
+            P(SHARD_AXIS),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fan(stacked, queries, masks)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "mesh", "metric"))
+def sharded_ivf_search_filtered(
+    stacked: dict,
+    queries: jax.Array,  # f32[B, D] (replicated)
+    masks: jax.Array,  # bool[S, cap]
+    p: int,
+    k: int,
+    mesh,
+    metric: str = "euclidean",
+):
+    """Filtered IVF fan-out: the per-shard member mask gates candidate
+    admission inside each device's probe scan (ivf._ivf_query filter)."""
+    from semadb_tpu.index.ivf import _ivf_query
+
+    def local(st: dict, q: jax.Array, m: jax.Array):
+        st = jax.tree.map(lambda x: x[0], st)
+        d, i = _ivf_query(
+            st["centroids"], st["cent_sq"], st["slabs"], st["slab_sq"],
+            st["slab_ids"], st["ovf_vecs"], st["ovf_sq"], st["ovf_ids"],
+            q, st["vectors"], m[0], st.get("proj"), p, k, 1, metric,
+            dedup=True,
+        )
+        sh = jnp.full_like(i, jax.lax.axis_index(SHARD_AXIS))
+        return _allgather_topk(d, i, sh, k)
+
+    fan = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(SHARD_AXIS), stacked),
+            P(),
+            P(SHARD_AXIS),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fan(stacked, queries, masks)

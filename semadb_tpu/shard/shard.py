@@ -417,6 +417,22 @@ class Shard:
         return deleted
 
     # -- search ------------------------------------------------------------
+    def filter_node_ids(self, filter_query) -> set:
+        """Evaluate a filter sub-query to this shard's admissible node-id
+        set in ONE read txn — the host half of the mesh filtered search
+        (cluster/meshsearch.py): masks go to the device, the vector scan
+        runs sharded (index/search.go:58-65 computes the same bitmap
+        before the vector walk)."""
+        out = [set()]
+
+        def reader(bm):
+            im = IndexManager(bm, self.collection.index_schema, self.device_indices)
+            s, _ = im.search(filter_query)
+            out[0] = s
+
+        self.db.read(reader)
+        return out[0]
+
     def resolve_node_ids(
         self, node_ids: List[int], with_data: bool = True
     ) -> Dict[int, Point]:

@@ -166,7 +166,9 @@ class MeshSearcher:
         if all(c[0] == "fused" for c in caps):
             inner = [c[1][0] for c in caps]
             psis = [c[1][1] for c in caps]
-            geom = ivf_stack_geometry(inner)  # raises on PQ
+            geom = ivf_stack_geometry(inner)  # raises on mixed PQ
+            if geom.get("pq"):
+                return None  # PQ-mode fused inner: host fan-out
             stacked = stack_ivf_states(inner, self.mesh)
             return _Stacked(
                 kind="fused", stacked=stacked,
@@ -306,6 +308,8 @@ class MeshSearcher:
         qd = jnp.asarray(q)
         masks = None
         if filter_query is not None:
+            if st.geom is not None and st.geom.get("pq"):
+                return None  # filtered PQ: host fan-out
             cap = (
                 st.stacked.vectors.shape[1]
                 if st.kind == "vamana"
@@ -336,6 +340,13 @@ class MeshSearcher:
             if masks is not None:
                 d, i, s = sharded_ivf_search_filtered(
                     st.stacked, qd, masks, p, k, self.mesh, metric=metric
+                )
+            elif st.geom is not None and st.geom.get("pq"):
+                from semadb_tpu.parallel.fanout import sharded_ivf_pq_search
+
+                d, i, s = sharded_ivf_pq_search(
+                    st.stacked, qd, p, k, st.geom["K"], self.mesh,
+                    metric=metric,
                 )
             else:
                 d, i, s = sharded_ivf_search(

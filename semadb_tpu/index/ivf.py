@@ -767,6 +767,9 @@ class IndexIVF:
                 params=self.params,
                 metric=self.metric,
                 pq_active=self.pq_active,
+                pq_codebook=self.pq_codebook,
+                slab_codes=self.slab_codes,
+                ovf_codes=self.ovf_codes,
                 centroids=self.centroids,
                 slabs=self.slabs,
                 slab_sq=self.slab_sq,

@@ -199,16 +199,20 @@ def _pad_to(x, shape, fill=0):
 def ivf_stack_geometry(indices) -> dict:
     """Fleet-maximum padding geometry for :func:`pad_ivf_view` — shards
     grown independently diverge in overflow size / capacity / cluster
-    count. Raises on PQ-mode shards: their u8 codes + per-query ADC
-    tables are not carried by this stacking and would silently mis-score
-    every hit; the caller (cluster/meshsearch.py) falls back to the host
-    fan-out."""
-    if any(getattr(i, "pq_active", False) for i in indices):
+    count. PQ-mode shards stack too (codes + per-shard codebooks; ADC
+    tables are built per (query, shard) INSIDE the shard_map body) as
+    long as the whole fleet shares one quantizer config. Raises on the
+    genuinely un-stackable case: shards in MIXED pq/full-precision modes
+    (the quantizer trigger fires per shard, so a half-fitted fleet has no
+    common scoring space) — the caller falls back to the host fan-out."""
+    pq_flags = [bool(getattr(i, "pq_active", False)) for i in indices]
+    if any(pq_flags) and not all(pq_flags):
         raise NotImplementedError(
-            "PQ-mode IVF shards are not supported in the mesh fan-out; "
-            "use host fan-out or full-precision shards"
+            "IVF shards in mixed PQ/full-precision modes cannot share one "
+            "mesh dispatch; use host fan-out until every shard's quantizer "
+            "trigger has fired"
         )
-    return {
+    geom = {
         "max_c": max(i.centroids.shape[0] for i in indices),
         "max_o": max(i.ovf_ids.shape[0] for i in indices),
         "max_cap": max(i.vectors.shape[0] for i in indices),
@@ -217,16 +221,36 @@ def ivf_stack_geometry(indices) -> dict:
         # traversal width (projected if < D)
         "tdim": indices[0].slabs.shape[-1],
         "has_proj": indices[0]._proj is not None,
+        "pq": all(pq_flags),
     }
+    if geom["pq"]:
+        M = indices[0].pq_codebook.shape[0]
+        K = indices[0].pq_codebook.shape[1]
+        if any(
+            i.pq_codebook.shape[0] != M or i.pq_codebook.shape[1] != K
+            for i in indices
+        ):
+            raise NotImplementedError(
+                "PQ shards with differing (num_subvectors, num_centroids) "
+                "cannot share one mesh dispatch"
+            )
+        geom["M"], geom["K"] = int(M), int(K)
+    return geom
 
 
 def ivf_view_fits(idx, geom: dict) -> bool:
     """True when ``idx`` can be padded into ``geom`` — the incremental
     restack precondition (cluster/meshsearch.py updates one shard's slice
     in place instead of rebuilding the whole stack)."""
+    if bool(getattr(idx, "pq_active", False)) != bool(geom.get("pq")):
+        return False
+    if geom.get("pq") and (
+        idx.pq_codebook.shape[0] != geom["M"]
+        or idx.pq_codebook.shape[1] != geom["K"]
+    ):
+        return False
     return (
-        not getattr(idx, "pq_active", False)
-        and idx.slab_ids.shape[1] == geom["S"]
+        idx.slab_ids.shape[1] == geom["S"]
         and idx.slabs.shape[-1] == geom["tdim"]
         and (idx._proj is not None) == geom["has_proj"]
         and idx.centroids.shape[0] <= geom["max_c"]
@@ -249,6 +273,23 @@ def pad_ivf_view(idx, geom: dict) -> dict:
         idx.centroids @ idx._proj if idx._proj is not None else idx.centroids
     )
     cents = _pad_to(cents_t, (max_c, tdim), 1e15)
+    if geom.get("pq"):
+        # PQ mode: codes + the per-shard codebook travel; the f32 slabs /
+        # overflow are dummies (ivf._refit shrinks them). ADC tables are
+        # built per (query, shard) inside the shard_map body.
+        return {
+            "centroids": cents,
+            "cent_sq": idx._sq(cents) if idx.metric == "euclidean"
+            else _pad_to(jnp.zeros(cents_t.shape[0]), (max_c,), 1e30),
+            "slab_codes": _pad_to(
+                idx.slab_codes, (max_c, S, geom["M"])
+            ),
+            "slab_ids": _pad_to(idx.slab_ids, (max_c, S), NIL),
+            "ovf_codes": _pad_to(idx.ovf_codes, (max_o, geom["M"])),
+            "ovf_ids": _pad_to(idx.ovf_ids, (max_o,), NIL),
+            "vectors": _pad_to(idx.vectors, (max_cap, D)),
+            "codebook": idx.pq_codebook,
+        }
     out = {
         "centroids": cents,
         "cent_sq": idx._sq(cents) if idx.metric == "euclidean"
@@ -453,3 +494,45 @@ def sharded_ivf_search_filtered(
         check_vma=False,
     )
     return fan(stacked, queries, masks)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "kq", "mesh", "metric"))
+def sharded_ivf_pq_search(
+    stacked: dict,
+    queries: jax.Array,  # f32[B, D] (replicated)
+    p: int,
+    k: int,
+    kq: int,  # PQ centroids per subvector (static)
+    mesh,
+    metric: str = "euclidean",
+):
+    """PQ-mode IVF fan-out (VERDICT r4 #7): codes + per-shard codebooks
+    are stacked; the per-(query, shard) ADC table is built INSIDE the
+    shard_map body — each device scores its own shard's codes against
+    tables from ITS codebook, reranks with exact f32 rows, and the ICI
+    all-gather merges exact distances (rerank makes cross-shard scores
+    comparable even though the codebooks differ). Reference being
+    replaced: product.go:136-305 served per-shard over RPC."""
+    from semadb_tpu.index.ivf import _ivf_query_pq
+    from semadb_tpu.vectorstore.store import pq_query_table
+
+    def local(st: dict, q: jax.Array):
+        st = jax.tree.map(lambda x: x[0], st)
+        M = st["codebook"].shape[0]
+        table = pq_query_table(q, st["codebook"], M, kq, metric)
+        d, i = _ivf_query_pq(
+            st["centroids"], st["cent_sq"], st["slab_codes"], st["slab_ids"],
+            st["ovf_codes"], st["ovf_ids"], table, q, st["vectors"], None,
+            p, k, 1, kq, metric, dedup=True,
+        )
+        sh = jnp.full_like(i, jax.lax.axis_index(SHARD_AXIS))
+        return _allgather_topk(d, i, sh, k)
+
+    fan = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(SHARD_AXIS), stacked), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fan(stacked, queries)

@@ -421,3 +421,67 @@ def test_mesh_incremental_restack_on_single_shard_write(tmp_path):
         assert incrementals and not rebuilds, (incrementals, rebuilds)
     finally:
         node.close()
+
+
+def test_mesh_pq_collection_matches_host_fanout(tmp_path):
+    """VERDICT r4 #7 e2e: a quantized (IVF-PQ) device-placement
+    collection serves through the mesh data plane, matching host fan-out."""
+    node = make_node(tmp_path)
+    try:
+        n = 6400  # 800/shard: past MIN_FIT=512 so every shard fits PQ
+        schema_pq = IndexSchema.from_dict(
+            {"emb": {"type": "vectorIVF", "vectorIVF": {
+                "vectorSize": DIM, "distanceMetric": "euclidean",
+                "quantizer": {"type": "product", "product": {
+                    "numCentroids": 16, "numSubvectors": 4,
+                    "triggerThreshold": 64}}}}}
+        )
+        vecs = (0.01 * RNG.standard_normal((n, DIM))).astype(np.float32)
+        vecs[:, 0] += np.arange(n)
+        pts = [
+            Point.from_map({"emb": vecs[i].tolist()}, uuid.UUID(int=i + 1))
+            for i in range(n)
+        ]
+        dev_col = Collection(
+            user_id="u1", id="pqdev", index_schema=schema_pq,
+            user_plan=UserPlan(), shard_placement="device",
+        )
+        host_col = Collection(
+            user_id="u1", id="pqhost", index_schema=schema_pq,
+            user_plan=UserPlan(),
+        )
+        node.create_collection(dev_col)
+        node.create_collection(host_col)
+        assert not node.insert_points(dev_col, pts)
+        assert not node.insert_points(host_col, pts)
+
+        # every shard's PQ trigger fired (100 points/shard > 64)
+        def check_pq(sh):
+            name, idx = next(iter(sh.device_indices.items()))
+            return idx.pq_active
+
+        assert all(
+            node.shard_manager.do_with_shard(dev_col, sid, check_pq)
+            for sid in dev_col.shard_ids
+        ), "PQ never activated: bad fixture"
+
+        ms = node._mesh()
+        calls = []
+        orig = ms.search_batch
+
+        def spy(*a, **kw):
+            out = orig(*a, **kw)
+            if out is not None:
+                calls.append(1)
+            return out
+
+        ms.search_batch = spy
+        q = np.zeros(DIM, np.float32)
+        q[0] = 404.4
+        got = node.search_points(dev_col, request(q, "ivf"))
+        assert calls, "PQ device placement must be mesh-served now"
+        want = node.search_points(host_col, request(q, "ivf"))
+        assert [r.point.id for r in got] == [r.point.id for r in want]
+        assert got[0].point.id == uuid.UUID(int=405)
+    finally:
+        node.close()

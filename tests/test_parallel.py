@@ -193,20 +193,11 @@ def test_sharded_ivf_equals_local_union_at_scale():
         assert {(w[1], w[2]) for w in want} == {(g[1], g[2]) for g in got}, b
 
 
-def test_stack_ivf_states_rejects_pq_shards():
-    """PQ-mode shards carry u8 codes + ADC tables the stacking does not
-    ship — they must be rejected loudly, never silently mis-scored
-    (VERDICT r3 weak #8)."""
-    import numpy as np
-
-    from semadb_tpu.index.ivf import IndexIVF
+def _pq_params():
     from semadb_tpu.models.quantizer import ProductQuantizerParams, Quantizer
     from semadb_tpu.models.schema import VectorIVFParams
-    from semadb_tpu.parallel import shard_mesh, stack_ivf_states
 
-    mesh = shard_mesh(2)
-    rng = np.random.default_rng(9)
-    params = VectorIVFParams(
+    return VectorIVFParams(
         vector_size=16, distance_metric="euclidean",
         quantizer=Quantizer(
             type="product",
@@ -215,17 +206,88 @@ def test_stack_ivf_states_rejects_pq_shards():
             ),
         ),
     )
-    indices = []
-    for _ in range(2):
+
+
+def _pq_shards(rng, n_shards=2, n=1024):
+    from semadb_tpu.index.ivf import IndexIVF
+
+    params = _pq_params()
+    indices, corpora = [], []
+    for _ in range(n_shards):
         idx = IndexIVF(params)
-        idx.insert_bulk(
-            np.arange(2, 1026, dtype=np.int32),
-            rng.standard_normal((1024, 16)).astype(np.float32),
-        )
+        vecs = rng.standard_normal((n, 16)).astype(np.float32)
+        idx.insert_bulk(np.arange(2, n + 2, dtype=np.int32), vecs)
         indices.append(idx)
-    assert any(i.pq_active for i in indices), "PQ never activated: bad fixture"
+        corpora.append(vecs)
+    assert all(i.pq_active for i in indices), "PQ never activated: bad fixture"
+    return indices, corpora
+
+
+def test_sharded_ivf_pq_matches_local_union():
+    """VERDICT r4 #7: PQ-mode shards ride the mesh fan-out — codes +
+    per-shard codebooks are stacked, ADC tables are built per
+    (query, shard) inside the shard_map body, and the merged result
+    equals the union of each shard's own local PQ search."""
+    import numpy as np
+
+    from semadb_tpu.parallel import shard_mesh, stack_ivf_states
+    from semadb_tpu.parallel.fanout import sharded_ivf_pq_search
+
+    mesh = shard_mesh(2)
+    rng = np.random.default_rng(9)
+    indices, _ = _pq_shards(rng)
+    stacked = stack_ivf_states(indices, mesh)
+    k, p = 8, 12
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    import jax.numpy as jnp
+
+    d, i, s = sharded_ivf_pq_search(
+        stacked, jnp.asarray(q), p, k, 16, mesh, metric="euclidean"
+    )
+    d, i, s = np.asarray(d), np.asarray(i), np.asarray(s)
+    # local union reference
+    for b in range(len(q)):
+        cand = []
+        for si, idx in enumerate(indices):
+            dd, ii = idx.search_batch(q[b : b + 1], k, num_probes=p)
+            for dv, iv in zip(np.asarray(dd)[0], np.asarray(ii)[0]):
+                if iv >= 0 and np.isfinite(dv):
+                    cand.append((float(dv), si, int(iv)))
+        cand.sort()
+        want = cand[:k]
+        got = [
+            (float(d[b, j]), int(s[b, j]), int(i[b, j]))
+            for j in range(k)
+            if i[b, j] >= 0 and np.isfinite(d[b, j])
+        ]
+        np.testing.assert_allclose(
+            [w[0] for w in want], [g[0] for g in got], rtol=1e-5, atol=1e-5
+        )
+        assert {(w[1], w[2]) for w in want} == {(g[1], g[2]) for g in got}, b
+
+
+def test_stack_ivf_states_rejects_mixed_pq_fleet():
+    """The genuinely un-stackable config: shards in MIXED PQ /
+    full-precision modes share no scoring space and must be rejected
+    loudly, never silently mis-scored."""
+    import numpy as np
+
+    from semadb_tpu.index.ivf import IndexIVF
+    from semadb_tpu.models.schema import VectorIVFParams
+    from semadb_tpu.parallel import shard_mesh, stack_ivf_states
+
+    mesh = shard_mesh(2)
+    rng = np.random.default_rng(9)
+    indices, _ = _pq_shards(rng, n_shards=1)
+    plain = IndexIVF(
+        VectorIVFParams(vector_size=16, distance_metric="euclidean")
+    )
+    plain.insert_bulk(
+        np.arange(2, 514, dtype=np.int32),
+        rng.standard_normal((512, 16)).astype(np.float32),
+    )
     with pytest.raises(NotImplementedError):
-        stack_ivf_states(indices, mesh)
+        stack_ivf_states([indices[0], plain], mesh)
 
 
 def test_sharded_delete_step_repairs_all_shards():

@@ -102,7 +102,7 @@ class MeshSearcher:
         return query.property
 
     # -- stacking --------------------------------------------------------------
-    def _collect(self, col: Collection, prop: str):
+    def _collect(self, col: Collection, prop: str, shard_ids: List[str]):
         """Capture a consistent per-shard snapshot under the shard locks.
 
         The capture happens INSIDE the do_with_shard callback (the per-
@@ -120,7 +120,7 @@ class MeshSearcher:
         params = col.index_schema.get(prop)
         bucket = IndexManager.bucket_name(params.type, prop)
         out = []
-        for sid in col.shard_ids:
+        for sid in shard_ids:
             def fn(shard):
                 idx = shard.device_indices.get(bucket)
                 if isinstance(idx, IndexVamana):
@@ -139,42 +139,64 @@ class MeshSearcher:
             out.append((cap, ver))
         return out
 
-    def _build_from(self, col: Collection, caps, versions) -> Optional[_Stacked]:
+    def _build_from(
+        self, col: Collection, caps, versions, shard_ids: List[str]
+    ) -> Optional[_Stacked]:
+        """Stack the given shards' captures. A PARTIAL stack (multi-node:
+        this node owns only some of the collection's shards) is padded to
+        the mesh size with inert views that can never produce a hit."""
         from semadb_tpu.parallel.fanout import (
+            inert_graph_state,
+            inert_ivf_view,
             ivf_stack_geometry,
-            stack_ivf_states,
+            pad_ivf_view,
             stack_states,
         )
+        import jax
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
 
+        import jax.numpy as jnp
+
+        n_pad = self.mesh.devices.size - len(caps)
         if all(c[0] == "vamana" for c in caps):
             states = [c[1] for c in caps]
             cap = max(s.capacity for s in states)
+            config = caps[0][2]
             states = [_pad_state(s, cap) for s in states]
+            states += [
+                inert_graph_state(cap, config.dim, config.degree_bound)
+            ] * n_pad
             stacked = stack_states(states, self.mesh)
             return _Stacked(
-                kind="vamana", stacked=stacked, shard_ids=list(col.shard_ids),
-                versions=versions, config=caps[0][2],
+                kind="vamana", stacked=stacked, shard_ids=list(shard_ids),
+                versions=versions, config=config,
             )
-        if all(c[0] == "ivf" for c in caps):
-            views = [c[1] for c in caps]
-            geom = ivf_stack_geometry(views)  # raises on PQ
-            stacked = stack_ivf_states(views, self.mesh)
-            return _Stacked(
-                kind="ivf", stacked=stacked, shard_ids=list(col.shard_ids),
-                versions=versions, probes=views[0]._num_probes(0), geom=geom,
-            )
-        if all(c[0] == "fused" for c in caps):
-            inner = [c[1][0] for c in caps]
-            psis = [c[1][1] for c in caps]
-            geom = ivf_stack_geometry(inner)  # raises on mixed PQ
-            if geom.get("pq"):
+        if all(c[0] == "ivf" for c in caps) or all(c[0] == "fused" for c in caps):
+            fused = caps[0][0] == "fused"
+            views = [c[1][0] if fused else c[1] for c in caps]
+            geom = ivf_stack_geometry(views)  # raises on mixed PQ
+            if fused and geom.get("pq"):
                 return None  # PQ-mode fused inner: host fan-out
-            stacked = stack_ivf_states(inner, self.mesh)
+            padded = [pad_ivf_view(v, geom) for v in views]
+            padded += [inert_ivf_view(geom)] * n_pad
+            from semadb_tpu.parallel.mesh import SHARD_AXIS
+
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+            sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
+            stacked = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), stacked
+            )
+            if fused:
+                psis = [c[1][1] for c in caps]
+                return _Stacked(
+                    kind="fused", stacked=stacked, shard_ids=list(shard_ids),
+                    versions=versions, probes=views[0]._num_probes(0),
+                    psi_views=psis, metric=views[0].metric, geom=geom,
+                )
             return _Stacked(
-                kind="fused", stacked=stacked,
-                shard_ids=list(col.shard_ids), versions=versions,
-                probes=inner[0]._num_probes(0), psi_views=psis,
-                metric=inner[0].metric, geom=geom,
+                kind="ivf", stacked=stacked, shard_ids=list(shard_ids),
+                versions=versions, probes=views[0]._num_probes(0), geom=geom,
             )
         return None
 
@@ -231,16 +253,24 @@ class MeshSearcher:
             cached, stacked=stacked, versions=versions, psi_views=psi_views
         )
 
-    def _get(self, col: Collection, prop: str) -> Optional[_Stacked]:
+    def _get(
+        self,
+        col: Collection,
+        prop: str,
+        shard_ids: Optional[List[str]] = None,
+    ) -> Optional[_Stacked]:
+        shard_ids = list(shard_ids if shard_ids is not None else col.shard_ids)
+        if not shard_ids or len(shard_ids) > self.mesh.devices.size:
+            return None
         key = (col.user_id, col.id, prop)
         with self._mu:
             cached = self._cache.get(key)
-        pairs = self._collect(col, prop)
+        pairs = self._collect(col, prop, shard_ids)
         if pairs is None:
             return None
         caps = [p[0] for p in pairs]
         versions = tuple(p[1] for p in pairs)
-        if cached is not None and cached.shard_ids == list(col.shard_ids):
+        if cached is not None and cached.shard_ids == shard_ids:
             if versions == cached.versions:
                 return cached
             if len(versions) == len(cached.versions):
@@ -256,7 +286,7 @@ class MeshSearcher:
                         collection=col.id, prop=prop,
                     )
                     return upd
-        built = self._build_from(col, caps, versions)  # raises on PQ
+        built = self._build_from(col, caps, versions, shard_ids)  # raises on PQ
         if built is None:
             return None
         with self._mu:
@@ -274,6 +304,7 @@ class MeshSearcher:
         search_size: int = 0,
         num_probes: int = 0,
         filter_query=None,  # shared filter Query for the whole batch
+        shard_ids: Optional[List[str]] = None,  # subset (multi-node)
     ) -> Optional[List[List[Tuple[float, str, int]]]]:
         """→ per query: [(distance, shard_id, local node id), ...] best-k
         across all shards, or None when the mesh path can't serve it.
@@ -293,7 +324,7 @@ class MeshSearcher:
         )
 
         try:
-            st = self._get(col, prop)
+            st = self._get(col, prop, shard_ids)
         except NotImplementedError as e:
             LOG.warn("mesh path unsupported, host fan-out", reason=str(e))
             return None
@@ -362,6 +393,7 @@ class MeshSearcher:
         weights: Optional[List[Optional[list]]],  # per-request overrides
         k: int,
         num_probes: int = 0,
+        shard_ids: Optional[List[str]] = None,  # subset (multi-node)
     ) -> Optional[List[List[Tuple[float, str, int]]]]:
         """Fused-hybrid mesh serving: maps each request into every
         shard's OWN psi space (per-shard fitted norm scales) and issues
@@ -373,7 +405,7 @@ class MeshSearcher:
         from semadb_tpu.parallel.fanout import sharded_fused_search
 
         try:
-            st = self._get(col, prop)
+            st = self._get(col, prop, shard_ids)
         except NotImplementedError as e:
             LOG.warn("mesh path unsupported, host fan-out", reason=str(e))
             return None
@@ -402,6 +434,11 @@ class MeshSearcher:
             cc[:B] = const
             psi_rows.append(pp)
             const_rows.append(cc)
+        # Inert padding shards (partial stacks) get zero psi/const rows —
+        # their NIL id slots can never produce a finite hit anyway.
+        for _ in range(self.mesh.devices.size - len(psi_rows)):
+            psi_rows.append(np.zeros_like(psi_rows[0]))
+            const_rows.append(np.zeros_like(const_rows[0]))
         d, i, s = sharded_fused_search(
             st.stacked, jnp.asarray(np.stack(psi_rows)),
             jnp.asarray(np.stack(const_rows)),
@@ -413,11 +450,12 @@ class MeshSearcher:
         d = np.asarray(d)[:B]
         i = np.asarray(i)[:B]
         s = np.asarray(s)[:B]
+        n_real = len(st.shard_ids)
         out: List[List[Tuple[float, str, int]]] = []
         for b in range(B):
             row = []
             for dist, nid, sh in zip(d[b], i[b], s[b]):
-                if nid < 0 or not np.isfinite(dist):
+                if nid < 0 or int(sh) >= n_real or not np.isfinite(dist):
                     continue
                 row.append((float(dist), st.shard_ids[int(sh)], int(nid)))
             out.append(row)

@@ -600,14 +600,29 @@ class ClusterNode:
         (actions.go:274-378) with ONE sharded_*_search dispatch whose
         top-k merge rides ICI; the result is the EXACT global top-k, so
         no Poisson per-shard-limit shrink is needed.
+
+        Multi-node composition: when the collection spans several nodes,
+        THIS node mesh-serves the shards it owns (a partial stack padded
+        with inert views) and fans the rest out over RPC — the two data
+        planes merge per request. The reference has only the RPC plane
+        (rpc.go:42-109).
         """
         from semadb_tpu.shard.shard import postprocess_results
 
         ms = self._mesh()
         if ms is None or col.shard_placement != "device" or not col.shard_ids:
             return None
-        if any(self._owner(sid) != self.my_hostname for sid in col.shard_ids):
+        local_sids = [
+            sid for sid in col.shard_ids
+            if self._owner(sid) == self.my_hostname
+        ]
+        remote_sids = [
+            sid for sid in col.shard_ids if sid not in set(local_sids)
+        ]
+        if not local_sids:
             return None
+        if remote_sids and any(sr.offset for sr in srs):
+            return None  # offset division semantics: host path handles it
         from semadb_tpu.index.manager import _filters_equal
 
         prop = None
@@ -647,12 +662,13 @@ class ClusterNode:
                 np.stack([fv[i] for fv in fused_views]) for i in range(nviews)
             ]
             hits = ms.search_batch_fused(
-                col, prop, qviews, fused_weights, max(ks), probes
+                col, prop, qviews, fused_weights, max(ks), probes,
+                shard_ids=local_sids,
             )
         else:
             hits = ms.search_batch(
                 col, prop, np.stack(vecs), max(ks), search_size, probes,
-                filter_query=filter_query,
+                filter_query=filter_query, shard_ids=local_sids,
             )
         if hits is None:
             return None
@@ -686,7 +702,67 @@ class ClusterNode:
                     )
                 )
             out.append(postprocess_results(sr, results))
+        if remote_sids:
+            self._merge_remote_shards(col, srs, remote_sids, out)
         return out
+
+    def _merge_remote_shards(
+        self,
+        col: Collection,
+        srs: List[SearchRequest],
+        remote_sids: List[str],
+        out: List[List[SearchResult]],
+    ) -> None:
+        """Fan the batch to remote shards over RPC (SearchPointsBatch,
+        Poisson-shrunk per-shard limits as in actions.go:291-299) and
+        merge each request's remote hits into the mesh-served results —
+        the RPC plane × device-mesh plane composition."""
+        n_shards = max(len(col.shard_ids), 1)
+        shard_srs = []
+        for sr in srs:
+            target = int(sr.limit / n_shards * POISSON_APPROX_A + POISSON_APPROX_B)
+            target = min(target, self.cfg.max_search_limit, sr.limit)
+            shard_srs.append(
+                SearchRequest(
+                    query=sr.query, select=sr.select, sort=sr.sort,
+                    offset=0, limit=target,
+                )
+            )
+        lock = threading.Lock()
+        errors: List[Exception] = []
+
+        def do_remote(sid: str):
+            try:
+                resp = self._call(
+                    self._owner(sid),
+                    "SearchPointsBatch",
+                    {
+                        "collection": col.to_dict(),
+                        "shardId": sid,
+                        "searchRequests": [
+                            _search_request_to_dict(s) for s in shard_srs
+                        ],
+                    },
+                )
+                with lock:
+                    for qi, pts in enumerate(resp["results"]):
+                        out[qi].extend(_result_from_wire(r) for r in pts)
+            except Exception as e:
+                with lock:
+                    errors.append(e)
+
+        with ThreadPoolExecutor(max_workers=len(remote_sids)) as ex:
+            list(ex.map(do_remote, remote_sids))
+        if errors:
+            raise ShardUnavailableError(
+                f"shard could not search points: {errors[0]}"
+            )
+        for qi, sr in enumerate(srs):
+            if not sr.sort:
+                out[qi].sort(key=lambda r: -r.hybrid_score)
+            else:
+                sort_search_results(out[qi], sr.sort)
+            out[qi][:] = out[qi][: sr.limit]
 
     def search_points(
         self, col: Collection, sr: SearchRequest

@@ -82,13 +82,108 @@ def _decode_set(raw: Optional[bytes]) -> Set[int]:
     return set(int(x) for x in np.frombuffer(raw, dtype=np.uint64))
 
 
-class IndexInverted:
-    """Generic inverted index over one property (inverted.go IndexInverted[T])."""
+class PostingsCache:
+    """Cross-transaction decoded-postings cache for one inverted bucket.
 
-    def __init__(self, bucket: Bucket, kind: str, case_sensitive: bool = True):
+    The reference keeps hot caches alive across txns (cache/manager.go:
+    116-303 shared caches; setCacheItem term sets). Without it every
+    search pays a full posting decode (numpy → boxed-int set, O(n)) and
+    every WRITE decodes + re-encodes the whole posting per point — a
+    1M-id common term costs ~8 MB of codec work per touched point.
+
+    Owned by the Shard (survives txns); ``rebind`` attaches the current
+    txn's bucket. Mutations are copy-on-write (a reader holding the old
+    set object never sees a concurrent resize) and deferred: ``flush``
+    persists dirty keys once per dispatch batch, inside the same write
+    txn. ``scrap`` drops everything after a failed txn (the overlay
+    rolled the store back; the cache may hold the discarded mutations —
+    the reference's scrapped-on-failure semantics, manager.go:123-303).
+
+    Bounded: past ``max_ids`` cached elements the CLEAN entries drop
+    wholesale (dirty ones must survive until flush)."""
+
+    def __init__(self, max_ids: int = 8_000_000):
+        self._sets: dict = {}  # key bytes -> Set[int] (committed/flushed view)
+        self._dirty: set = set()
+        self._n_ids = 0
+        self._max = max_ids
+        self.bucket: Optional[Bucket] = None
+
+    def rebind(self, bucket: Bucket) -> None:
+        self.bucket = bucket
+
+    def get(self, key: bytes) -> Set[int]:
+        s = self._sets.get(key)
+        if s is None:
+            s = _decode_set(self.bucket.get(key))
+            self._admit(key, s)
+        return s
+
+    def cached_or_decode(self, key: bytes, raw: Optional[bytes]) -> Set[int]:
+        """Scan helper: the store cursor already produced ``raw`` — use
+        the cached decode when present, else decode + admit."""
+        s = self._sets.get(key)
+        if s is None:
+            s = _decode_set(raw)
+            self._admit(key, s)
+        return s
+
+    def _admit(self, key: bytes, s: Set[int]) -> None:
+        if self._n_ids + len(s) > self._max and key not in self._dirty:
+            # wholesale clean-entry drop; dirty entries must survive
+            keep = {k: self._sets[k] for k in self._dirty if k in self._sets}
+            self._n_ids = sum(len(v) for v in keep.values())
+            self._sets = keep
+        self._sets[key] = s
+        self._n_ids += len(s)
+
+    def mutate(self, key: bytes, add: Optional[int], remove: Optional[int]) -> None:
+        old = self.get(key)
+        s = set(old)  # copy-on-write: concurrent readers keep the old object
+        if add is not None:
+            s.add(add)
+        if remove is not None:
+            s.discard(remove)
+        self._n_ids += len(s) - len(old)
+        self._sets[key] = s
+        self._dirty.add(key)
+
+    def flush(self) -> None:
+        for key in self._dirty:
+            s = self._sets.get(key)
+            if s:
+                self.bucket.put(key, _encode_set(s))
+            else:
+                self.bucket.delete(key)
+                self._sets.pop(key, None)
+        self._dirty.clear()
+
+    def scrap(self) -> None:
+        self._sets = {}
+        self._dirty = set()
+        self._n_ids = 0
+
+
+class IndexInverted:
+    """Generic inverted index over one property (inverted.go IndexInverted[T]).
+
+    With a :class:`PostingsCache` (passed by the shard's IndexManager),
+    postings decode once and writes batch their encode per txn; without
+    one, behaviour is the original read-modify-write per op."""
+
+    def __init__(
+        self,
+        bucket: Bucket,
+        kind: str,
+        case_sensitive: bool = True,
+        cache: Optional[PostingsCache] = None,
+    ):
         self.bucket = bucket
         self.kind = kind  # "integer" | "float" | "string"
         self.case_sensitive = case_sensitive
+        self.cache = cache
+        if cache is not None:
+            cache.rebind(bucket)
 
     def _transform(self, value):
         if self.kind == "string" and not self.case_sensitive:
@@ -98,15 +193,31 @@ class IndexInverted:
     def _key(self, value) -> bytes:
         return to_sortable(self._transform(value), self.kind)
 
+    def _get_set(self, key: bytes) -> Set[int]:
+        if self.cache is not None:
+            return self.cache.get(key)
+        return _decode_set(self.bucket.get(key))
+
+    def _scan_set(self, key: bytes, raw: Optional[bytes]) -> Set[int]:
+        if self.cache is not None:
+            return self.cache.cached_or_decode(key, raw)
+        return _decode_set(raw)
+
     # -- writes ------------------------------------------------------------
     def insert(self, node_id: int, value) -> None:
         key = self._key(value)
+        if self.cache is not None:
+            self.cache.mutate(key, add=node_id, remove=None)
+            return
         s = _decode_set(self.bucket.get(key))
         s.add(node_id)
         self.bucket.put(key, _encode_set(s))
 
     def delete(self, node_id: int, value) -> None:
         key = self._key(value)
+        if self.cache is not None:
+            self.cache.mutate(key, add=None, remove=node_id)
+            return
         s = _decode_set(self.bucket.get(key))
         s.discard(node_id)
         if s:
@@ -120,23 +231,29 @@ class IndexInverted:
         self.delete(node_id, old_value)
         self.insert(node_id, new_value)
 
+    def flush(self) -> None:
+        """Persist deferred (cached) mutations — call once per write
+        batch, inside the same store txn."""
+        if self.cache is not None:
+            self.cache.flush()
+
     # -- search ------------------------------------------------------------
     def search(self, value, end_value, operator: str) -> Set[int]:
         value = self._transform(value)
         key = to_sortable(value, self.kind)
         out: Set[int] = set()
         if operator == C.OPERATOR_EQUALS:
-            return _decode_set(self.bucket.get(key))
+            return self._get_set(key)
         if operator == C.OPERATOR_NOT_EQUALS:
             for k, v in self.bucket.items():
                 if k != key:
-                    out |= _decode_set(v)
+                    out |= self._scan_set(k, v)
             return out
         if operator == C.OPERATOR_STARTS_WITH:
             if self.kind != "string":
                 raise ValueError("startsWith only supported for string properties")
-            for _, v in self.bucket.prefix_scan(key):
-                out |= _decode_set(v)
+            for k, v in self.bucket.prefix_scan(key):
+                out |= self._scan_set(k, v)
             return out
         # Range operators ride the stores' ordered cursors (B+tree range
         # cursor parity, inverted.go:168-284): O(matching range), not
@@ -161,7 +278,7 @@ class IndexInverted:
         for k, v in self.bucket.range_scan(lo, hi):
             if (not include_start and k == lo) or (not include_end and k == hi):
                 continue
-            out |= _decode_set(v)
+            out |= self._scan_set(k, v)
         return out
 
 
@@ -169,8 +286,16 @@ class IndexInvertedArray:
     """String-array inverted index (array.go): per-element postings with
     containsAll/containsAny set algebra and element-level update diffing."""
 
-    def __init__(self, bucket: Bucket, case_sensitive: bool = False):
-        self.inner = IndexInverted(bucket, "string", case_sensitive)
+    def __init__(
+        self,
+        bucket: Bucket,
+        case_sensitive: bool = False,
+        cache: Optional[PostingsCache] = None,
+    ):
+        self.inner = IndexInverted(bucket, "string", case_sensitive, cache)
+
+    def flush(self) -> None:
+        self.inner.flush()
 
     def insert(self, node_id: int, values: Iterable[str]) -> None:
         for v in set(values):
@@ -194,7 +319,8 @@ class IndexInvertedArray:
         if not sets:
             return set()
         if operator == C.OPERATOR_CONTAINS_ALL:
-            out = sets[0]
+            # copy before &=: sets[0] may be a shared cache object
+            out = set(sets[0])
             for s in sets[1:]:
                 out &= s
             return out

@@ -85,10 +85,25 @@ class IndexManager:
         bm: BucketManager,
         schema: IndexSchema,
         device_registry: Dict[str, object],
+        host_caches: Optional[Dict[str, object]] = None,
     ):
         self.bm = bm
         self.schema = schema
         self.devices = device_registry  # bucket_name → IndexVamana | IndexFlat
+        # bucket_name → PostingsCache: cross-txn decoded postings owned by
+        # the Shard (cache/manager.go:116-303 shared-cache parity) —
+        # IndexManager instances are per-txn, the caches are not.
+        self.host_caches = host_caches
+
+    def _postings_cache(self, bucket_name: str):
+        if self.host_caches is None:
+            return None
+        cache = self.host_caches.get(bucket_name)
+        if cache is None:
+            from semadb_tpu.index.inverted import PostingsCache
+
+            cache = self.host_caches[bucket_name] = PostingsCache()
+        return cache
 
     # -- index accessors ---------------------------------------------------
     @staticmethod
@@ -186,8 +201,10 @@ class IndexManager:
                 case_sensitive = (
                     params.string.case_sensitive if itype == C.INDEX_TYPE_STRING and params.string else True
                 )
+                bname = self.bucket_name(itype, prop)
                 inv = IndexInverted(
-                    self.bm.get(self.bucket_name(itype, prop)), kind, case_sensitive
+                    self.bm.get(bname), kind, case_sensitive,
+                    cache=self._postings_cache(bname),
                 )
                 for nid, prev, cur, op in items:
                     if op == OP_INSERT:
@@ -196,10 +213,13 @@ class IndexManager:
                         inv.update(nid, prev, cur)
                     else:
                         inv.delete(nid, prev)
+                inv.flush()  # cached mutations persist once per batch
             elif itype == C.INDEX_TYPE_STRING_ARRAY:
                 case_sensitive = params.string_array.case_sensitive if params.string_array else False
+                bname = self.bucket_name(itype, prop)
                 arr = IndexInvertedArray(
-                    self.bm.get(self.bucket_name(itype, prop)), case_sensitive
+                    self.bm.get(bname), case_sensitive,
+                    cache=self._postings_cache(bname),
                 )
                 for nid, prev, cur, op in items:
                     if op == OP_INSERT:
@@ -208,6 +228,7 @@ class IndexManager:
                         arr.update(nid, prev, cur)
                     else:
                         arr.delete(nid, prev)
+                arr.flush()
             else:
                 raise ValidationError(f"unknown index type {itype}")
         return device_deltas
@@ -304,15 +325,19 @@ class IndexManager:
             case_sensitive = (
                 params.string.case_sensitive if itype == C.INDEX_TYPE_STRING and params.string else True
             )
+            bname = self.bucket_name(itype, q.property)
             inv = IndexInverted(
-                self.bm.get(self.bucket_name(itype, q.property)), kind, case_sensitive
+                self.bm.get(bname), kind, case_sensitive,
+                cache=self._postings_cache(bname),
             )
             o = {"string": q.string, "integer": q.integer, "float": q.float_}[kind]
             return inv.search(o.value, o.end_value, o.operator), []
         if itype == C.INDEX_TYPE_STRING_ARRAY:
             case_sensitive = params.string_array.case_sensitive if params.string_array else False
+            bname = self.bucket_name(itype, q.property)
             arr = IndexInvertedArray(
-                self.bm.get(self.bucket_name(itype, q.property)), case_sensitive
+                self.bm.get(bname), case_sensitive,
+                cache=self._postings_cache(bname),
             )
             return arr.search(q.string_array.value, q.string_array.operator), []
         raise ValidationError(f"search not supported for type {itype}")

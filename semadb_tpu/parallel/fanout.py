@@ -220,6 +220,7 @@ def ivf_stack_geometry(indices) -> dict:
         "D": indices[0].params.vector_size,
         # traversal width (projected if < D)
         "tdim": indices[0].slabs.shape[-1],
+        "slab_dtype": str(indices[0].slabs.dtype),  # bf16 at scale
         "has_proj": indices[0]._proj is not None,
         "pq": all(pq_flags),
     }
@@ -536,3 +537,48 @@ def sharded_ivf_pq_search(
         check_vma=False,
     )
     return fan(stacked, queries)
+
+
+def inert_ivf_view(geom: dict) -> dict:
+    """A no-op shard view for padding a PARTIAL stack to the mesh size
+    (multi-node: each node mesh-serves only the shards it owns; the
+    remaining devices get views that can never produce a finite hit —
+    centroids at 1e15 norm, every id slot NIL)."""
+    from semadb_tpu.index.ivf import NIL
+
+    C_, S, O = geom["max_c"], geom["S"], geom["max_o"]
+    tdim, cap, D = geom["tdim"], geom["max_cap"], geom["D"]
+    out = {
+        "centroids": jnp.full((C_, tdim), 1e15, jnp.float32),
+        "cent_sq": jnp.full((C_,), 1e30, jnp.float32),
+        "slab_ids": jnp.full((C_, S), NIL, jnp.int32),
+        "ovf_ids": jnp.full((O,), NIL, jnp.int32),
+        "vectors": jnp.zeros((cap, D), jnp.float32),
+    }
+    if geom.get("pq"):
+        out["slab_codes"] = jnp.zeros((C_, S, geom["M"]), jnp.uint8)
+        out["ovf_codes"] = jnp.zeros((O, geom["M"]), jnp.uint8)
+        out["codebook"] = jnp.zeros(
+            (geom["M"], geom["K"], D // geom["M"]), jnp.float32
+        )
+    else:
+        sdt = jnp.dtype(geom.get("slab_dtype", "float32"))
+        out["slabs"] = jnp.zeros((C_, S, tdim), sdt)
+        out["slab_sq"] = jnp.zeros((C_, S), jnp.float32)
+        out["ovf_vecs"] = jnp.zeros((O, tdim), jnp.float32)
+        out["ovf_sq"] = jnp.zeros((O,), jnp.float32)
+    if geom.get("has_proj"):
+        out["proj"] = jnp.zeros((D, tdim), jnp.float32)
+    return out
+
+
+def inert_graph_state(capacity: int, dim: int, degree: int) -> GraphState:
+    """No-op vamana shard for partial-stack padding: nothing exists, no
+    edges — the beam returns (INF, NIL) rows only."""
+    from semadb_tpu.index.vamana.graph import NIL as GNIL
+
+    return GraphState(
+        vectors=jnp.zeros((capacity, dim), jnp.float32),
+        adjacency=jnp.full((capacity, degree), GNIL, jnp.int32),
+        exists=jnp.zeros((capacity,), bool),
+    )

@@ -98,6 +98,9 @@ class Shard:
         # node-id → uuid-string cache for the id-only serving path;
         # delete_points invalidates freed ids (see UuidStrCache docstring).
         self._uuid_strs = pointstore.UuidStrCache()
+        # bucket name → PostingsCache: decoded inverted postings surviving
+        # txns (cache/manager.go:116-303); scrapped on txn failure.
+        self._host_caches: Dict[str, object] = {}
         self._load_device_indices()
 
     # -- device index persistence -----------------------------------------
@@ -244,6 +247,10 @@ class Shard:
         except BaseException:
             self.device_indices.clear()
             self._load_device_indices()
+            # Host postings caches may hold the rolled-back mutations —
+            # scrap them too (scrapped-on-failure, cache/manager.go:207-235)
+            for c in self._host_caches.values():
+                c.scrap()
             self.write_version += 1
             raise
         self.write_version += 1
@@ -335,7 +342,7 @@ class Shard:
                 node_id = counter.next_id()
                 pointstore.set_point(b_points, pointstore.ShardPoint(p, node_id))
                 changes.append(IndexPointChange(node_id, None, p.data))
-            im = IndexManager(bm, self.collection.index_schema, self.device_indices)
+            im = IndexManager(bm, self.collection.index_schema, self.device_indices, self._host_caches)
             self._log_device_deltas(bm, im.dispatch(changes))
             self._change_point_count(bm, len(points))
             counter.flush()
@@ -375,7 +382,7 @@ class Shard:
                 )
                 changes.append(IndexPointChange(sp.node_id, sp.point.data, final))
                 updated.append(p.id)
-            im = IndexManager(bm, self.collection.index_schema, self.device_indices)
+            im = IndexManager(bm, self.collection.index_schema, self.device_indices, self._host_caches)
             self._log_device_deltas(bm, im.dispatch(changes))
 
         with LOG.timed("update points", count=len(points)):
@@ -402,7 +409,7 @@ class Shard:
                 freed_ids.append(sp.node_id)
                 changes.append(IndexPointChange(sp.node_id, sp.point.data, None))
                 deleted.append(pid)
-            im = IndexManager(bm, self.collection.index_schema, self.device_indices)
+            im = IndexManager(bm, self.collection.index_schema, self.device_indices, self._host_caches)
             self._log_device_deltas(bm, im.dispatch(changes))
             self._change_point_count(bm, -len(deleted))
             counter.flush()
@@ -426,7 +433,7 @@ class Shard:
         out = [set()]
 
         def reader(bm):
-            im = IndexManager(bm, self.collection.index_schema, self.device_indices)
+            im = IndexManager(bm, self.collection.index_schema, self.device_indices, self._host_caches)
             s, _ = im.search(filter_query)
             out[0] = s
 
@@ -472,7 +479,7 @@ class Shard:
 
         def reader(bm):
             b_points = bm.get(pointstore.POINTS_BUCKET_NAME)
-            im = IndexManager(bm, self.collection.index_schema, self.device_indices)
+            im = IndexManager(bm, self.collection.index_schema, self.device_indices, self._host_caches)
             pairs = im.search_batch([r.query for r in requests])
             # Reference parity (shard.go:352): point DATA is fetched only
             # when the request selects fields (we also fetch it for sort,
@@ -559,7 +566,8 @@ class Shard:
             def reader(bm):
                 nonlocal out_docs
                 im = IndexManager(
-                    bm, self.collection.index_schema, self.device_indices
+                    bm, self.collection.index_schema, self.device_indices,
+                    self._host_caches,
                 )
                 arrs = im.search_batch_arrays([r.query for r in requests])
                 if arrs is None:

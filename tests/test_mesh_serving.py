@@ -485,3 +485,72 @@ def test_mesh_pq_collection_matches_host_fanout(tmp_path):
         assert got[0].point.id == uuid.UUID(int=405)
     finally:
         node.close()
+
+
+def test_two_node_rpc_x_mesh_composition(tmp_path):
+    """VERDICT r4 #10: a device-placement collection SPANNING two
+    ClusterNodes over real RPC — the querying node mesh-serves the shards
+    it owns (partial stack padded with inert views) and fans the rest out
+    over the RPC plane, merged per request. Results match a single-node
+    host-only reference collection on the same data."""
+    from semadb_tpu.cluster.node import ClusterNodeConfig
+
+    cfg_a = ClusterNodeConfig(root_dir=str(tmp_path / "a"),
+                              rpc_host="127.0.0.1", rpc_port=0)
+    node_a = ClusterNode(cfg_a)
+    node_a.serve()
+    cfg_b = ClusterNodeConfig(root_dir=str(tmp_path / "b"),
+                              rpc_host="127.0.0.1", rpc_port=0)
+    node_b = ClusterNode(cfg_b)
+    node_b.serve()
+    servers = [node_a.my_hostname, node_b.my_hostname]
+    node_a.servers = servers
+    node_b.servers = servers
+    try:
+        vecs = corpus()
+        col = Collection(
+            user_id="u1", id="span1", index_schema=schema("ivf"),
+            user_plan=UserPlan(), shard_placement="device",
+        )
+        node_a.create_collection(col)
+        insert_all(node_a, col, vecs)
+        col = node_a.get_collection("u1", "span1")
+        owners = {sid: node_a._owner(sid) for sid in col.shard_ids}
+        local_a = [s for s, o in owners.items() if o == node_a.my_hostname]
+        remote_a = [s for s, o in owners.items() if o != node_a.my_hostname]
+        assert local_a and remote_a, (
+            f"rendezvous must split shards across both nodes: {owners}"
+        )
+
+        # host-only single-node reference on the same data
+        ref_col = Collection(
+            user_id="u1", id="refhost", index_schema=schema("ivf"),
+            user_plan=UserPlan(),
+        )
+        node_a.create_collection(ref_col)
+        insert_all(node_a, ref_col, vecs)
+
+        ms = node_a._mesh()
+        served = []
+        orig = ms.search_batch
+
+        def spy(*a, **kw):
+            assert kw.get("shard_ids") is not None
+            assert set(kw["shard_ids"]) == set(local_a)
+            outp = orig(*a, **kw)
+            if outp is not None:
+                served.append(1)
+            return outp
+
+        ms.search_batch = spy
+
+        for q0 in (117.3, 42.4, 230.8):
+            q = np.zeros(DIM, np.float32)
+            q[0] = q0
+            got = node_a.search_points(col, request(q, "ivf"))
+            want = node_a.search_points(ref_col, request(q, "ivf"))
+            assert [r.point.id for r in got] == [r.point.id for r in want], q0
+        assert served, "the local subset must ride the mesh plane"
+    finally:
+        node_a.close()
+        node_b.close()

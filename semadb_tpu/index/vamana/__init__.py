@@ -53,7 +53,9 @@ def _route_seeds(cents, reps, exists, q, metric: str, s: int):
 
     d = pairwise_distance(q, cents, metric)  # [B, C]
     _, top = _jax.lax.top_k(-d, s)
-    seeds = reps[top]  # [B, s]
+    seeds = reps[top]  # [B, s] — or [B, s, m] with multi-rep routing
+    if seeds.ndim == 3:
+        seeds = seeds.reshape(seeds.shape[0], -1)
     ok = exists[jnp.clip(seeds, 0, exists.shape[0] - 1)] & (seeds >= 0)
     return jnp.where(ok, seeds, NIL)
 

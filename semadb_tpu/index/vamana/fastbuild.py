@@ -193,7 +193,17 @@ def build_pools(
     slot = np.zeros((C, m_max), np.int32)
     member[flat_c[order][keep], pos[keep]] = flat_p[order][keep]
     slot[flat_c[order][keep], pos[keep]] = flat_t[order][keep]
-    reps = member[:, 0].copy()  # one member per cluster (NIL when empty)
+    # Query-routing representatives: SEMADB_VAMANA_FB_REPS members per
+    # cluster (>1 widens each routed cluster's entry WITHOUT widening the
+    # cluster top-k — the round-4 route-seed sweep showed more CLUSTERS
+    # loses recall past ~8-16, but more entries per good cluster is a
+    # different lever).
+    n_reps = max(1, int(os.environ.get("SEMADB_VAMANA_FB_REPS", 1)))
+    reps = (
+        member[:, 0].copy()
+        if n_reps == 1
+        else member[:, : min(n_reps, m_max)].copy()
+    )
 
     # Size-bucketed dispatch: padding every cluster to the HEAVY-TAIL max
     # wastes m_max²/m̄² of the pairwise matmul (measured 16× at 1M with
@@ -293,6 +303,43 @@ def _expand_pool(
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _topup_chunk(adjacency, ids, pool_d, pool_i, exists):
+    """Backedge top-up: fill a chunk's NIL adjacency slots with their
+    nearest not-yet-linked pool candidates. The alpha-detour prune can
+    leave rows under-full (candidates dropped without replacements); the
+    diagnosed fast-build residual is EDGE quality, so unused row capacity
+    is free recall — extra near edges only densify local navigation."""
+    rows = adjacency[ids]  # [m, R]
+    cand = pool_i  # [m, P] node ids, NIL-padded
+    in_row = jnp.any(cand[:, :, None] == rows[:, None, :], axis=2)
+    ok = (
+        (cand != NIL)
+        & (cand != ids[:, None])
+        & ~in_row
+        & exists[jnp.clip(cand, 0, exists.shape[0] - 1)]
+    )
+    key = jnp.where(ok, pool_d, INF)
+    order = jnp.argsort(key, axis=1)
+    sc = jnp.take_along_axis(cand, order, axis=1)
+    sk = jnp.take_along_axis(key, order, axis=1)
+    sc = jnp.where(jnp.isfinite(sk), sc, NIL)
+    # best-effort adjacent dedup (duplicate ids across assignment slots
+    # carry identical distances, so they sort adjacent)
+    dup = jnp.concatenate(
+        [jnp.zeros((sc.shape[0], 1), bool), sc[:, 1:] == sc[:, :-1]], axis=1
+    )
+    sk = jnp.where(dup, INF, sk)
+    order2 = jnp.argsort(sk, axis=1)
+    sc = jnp.where(dup, NIL, sc)
+    sc = jnp.take_along_axis(sc, order2, axis=1)
+    nil_mask = rows == NIL
+    nil_rank = jnp.clip(jnp.cumsum(nil_mask, axis=1) - 1, 0, sc.shape[1] - 1)
+    fill = jnp.take_along_axis(sc, nil_rank, axis=1)
+    new_rows = jnp.where(nil_mask, fill, rows)
+    return adjacency.at[ids].set(new_rows)
+
+
 def _adopt_vectors(
     state: GraphState, ids: jax.Array, vecs: jax.Array
 ) -> GraphState:
@@ -390,6 +437,24 @@ def bulk_build_pools(
                     pool_d=pd_c,
                     pool_i=pi_c,
                 )
+    # Backedge top-up (SEMADB_VAMANA_FB_TOPUP=1): fill under-full rows
+    # with nearest unused pool candidates — targets the diagnosed
+    # edge-quality residual (0.9982 ceiling) at one scatter per chunk.
+    if os.environ.get("SEMADB_VAMANA_FB_TOPUP", "0") == "1":
+        with _logger().timed("vamana fastbuild topup", count=n):
+            for i in range(0, n, chunk):
+                index.state = GraphState(
+                    vectors=index.state.vectors,
+                    adjacency=_topup_chunk(
+                        index.state.adjacency,
+                        jnp.asarray(ids32[i : i + chunk]),
+                        pd_b[i : i + chunk],
+                        pi_b[i : i + chunk],
+                        index.state.exists,
+                    ),
+                    exists=index.state.exists,
+                )
+
     index.state = _connect_start(index.state, ids32, config)
 
     # Optional beam-search polish (IndexVamana.refine: keep_current pass

@@ -274,7 +274,28 @@ def _run_fused(jax) -> None:
 
     d2 = max(DIM // 2, 16)
     w1, w2 = 0.7, 0.3
-    ds1, ds2 = embedding_like_views(N, [DIM, d2], N_QUERIES, seed=42)
+    if os.environ.get("BENCH_ADVERSARIAL"):
+        # Adversarial fused corpus: one (DIM+d2)-dim adversarial sample
+        # split into two views. With euclidean views the weighted fused
+        # distance over the split IS a (rescaled-coordinate) distance in
+        # the full space, so the adversarial structure (Zipf clusters,
+        # density imbalance, near-duplicates, boundary queries) carries
+        # over exactly to the combined-score GT.
+        from semadb_tpu.tools.datasets import (
+            AnnDataset,
+            embedding_like_adversarial,
+        )
+
+        full = embedding_like_adversarial(N, DIM + d2, N_QUERIES)
+        ds1 = AnnDataset("adv-view1", "euclidean",
+                         np.ascontiguousarray(full.train[:, :DIM]),
+                         np.ascontiguousarray(full.test[:, :DIM]))
+        ds2 = AnnDataset("adv-view2", "euclidean",
+                         np.ascontiguousarray(full.train[:, DIM:]),
+                         np.ascontiguousarray(full.test[:, DIM:]))
+        del full
+    else:
+        ds1, ds2 = embedding_like_views(N, [DIM, d2], N_QUERIES, seed=42)
     ids = np.arange(2, N + 2, dtype=np.int32)
     # Independent view mixtures concatenate into a product cluster
     # structure that scatters fused neighbours across cluster boundaries;
@@ -356,7 +377,9 @@ def _run_fused(jax) -> None:
     print(
         json.dumps(
             {
-                "metric": f"embed{N//1000}k_d{DIM}+{d2}_fused_qps",
+                "metric": f"embed{N//1000}k_d{DIM}+{d2}_fused"
+                + ("_adv" if os.environ.get("BENCH_ADVERSARIAL") else "")
+                + "_qps",
                 "value": round(N_QUERIES / best, 1),
                 "unit": "qps",
                 "vs_baseline": round(N_QUERIES / best / BASELINE_QPS, 2),

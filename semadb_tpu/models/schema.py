@@ -419,12 +419,32 @@ class IndexSchemaValue:
 
 
 def _convert_to_vector(v) -> list:
-    """Coerce arbitrary JSON values into a float32 list (models/index.go:78-106)."""
+    """Coerce arbitrary JSON values into a float list (models/index.go:78-106).
+
+    Fast path: one ``np.asarray`` + ``tolist`` instead of a per-element
+    Python loop — at 128d the loop costs ~1 ms per point, which alone
+    capped HTTP ingest near 1.3k pts/s on the 1-vCPU host (round-4 weak
+    finding). Invalid content (bools, strings, nested lists) lands on a
+    non-float dtype and falls through to the strict per-element check for
+    the precise error message."""
     if isinstance(v, np.ndarray):
         if v.ndim != 1:
             raise ValidationError(f"expected 1-d vector array, got shape {v.shape}")
-        return [float(x) for x in v.astype(np.float32)]
+        return v.astype(np.float64).tolist()
     if isinstance(v, (list, tuple)):
+        try:
+            arr = np.asarray(v)
+        except Exception:
+            arr = np.empty(0, object)
+        # bools coerce silently into float dtype when mixed with numbers;
+        # the contract rejects them (models/index.go:78-106), so scan —
+        # an isinstance sweep is still ~20× cheaper than the float() loop
+        if (
+            arr.ndim == 1
+            and arr.dtype.kind in "fiu"
+            and not any(isinstance(f, bool) for f in v)
+        ):
+            return arr.astype(np.float64).tolist()
         out = []
         for f in v:
             if isinstance(f, bool) or not isinstance(f, (int, float, np.floating, np.integer)):

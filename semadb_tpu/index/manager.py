@@ -105,6 +105,24 @@ class IndexManager:
             cache = self.host_caches[bucket_name] = PostingsCache()
         return cache
 
+    def _text_cache(self, bucket_name: str, bucket):
+        if self.host_caches is None:
+            return None
+        cache = self.host_caches.get(bucket_name)
+        if cache is None:
+            from semadb_tpu.index.text import (
+                TextCaches,
+                _doc_codec,
+                _postings_codec,
+            )
+            from semadb_tpu.utils.itemcache import ItemCache
+
+            cache = self.host_caches[bucket_name] = TextCaches(
+                postings=ItemCache(bucket, _postings_codec()),
+                docs=ItemCache(bucket, _doc_codec()),
+            )
+        return cache
+
     # -- index accessors ---------------------------------------------------
     @staticmethod
     def bucket_name(itype: str, prop: str) -> str:
@@ -183,7 +201,12 @@ class IndexManager:
                 idx.insert_update_delete(delta)
                 device_deltas[self.bucket_name(itype, prop)] = delta
             elif itype == C.INDEX_TYPE_TEXT:
-                t = IndexText(self.bm.get(self.bucket_name(itype, prop)), params.text.analyser)
+                bname = self.bucket_name(itype, prop)
+                tb = self.bm.get(bname)
+                t = IndexText(
+                    tb, params.text.analyser,
+                    cache=self._text_cache(bname, tb),
+                )
                 for nid, prev, cur, op in items:
                     if op == OP_INSERT:
                         t.insert(nid, cur)
@@ -312,8 +335,10 @@ class IndexManager:
             filter_set = None
             if q.text.filter is not None:
                 filter_set, _ = self.search(q.text.filter)
+            bname = self.bucket_name(itype, q.property)
+            tb = self.bm.get(bname)
             t = IndexText(
-                self.bm.get(self.bucket_name(itype, q.property)), params.text.analyser
+                tb, params.text.analyser, cache=self._text_cache(bname, tb)
             )
             return t.search(q.text, filter_set)
         if itype in (C.INDEX_TYPE_STRING, C.INDEX_TYPE_INTEGER, C.INDEX_TYPE_FLOAT):

@@ -185,25 +185,61 @@ def _doc_codec() -> "Codec[int, Tuple[Dict[str, int], int]]":
     )
 
 
+class TextCaches:
+    """Cross-txn cache bundle for one text bucket (held in the Shard's
+    host_caches): the two ItemCaches plus the doc count."""
+
+    __slots__ = ("postings", "docs", "ndocs")
+
+    def __init__(self, postings, docs, ndocs=None):
+        self.postings = postings
+        self.docs = docs
+        self.ndocs = ndocs
+
+    def rebind(self, bucket) -> None:
+        self.postings.rebind(bucket)
+        self.docs.rebind(bucket)
+
+    def scrap(self) -> None:
+        self.postings.scrap()
+        self.docs.scrap()
+        self.ndocs = None
+
+
 class IndexText:
     """Write-back cached text index (text.go:400-535 setCacheItem/
     docCacheItem parity): postings AND per-doc term maps each sit behind a
     generic :class:`~semadb_tpu.utils.itemcache.ItemCache` — decode once
     per batch, mutate in memory, persist once on ``flush``."""
 
-    def __init__(self, bucket: Bucket, analyser: str = "standard"):
+    def __init__(self, bucket: Bucket, analyser: str = "standard", cache=None):
         if analyser != "standard":
             raise ValueError(f"unknown analyser {analyser}")
         self.bucket = bucket
-        self._postings: ItemCache[str, Postings] = ItemCache(
-            bucket, _postings_codec()
-        )
-        self._docs: ItemCache[int, Tuple[Dict[str, int], int]] = ItemCache(
-            bucket, _doc_codec()
-        )
-        self._ndocs: Optional[int] = None
+        if cache is not None:
+            # Cross-txn caches owned by the Shard (cache/manager.go:116-303
+            # shared-cache parity): decoded postings + doc maps survive
+            # across transactions; only the bucket binding is per-txn.
+            self._state = cache
+            cache.postings.rebind(bucket)
+            cache.docs.rebind(bucket)
+        else:
+            self._state = TextCaches(
+                postings=ItemCache(bucket, _postings_codec()),
+                docs=ItemCache(bucket, _doc_codec()),
+            )
+        self._postings = self._state.postings
+        self._docs = self._state.docs
 
     # -- helpers -----------------------------------------------------------
+    @property
+    def _ndocs(self) -> Optional[int]:
+        return self._state.ndocs
+
+    @_ndocs.setter
+    def _ndocs(self, v) -> None:
+        self._state.ndocs = v
+
     @property
     def num_docs(self) -> int:
         if self._ndocs is None:

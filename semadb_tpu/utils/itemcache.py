@@ -52,6 +52,18 @@ class ItemCache(Generic[K, V]):
         self._items: Dict[K, Optional[V]] = {}  # None = known-absent/deleted
         self._dirty: Set[K] = set()
 
+    def rebind(self, bucket: Bucket) -> None:
+        """Attach the current txn's bucket — a cache surviving across
+        transactions (the shard's host_caches, cache/manager.go:116-303)
+        keeps its decoded items but must read/write through the live txn."""
+        self.bucket = bucket
+
+    def scrap(self) -> None:
+        """Drop everything (scrapped-on-failure: the store rolled back
+        but the cache may hold the discarded mutations)."""
+        self._items = {}
+        self._dirty = set()
+
     # -- reads ---------------------------------------------------------------
     def get(self, key: K) -> Optional[V]:
         if key in self._items:

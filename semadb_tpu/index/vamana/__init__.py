@@ -369,7 +369,20 @@ class IndexVamana:
                 zip(ids_np.tolist(), np.asarray(jax.device_get(vecs)))
             )
             return
-        vec_np = np.asarray(jax.device_get(vecs), np.float32)
+        pool_mode = (
+            (build_mode or BUILD_MODE) == "pool"
+            and len(self) == 0
+            and n >= TWO_PASS_MIN
+            and self.config.metric in ("euclidean", "cosine", "dot")
+        )
+        if pool_mode and not isinstance(vecs, np.ndarray):
+            # Memory-lean bulk build: keep a device-resident corpus ON
+            # device — fastbuild adopts it straight into the graph matrix
+            # (a 5 GB host round-trip at 10M otherwise, plus a second
+            # corpus copy in HBM during the pool build).
+            vec_np = vecs
+        else:
+            vec_np = np.asarray(jax.device_get(vecs), np.float32)
         self._ensure_capacity(int(ids_np.max()))
         # A bulk build's beam searches roam the whole graph and its
         # backedge scatters land anywhere: the next snapshot is full.
@@ -386,12 +399,7 @@ class IndexVamana:
         # MXU-native pool build: fresh graphs only (pools are computed over
         # the batch; a non-empty graph needs the beam searches to see the
         # existing points), metrics with a dense contraction only.
-        if (
-            (build_mode or BUILD_MODE) == "pool"
-            and len(self) == 0
-            and n >= TWO_PASS_MIN
-            and self.config.metric in ("euclidean", "cosine", "dot")
-        ):
+        if pool_mode:
             from semadb_tpu.index.vamana import fastbuild
 
             fastbuild.bulk_build_pools(self, ids32, vec_np, l2)

@@ -64,22 +64,29 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "k"), donate_argnums=(0, 1))
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "row_off"), donate_argnums=(0, 1)
+)
 def _pool_group(
     pool_d: jax.Array,  # f32[N, P] (donated)
     pool_i: jax.Array,  # i32[N, P] (donated) — batch indices, -1 padded
     member: jax.Array,  # i32[G, m] batch indices, -1 padded
     slot: jax.Array,  # i32[G, m] assignment slot (0..T-1)
-    vecs: jax.Array,  # f32[N, D]
+    vecs: jax.Array,  # f32[N, D] — or [cap, D] graph matrix with row_off
     metric: str,
     k: int,
+    row_off: int = 0,
 ):
     """Exact kNN within each of G clusters; scatter each member's K nearest
-    into its pool columns [slot*K, slot*K + K)."""
+    into its pool columns [slot*K, slot*K + K).
+
+    ``row_off``: memory-lean builds gather from the ADOPTED graph matrix
+    (batch index b lives at row b+row_off) instead of a second corpus
+    copy; pool ids then come out in NODE-id space directly."""
     n = vecs.shape[0]
     G, m = member.shape
     ok = member != NIL
-    mv = vecs[jnp.clip(member, 0, n - 1)]  # [G, m, D]
+    mv = vecs[jnp.clip(member + row_off, 0, n - 1)]  # [G, m, D]
     cross = jnp.einsum(
         "gmd,gnd->gmn", mv, mv, precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
@@ -97,12 +104,14 @@ def _pool_group(
     nd = -nd
     cand = jnp.take_along_axis(
         jnp.broadcast_to(member[:, None, :], (G, m, m)), nj, axis=-1
-    )  # [G, m, K] batch indices
-    cand = jnp.where(jnp.isfinite(nd), cand, NIL)
+    )  # [G, m, K] batch indices (+row_off → node ids)
+    cand = jnp.where(jnp.isfinite(nd), cand + row_off, NIL)
 
     rows = jnp.where(ok, member, n).reshape(-1)  # invalid rows → dropped
     cols = (slot.reshape(-1) * k)[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
-    pool_d = pool_d.at[rows[:, None], cols].set(nd.reshape(-1, k), mode="drop")
+    pool_d = pool_d.at[rows[:, None], cols].set(
+        nd.reshape(-1, k).astype(pool_d.dtype), mode="drop"
+    )
     pool_i = pool_i.at[rows[:, None], cols].set(cand.reshape(-1, k), mode="drop")
     return pool_d, pool_i
 
@@ -128,8 +137,41 @@ def _pool_rand(
     rand = jnp.where(self_hit, NIL, rand)
     P = pool_i.shape[1]
     cols = jnp.arange(P - nr, P)
-    pool_d = pool_d.at[:, cols].set(rd)
+    pool_d = pool_d.at[:, cols].set(rd.astype(pool_d.dtype))
     pool_i = pool_i.at[:, cols].set(rand)
+    return pool_d, pool_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "blk", "n", "row_off"),
+    donate_argnums=(0, 1),
+)
+def _pool_rand_blk(
+    pool_d, pool_i, vecs, seed, b0, metric, blk: int, n: int, row_off: int
+):
+    """Blocked variant for the memory-lean build: random-candidate fill
+    for batch rows [b0, b0+blk) gathering from the adopted graph matrix
+    (one [blk, D] gather per block instead of a corpus-sized transient)."""
+    from semadb_tpu.ops.distance import gather_distance
+
+    nr = N_RAND
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), b0)
+    rand = jax.random.randint(key, (blk, nr), 0, n, dtype=jnp.int32)
+    rows_b = b0 + jnp.arange(blk, dtype=jnp.int32)
+    valid = rows_b < n
+    cap = vecs.shape[0]
+    q = vecs[jnp.clip(rows_b + row_off, 0, cap - 1)]  # [blk, D]
+    rd = gather_distance(vecs, jnp.clip(rand + row_off, 0, cap - 1), q, metric)
+    self_hit = rand == rows_b[:, None]
+    rd = jnp.where(self_hit | ~valid[:, None], INF, rd)
+    ri = jnp.where(self_hit, NIL, rand + row_off)
+    P = pool_i.shape[1]
+    target = jnp.where(valid, rows_b, pool_i.shape[0])  # OOB → dropped
+    cols = jnp.arange(P - nr, P, dtype=jnp.int32)
+    pool_d = pool_d.at[target[:, None], cols[None, :]].set(
+        rd.astype(pool_d.dtype), mode="drop"
+    )
+    pool_i = pool_i.at[target[:, None], cols[None, :]].set(ri, mode="drop")
     return pool_d, pool_i
 
 
@@ -137,33 +179,63 @@ def build_pools(
     vecs: jax.Array,  # f32[N, D] device-resident batch vectors
     metric: str,
     seed: int = 0,
+    n_rows: int = 0,
+    row_off: int = 0,
 ):
     """→ (pool_d f32[N, P], pool_i i32[N, P], cents f32[C, D]|None,
-    reps i32[C]|None). Pool entries are BATCH indices, NIL-padded;
-    ``reps[c]`` is one member batch index per cluster (the query-routing
-    representative) or NIL for empty clusters.
+    reps i32[C]|None). Pool entries are BATCH indices (NODE ids when
+    ``row_off`` > 0), NIL-padded; ``reps[c]`` is one member batch index
+    per cluster (the query-routing representative) or NIL for empty.
+
+    Memory-lean mode (``row_off`` > 0, ``n_rows`` set): ``vecs`` is the
+    ADOPTED graph matrix (batch row b at vecs[b+row_off]) — no second
+    corpus copy lives in HBM, which is what lets a 10M pool build fit a
+    16 GB chip next to the graph arrays. All gathers go through the
+    offset; the kmeans assignment runs in bounded blocks.
 
     P = ASSIGN_T·KNN_K + N_RAND. Runs entirely on device except the member
     grouping (one [N, T] readback + numpy segment packing).
     """
     from semadb_tpu.vectorstore.kmeans import kmeans_assign, kmeans_fit_large
 
-    n, d = vecs.shape
+    n = n_rows or vecs.shape[0]
+    d = vecs.shape[1]
     T, K = ASSIGN_T, KNN_K
     P = T * K + N_RAND
-    pool_d = jnp.full((n, P), INF, jnp.float32)
+    # bf16 at-rest pool distances (SEMADB_VAMANA_FB_POOL_BF16=1): the
+    # [N, P] distance matrix is the HBM long pole of a 10M pool build
+    # (f32 P=144 → 5.8 GB next to vectors + adjacency); distances are
+    # rank-only here, and every in-flight merge promotes to f32.
+    pdt = (
+        jnp.bfloat16
+        if os.environ.get("SEMADB_VAMANA_FB_POOL_BF16", "0") == "1"
+        else jnp.float32
+    )
+    pool_d = jnp.full((n, P), INF, pdt)
     pool_i = jnp.full((n, P), NIL, jnp.int32)
+
+    def rand_fill(pool_d, pool_i):
+        if row_off == 0 and n == vecs.shape[0]:
+            return _pool_rand(
+                pool_d, pool_i, vecs, jnp.asarray(seed, jnp.int32), metric
+            )
+        blk = 1 << 16
+        for b0 in range(0, n, blk):
+            pool_d, pool_i = _pool_rand_blk(
+                pool_d, pool_i, vecs, seed, jnp.asarray(b0, jnp.int32),
+                metric, blk, n, row_off,
+            )
+        return pool_d, pool_i
 
     if n <= 4 * MEMBER_TARGET:
         # Tiny batch: one cluster holding everything (single [n, n] matmul)
         member = jnp.arange(n, dtype=jnp.int32)[None, :]
         slot = jnp.zeros((1, n), jnp.int32)
         pool_d, pool_i = _pool_group(
-            pool_d, pool_i, member, slot, vecs, metric, min(K, n - 1)
+            pool_d, pool_i, member, slot, vecs, metric, min(K, n - 1),
+            row_off=row_off,
         )
-        pool_d, pool_i = _pool_rand(
-            pool_d, pool_i, vecs, jnp.asarray(seed, jnp.int32), metric
-        )
+        pool_d, pool_i = rand_fill(pool_d, pool_i)
         return pool_d, pool_i, None, None
 
     C = max(16, n // MEMBER_TARGET)
@@ -172,9 +244,25 @@ def build_pools(
     # observation as the PQ codebook subsampling — BENCHMARKS.md round 3).
     km_cap = int(os.environ.get("SEMADB_VAMANA_FB_KM_SAMPLE", 1 << 18))
     km_cap = max(km_cap, 32 * C)
-    fit_rows = vecs[:: max(1, n // km_cap)] if n > km_cap else vecs
+    stride = max(1, n // km_cap) if n > km_cap else 1
+    fit_rows = vecs[row_off : row_off + n : stride]
     cents, _ = kmeans_fit_large(fit_rows, C, seed=seed, iters=KM_ITERS)
-    asn = np.asarray(kmeans_assign(vecs, cents, t=T))  # [N, T] host
+    if row_off == 0 and n == vecs.shape[0]:
+        asn = np.asarray(kmeans_assign(vecs, cents, t=T))  # [N, T] host
+    else:
+        # Bounded-block assignment against the adopted matrix: a whole-
+        # corpus slice would be a 5 GB transient at 10M.
+        CH = 1 << 20
+        cap = vecs.shape[0]
+        asn = np.empty((n, T), np.int32)
+        for lo in range(0, n, CH):
+            hi = min(lo + CH, n)
+            rows = jnp.clip(
+                jnp.arange(lo, lo + CH, dtype=jnp.int32) + row_off, 0, cap - 1
+            )
+            asn[lo:hi] = np.asarray(kmeans_assign(vecs[rows], cents, t=T))[
+                : hi - lo
+            ]
 
     # Host segment packing: entries (cluster, point, slot) grouped by cluster
     flat_c = asn.reshape(-1).astype(np.int64)  # entry order: point-major
@@ -236,10 +324,9 @@ def build_pools(
                 jnp.asarray(mb[g0 : g0 + G]),
                 jnp.asarray(sb[g0 : g0 + G]),
                 vecs, metric, min(K, w - 1) if w <= K else K,
+                row_off=row_off,
             )
-    pool_d, pool_i = _pool_rand(
-        pool_d, pool_i, vecs, jnp.asarray(seed, jnp.int32), metric
-    )
+    pool_d, pool_i = rand_fill(pool_d, pool_i)
     return pool_d, pool_i, np.asarray(cents), reps
 
 
@@ -340,14 +427,20 @@ def _topup_chunk(adjacency, ids, pool_d, pool_i, exists):
     return adjacency.at[ids].set(new_rows)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _adopt_arrays(vectors, exists, ids, vecs):
+    return vectors.at[ids].set(vecs), exists.at[ids].set(True)
+
+
 def _adopt_vectors(
     state: GraphState, ids: jax.Array, vecs: jax.Array
 ) -> GraphState:
     """Write every batch vector + existence bit up front: pool candidates
     reference vectors across chunks, so the prune's gathers need them all
-    resident before the first chunk applies."""
-    vectors = state.vectors.at[ids].set(vecs)
-    exists = state.exists.at[ids].set(True)
+    resident before the first chunk applies. Donated — the scatter lands
+    in the existing (zeros) buffers instead of copying a 5 GB matrix at
+    10M."""
+    vectors, exists = _adopt_arrays(state.vectors, state.exists, ids, vecs)
     return GraphState(vectors=vectors, adjacency=state.adjacency, exists=exists)
 
 
@@ -382,15 +475,34 @@ def bulk_build_pools(
     n = len(ids32)
     chunk = int(os.environ.get("SEMADB_VAMANA_FB_CHUNK", 8192))
 
+    # Memory-lean flow for contiguous id ranges (the bulk-load shape):
+    # adopt the corpus into the graph matrix FIRST (donated scatter), drop
+    # every corpus reference, and build pools gathering from state.vectors
+    # with a row offset — no second corpus copy next to pools + graph.
+    # At 10M × 128d this is the difference between ~21 GB and ~14 GB peak.
+    off = int(ids32[0]) if n else 0
+    lean = bool(
+        n and np.array_equal(ids32, np.arange(off, off + n, dtype=np.int32))
+    )
     with _logger().timed("vamana fastbuild pools", count=n):
-        vecs_dev = jnp.asarray(vec_np)
-        index.state = _adopt_vectors(
-            index.state, jnp.asarray(ids32), vecs_dev
-        )
-        pd_b, pi_b, cents, reps = build_pools(vecs_dev, config.metric)
-        # Map batch indices → node ids
-        ids_dev = jnp.asarray(ids32)
-        pi_b = jnp.where(pi_b != NIL, ids_dev[jnp.clip(pi_b, 0, n - 1)], NIL)
+        if lean:
+            index.state = _adopt_vectors(
+                index.state, jnp.asarray(ids32), jnp.asarray(vec_np)
+            )
+            vec_np = None  # the graph matrix is the corpus now
+            pd_b, pi_b, cents, reps = build_pools(
+                index.state.vectors, config.metric, n_rows=n, row_off=off
+            )
+            # lean pools already carry node ids (batch index + off)
+        else:
+            vecs_dev = jnp.asarray(vec_np)
+            index.state = _adopt_vectors(
+                index.state, jnp.asarray(ids32), vecs_dev
+            )
+            pd_b, pi_b, cents, reps = build_pools(vecs_dev, config.metric)
+            # Map batch indices → node ids
+            ids_dev = jnp.asarray(ids32)
+            pi_b = jnp.where(pi_b != NIL, ids_dev[jnp.clip(pi_b, 0, n - 1)], NIL)
         if cents is not None:
             # Query-routed entry: the pool k-means doubles as a coarse
             # quantizer — searches seed at the nearest clusters' members
@@ -410,11 +522,20 @@ def bulk_build_pools(
         passes += [(config.alpha, f"pass2.{e}", True) for e in range(n_expand)]
     elif n_expand == 0:
         passes += [(config.alpha, "pass2", False)]
+    def chunk_vecs(i):
+        # lean mode: the corpus lives only in the graph matrix — gather
+        # the chunk's rows ([chunk, D], ~4 MB) instead of slicing a freed
+        # host array
+        if vec_np is not None:
+            return vec_np[i : i + chunk]
+        return index.state.vectors[jnp.asarray(ids32[i : i + chunk])]
+
     for alpha, tag, expand in passes:
         with _logger().timed(f"vamana fastbuild {tag}", count=n):
             for i in range(0, n, chunk):
                 pd_c = pd_b[i : i + chunk]
                 pi_c = pi_b[i : i + chunk]
+                cv = chunk_vecs(i)
                 if expand:
                     # 2-hop pool expansion against the CURRENT graph (with
                     # pass-1 backedges) — the NN-descent round that stands
@@ -422,13 +543,13 @@ def bulk_build_pools(
                     pd_c, pi_c = _expand_pool(
                         index.state,
                         jnp.asarray(ids32[i : i + chunk]),
-                        jnp.asarray(vec_np[i : i + chunk]),
+                        jnp.asarray(cv),
                         pd_c, pi_c, config.metric,
                     )
                 index.state = insert_batch(
                     index.state,
                     ids32[i : i + chunk],
-                    vec_np[i : i + chunk],
+                    cv,
                     config,
                     l2,
                     intra_k=0,

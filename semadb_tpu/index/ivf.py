@@ -819,9 +819,16 @@ class IndexIVF:
         (a) AOT-warms the persistent compile cache for the next bucket's
         write-scatter shapes WITHOUT any lock, then (b) pads under the
         write lock — a dispatch-only operation once the cache is warm."""
-        from semadb_tpu.utils.grow import GROW_AHEAD_FRAC
+        from semadb_tpu.utils.grow import GROW_AHEAD_FRAC, PREGROW_ROWS
 
         if GROW_AHEAD_FRAC <= 0 or self._grow_thread is not None:
+            return
+        # A pre-grown deployment sized its capacity deliberately — filling
+        # it is the EXPECTED state, not a growth signal. Padding to the
+        # next ×4 bucket in the background here allocated 8 GB mid-refit
+        # at 10M and OOMed the chip; synchronous growth remains the
+        # fallback if writes genuinely overrun the pregrow size.
+        if PREGROW_ROWS > 0:
             return
         if getattr(self, "_max_seen", 0) < GROW_AHEAD_FRAC * self.capacity:
             return

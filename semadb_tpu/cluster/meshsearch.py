@@ -93,12 +93,9 @@ class MeshSearcher:
             return None
         if opts is None:
             return None
-        # Filtered vamana/IVF queries ARE mesh-servable: the filter
+        # Filtered queries ARE mesh-servable for every kind: the filter
         # sub-query evaluates per shard on host (Shard.filter_node_ids),
-        # the masks ship to the devices (sharded_*_search_filtered). The
-        # fused engine keeps the host fallback for filters.
-        if opts.filter is not None and params.type == C.INDEX_TYPE_VECTOR_FUSED:
-            return None
+        # the masks ship to the devices (sharded_*_search_filtered).
         return query.property
 
     # -- stacking --------------------------------------------------------------
@@ -341,20 +338,7 @@ class MeshSearcher:
         if filter_query is not None:
             if st.geom is not None and st.geom.get("pq"):
                 return None  # filtered PQ: host fan-out
-            cap = (
-                st.stacked.vectors.shape[1]
-                if st.kind == "vamana"
-                else st.stacked["vectors"].shape[1]
-            )
-            masks = np.zeros((len(st.shard_ids), cap), bool)
-            for si, sid in enumerate(st.shard_ids):
-                allowed = self.shard_manager.do_with_shard(
-                    col, sid, lambda s: s.filter_node_ids(filter_query)
-                )
-                if allowed:
-                    ids = np.fromiter(allowed, np.int64, len(allowed))
-                    masks[si, ids[ids < cap]] = True
-            masks = jnp.asarray(masks)
+            masks = self._filter_masks(col, st, filter_query)
         if st.kind == "vamana":
             L = max(search_size or st.config.search_size, k)
             if masks is not None:
@@ -385,6 +369,28 @@ class MeshSearcher:
                 )
         return self._rows_from(d, i, s, B, st)
 
+    def _filter_masks(self, col: Collection, st: _Stacked, filter_query):
+        """Per-shard admissible-id masks for a shared batch filter: the
+        sub-query evaluates per shard ON HOST (index/search.go:58-65's
+        bitmap precompute), padded to the mesh size with all-False rows
+        for inert shards."""
+        import jax.numpy as jnp
+
+        cap = (
+            st.stacked.vectors.shape[1]
+            if st.kind == "vamana"
+            else st.stacked["vectors"].shape[1]
+        )
+        masks = np.zeros((self.mesh.devices.size, cap), bool)
+        for si, sid in enumerate(st.shard_ids):
+            allowed = self.shard_manager.do_with_shard(
+                col, sid, lambda s: s.filter_node_ids(filter_query)
+            )
+            if allowed:
+                ids = np.fromiter(allowed, np.int64, len(allowed))
+                masks[si, ids[ids < cap]] = True
+        return jnp.asarray(masks)
+
     def search_batch_fused(
         self,
         col: Collection,
@@ -394,6 +400,7 @@ class MeshSearcher:
         k: int,
         num_probes: int = 0,
         shard_ids: Optional[List[str]] = None,  # subset (multi-node)
+        filter_query=None,  # shared filter for the whole batch
     ) -> Optional[List[List[Tuple[float, str, int]]]]:
         """Fused-hybrid mesh serving: maps each request into every
         shard's OWN psi space (per-shard fitted norm scales) and issues
@@ -402,7 +409,10 @@ class MeshSearcher:
         sharded_fused_search)."""
         import jax.numpy as jnp
 
-        from semadb_tpu.parallel.fanout import sharded_fused_search
+        from semadb_tpu.parallel.fanout import (
+            sharded_fused_search,
+            sharded_fused_search_filtered,
+        )
 
         try:
             st = self._get(col, prop, shard_ids)
@@ -411,6 +421,11 @@ class MeshSearcher:
             return None
         if st is None or st.kind != "fused":
             return None
+        masks = None
+        if filter_query is not None:
+            if st.geom is not None and st.geom.get("pq"):
+                return None  # filtered PQ: host fan-out
+            masks = self._filter_masks(col, st, filter_query)
         B = qviews[0].shape[0]
         Bp = 8
         while Bp < B:
@@ -439,11 +454,18 @@ class MeshSearcher:
         for _ in range(self.mesh.devices.size - len(psi_rows)):
             psi_rows.append(np.zeros_like(psi_rows[0]))
             const_rows.append(np.zeros_like(const_rows[0]))
-        d, i, s = sharded_fused_search(
-            st.stacked, jnp.asarray(np.stack(psi_rows)),
-            jnp.asarray(np.stack(const_rows)),
-            num_probes or st.probes, k, self.mesh, metric=st.metric,
-        )
+        if masks is not None:
+            d, i, s = sharded_fused_search_filtered(
+                st.stacked, jnp.asarray(np.stack(psi_rows)),
+                jnp.asarray(np.stack(const_rows)), masks,
+                num_probes or st.probes, k, self.mesh, metric=st.metric,
+            )
+        else:
+            d, i, s = sharded_fused_search(
+                st.stacked, jnp.asarray(np.stack(psi_rows)),
+                jnp.asarray(np.stack(const_rows)),
+                num_probes or st.probes, k, self.mesh, metric=st.metric,
+            )
         return self._rows_from(d, i, s, B, st)
 
     def _rows_from(self, d, i, s, B, st) -> List[List[Tuple[float, str, int]]]:

@@ -663,7 +663,7 @@ class ClusterNode:
             ]
             hits = ms.search_batch_fused(
                 col, prop, qviews, fused_weights, max(ks), probes,
-                shard_ids=local_sids,
+                shard_ids=local_sids, filter_query=filter_query,
             )
         else:
             hits = ms.search_batch(

@@ -582,3 +582,48 @@ def inert_graph_state(capacity: int, dim: int, degree: int) -> GraphState:
         adjacency=jnp.full((capacity, degree), GNIL, jnp.int32),
         exists=jnp.zeros((capacity,), bool),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "mesh", "metric"))
+def sharded_fused_search_filtered(
+    stacked: dict,
+    psi: jax.Array,  # f32[S, B, aug_dim]
+    const: jax.Array,  # f32[S, B]
+    masks: jax.Array,  # bool[S, cap]
+    p: int,
+    k: int,
+    mesh,
+    metric: str = "dot",
+):
+    """Filtered fused fan-out: per-shard psi queries + rank constants as
+    in :func:`sharded_fused_search`, with each shard's member mask gating
+    candidate admission inside the probe scan."""
+    from semadb_tpu.index.ivf import _ivf_query
+
+    def local(st: dict, q: jax.Array, c: jax.Array, m: jax.Array):
+        st = jax.tree.map(lambda x: x[0], st)
+        q = q[0]
+        c = c[0]
+        d, i = _ivf_query(
+            st["centroids"], st["cent_sq"], st["slabs"], st["slab_sq"],
+            st["slab_ids"], st["ovf_vecs"], st["ovf_sq"], st["ovf_ids"],
+            q, st["vectors"], m[0], st.get("proj"), p, k, 1, metric,
+            dedup=True,
+        )
+        d = jnp.where(jnp.isfinite(d), d + c[:, None], d)
+        sh = jnp.full_like(i, jax.lax.axis_index(SHARD_AXIS))
+        return _allgather_topk(d, i, sh, k)
+
+    fan = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(SHARD_AXIS), stacked),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fan(stacked, psi, const, masks)

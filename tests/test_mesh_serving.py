@@ -554,3 +554,73 @@ def test_two_node_rpc_x_mesh_composition(tmp_path):
     finally:
         node_a.close()
         node_b.close()
+
+
+def test_mesh_fused_filtered_matches_host_fanout(tmp_path):
+    """ROADMAP gap: filtered vectorFused queries ride the mesh too —
+    host-evaluated member masks gate the sharded psi dispatch."""
+    node = make_node(tmp_path)
+    try:
+        D1, D2 = 6, 4
+        schema_f = IndexSchema.from_dict(
+            {"embeds": {"type": "vectorFused", "vectorFused": {"views": [
+                {"vectorSize": D1, "distanceMetric": "euclidean", "weight": 0.7},
+                {"vectorSize": D2, "distanceMetric": "euclidean", "weight": 0.3},
+            ]}},
+             "grp": {"type": "integer", "integer": {}}}
+        )
+        v1 = (0.01 * RNG.standard_normal((N, D1))).astype(np.float32)
+        v2 = (0.01 * RNG.standard_normal((N, D2))).astype(np.float32)
+        v1[:, 0] += np.arange(N)
+        v2[:, 0] += np.arange(N)
+        pts = [
+            Point.from_map(
+                {"embeds": [v1[i].tolist(), v2[i].tolist()], "grp": i % 3},
+                uuid.UUID(int=i + 1),
+            )
+            for i in range(N)
+        ]
+        dev_col = Collection(
+            user_id="u1", id="ffdev", index_schema=schema_f,
+            user_plan=UserPlan(), shard_placement="device",
+        )
+        host_col = Collection(
+            user_id="u1", id="ffhost", index_schema=schema_f,
+            user_plan=UserPlan(),
+        )
+        node.create_collection(dev_col)
+        node.create_collection(host_col)
+        assert not node.insert_points(dev_col, pts)
+        assert not node.insert_points(host_col, pts)
+
+        ms = node._mesh()
+        calls = []
+        orig = ms.search_batch_fused
+
+        def spy(*a, **kw):
+            assert kw.get("filter_query") is not None
+            out = orig(*a, **kw)
+            if out is not None:
+                calls.append(1)
+            return out
+
+        ms.search_batch_fused = spy
+        q1 = np.zeros(D1, np.float32)
+        q2 = np.zeros(D2, np.float32)
+        q1[0] = q2[0] = 117.3
+        sr = SearchRequest.from_dict(
+            {"query": {"property": "embeds", "vectorFused": {
+                "vectors": [q1.tolist(), q2.tolist()], "operator": "near",
+                "limit": 5,
+                "filter": {"property": "grp",
+                           "integer": {"value": 1, "operator": "equals"}}}},
+             "limit": 5}
+        )
+        got = node.search_points(dev_col, sr)
+        assert calls, "filtered fused device query must ride the mesh"
+        want = node.search_points(host_col, sr)
+        assert [r.point.id for r in got] == [r.point.id for r in want]
+        assert all((r.point.id.int - 1) % 3 == 1 for r in got)
+        assert got[0].point.id == uuid.UUID(int=119)  # nearest grp==1: i=118
+    finally:
+        node.close()

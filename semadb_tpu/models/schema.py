@@ -184,9 +184,11 @@ class VectorIVFParams:
             raise ValidationError(
                 f"slabSize must be between 8 and 1024, got {self.slab_size}"
             )
-        if not (1 <= self.assign_copies <= 4):
+        # Cap 8: copies multiply slab memory ~linearly; 6 measured +0.005
+        # recall on product-structured fused corpora (BENCHMARKS round 5)
+        if not (1 <= self.assign_copies <= 8):
             raise ValidationError(
-                f"assignCopies must be between 1 and 4, got {self.assign_copies}"
+                f"assignCopies must be between 1 and 8, got {self.assign_copies}"
             )
 
     @classmethod
@@ -326,9 +328,11 @@ class VectorFusedParams:
             raise ValidationError(
                 f"numClusters must be between 16 and 262144, got {self.num_clusters}"
             )
-        if not (1 <= self.assign_copies <= 4):
+        # Cap 8: copies multiply slab memory ~linearly; 6 measured +0.005
+        # recall on product-structured fused corpora (BENCHMARKS round 5)
+        if not (1 <= self.assign_copies <= 8):
             raise ValidationError(
-                f"assignCopies must be between 1 and 4, got {self.assign_copies}"
+                f"assignCopies must be between 1 and 8, got {self.assign_copies}"
             )
 
     @classmethod

@@ -1456,6 +1456,11 @@ class IndexIVF:
                 vecs.astype(jnp.float32), ((lead, new_cap - n - lead), (0, 0))
             )
             self.capacity = new_cap
+            # This branch bypasses _ensure_capacity, which normally tracks
+            # the snapshot row bound — without this line a device-corpus
+            # bulk load persisted a 1-row vectors array (reopen parity
+            # 0.053 at 10M, caught by the shardwrite crash leg).
+            self._max_seen = max(self._max_seen, int(ids_np[-1]))
             self.dirty.all("vectors")
         else:
             self._ensure_capacity(int(ids_np.max()))

@@ -354,3 +354,48 @@ def test_row_growth_keeps_incremental_chunks(tmp_path):
     probe[0] = 405.0
     assert uuid.UUID(int=406) in ids_of(shard2.search_points(query(probe)))
     shard2.close()
+
+
+def test_device_corpus_bulk_load_snapshot_roundtrip(tmp_path, monkeypatch):
+    """Round-5 regression: the device-corpus bulk-adoption branch bypassed
+    _ensure_capacity, so _max_seen stayed 0 and the row-bounded snapshot
+    persisted a 1-ROW vectors matrix — crash reopen lost the corpus
+    (probe parity 0.053 at 10M). The bound must survive that branch."""
+    import jax.numpy as jnp
+
+    import semadb_tpu.utils.grow as grow
+    from semadb_tpu.index.ivf import IndexIVF
+    from semadb_tpu.models.schema import VectorIVFParams
+
+    monkeypatch.setattr(grow, "PREGROW_ROWS", 3000)
+    n = 2000
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+    idx = IndexIVF(VectorIVFParams(vector_size=DIM, distance_metric="euclidean"))
+    idx.insert_bulk(
+        np.arange(2, n + 2, dtype=np.int64), jnp.asarray(vecs), defer_fit=True
+    )
+    idx.flush_pending()
+    assert idx.snapshot_row_bounds()["vectors"] >= n + 1
+
+    from semadb_tpu.store import open_store
+
+    db = open_store(str(tmp_path / "s.sdb"))
+    wrote = [0]
+
+    def w(bm):
+        wrote[0] = snap.write_snapshot(bm.get("b"), idx)
+
+    db.write(w)
+    out = [None]
+
+    def r(bm):
+        out[0] = snap.read_snapshot(bm.get("b"))
+
+    db.read(r)
+    assert out[0]["vectors"].shape[0] >= n + 1
+    idx2 = IndexIVF.from_arrays(idx.params, out[0])
+    q = vecs[77:78]
+    _, i1 = idx.search_batch(q, 10)
+    _, i2 = idx2.search_batch(q, 10)
+    assert set(np.asarray(i1)[0].tolist()) == set(np.asarray(i2)[0].tolist())

@@ -1174,10 +1174,11 @@ def main() -> None:
         # Worst-case corpus: Zipf clusters + 10x density imbalance +
         # near-duplicates + boundary queries (VERDICT r4 item #9).
         ds = embedding_like_adversarial(N, DIM, N_QUERIES, metric=METRIC)
-    elif N * DIM >= 2**28 and MODE.startswith("ivf"):
+    elif N * DIM >= 2**28 and (MODE.startswith("ivf") or MODE == "plain"):
         # High-dim/large corpora generate on-device: the host generator
         # takes 8-14 min at 1M x 1536d on one core and the corpus would
-        # then cost a 6 GB tunnel upload.
+        # then cost a 6 GB tunnel upload. The vamana path adopts a
+        # device corpus leanly too (fastbuild contiguous-id flow).
         ds = embedding_like_device(N, DIM, N_QUERIES, spread=SPREAD, metric=METRIC)
     else:
         ds = embedding_like(N, DIM, N_QUERIES, spread=SPREAD, metric=METRIC)

@@ -91,11 +91,16 @@ def _preflight() -> None:
     # 20 attempts: a crashed/restarting TPU worker (observed after OOM
     # stress) can take ~25 minutes to come back.
     for attempt in range(20):
-        r = subprocess.run(
-            [sys.executable, "-c", probe], capture_output=True, timeout=300
-        )
-        if r.returncode == 0:
-            return
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, timeout=300
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            # A hung probe (worker mid-recovery holds the claim without
+            # answering) is a failed attempt, not a crash.
+            pass
         print(
             f"# tpu preflight attempt {attempt + 1} failed, retrying in 60s",
             file=sys.stderr, flush=True,

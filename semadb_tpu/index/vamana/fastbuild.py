@@ -245,7 +245,10 @@ def build_pools(
     km_cap = int(os.environ.get("SEMADB_VAMANA_FB_KM_SAMPLE", 1 << 18))
     km_cap = max(km_cap, 32 * C)
     stride = max(1, n // km_cap) if n > km_cap else 1
-    fit_rows = vecs[row_off : row_off + n : stride]
+    if stride == 1 and row_off == 0 and n == vecs.shape[0]:
+        fit_rows = vecs  # no-slice fast path (a full slice would copy)
+    else:
+        fit_rows = vecs[row_off : row_off + n : stride]
     cents, _ = kmeans_fit_large(fit_rows, C, seed=seed, iters=KM_ITERS)
     if row_off == 0 and n == vecs.shape[0]:
         asn = np.asarray(kmeans_assign(vecs, cents, t=T))  # [N, T] host

@@ -137,6 +137,9 @@ class IndexVamana:
         # past it are capacity padding that never needs to leave the
         # device). START_ID is always live.
         self._max_seen = graph.START_ID
+        # Grow-ahead bookkeeping (_maybe_grow_ahead)
+        self._grow_thread = None
+        self._warm_target = 0
 
     # -- persistence -------------------------------------------------------
     def to_arrays(self) -> dict:
@@ -299,6 +302,95 @@ class IndexVamana:
             for name in ("store/codes", "store/aux", "store/rot"):
                 self.dirty.all(name)
         self._entry_seeds = None  # recompute lazily after any write
+        self._maybe_grow_ahead()
+
+    # -- grow-ahead: keep bucket-crossing compiles out of user write txns ----
+    def _maybe_grow_ahead(self) -> None:
+        """Warm the NEXT capacity bucket's write kernels on a daemon
+        thread once occupancy passes SEMADB_GROW_AHEAD_FRAC.
+
+        Unlike IndexIVF's grower this does NOT pad live arrays in the
+        background: graph writes are serialized by the Shard (the engine
+        has no write lock to pad under), so the bucket crossing itself
+        stays synchronous in ``_ensure_capacity`` — but once the warm has
+        populated the persistent compile cache, that crossing costs a pad
+        dispatch plus ~100 ms of re-tracing instead of the full XLA
+        compile of the insert kernel at the new shape (the 17-26 s p99
+        class of stall measured on the IVF side, BENCHMARKS.md round-4
+        shardwrite). Stands down under SEMADB_PREGROW_ROWS for the same
+        reason IVF's does: a pre-grown deployment filling up is the
+        expected state, not a growth signal."""
+        import threading
+
+        from semadb_tpu.utils.grow import GROW_AHEAD_FRAC, PREGROW_ROWS
+
+        if GROW_AHEAD_FRAC <= 0 or PREGROW_ROWS > 0:
+            return
+        if self._grow_thread is not None:
+            return
+        cap = self.state.capacity
+        if self._max_seen < GROW_AHEAD_FRAC * cap:
+            return
+        target = required_capacity(cap, self.config)
+        if target <= self._warm_target:
+            return  # this bucket's kernels are already warm
+
+        def _run():
+            try:
+                self.warm_capacity_shapes(target)
+                self._warm_target = max(self._warm_target, target)
+            except Exception as e:  # pragma: no cover - never break writes
+                build._logger().warn(
+                    "vamana grow-ahead warm failed", error=str(e)
+                )
+            finally:
+                self._grow_thread = None
+
+        t = threading.Thread(target=_run, daemon=True)
+        self._grow_thread = t
+        t.start()
+
+    def warm_capacity_shapes(self, capacity: int = 0, buckets=(64, 512)) -> None:
+        """Populate the persistent XLA compile cache for the incremental
+        write kernel (``_insert_step``: beam search + prune + backedges +
+        overflow loop) at ``capacity`` without touching live arrays: AOT
+        lower+compile on ShapeDtypeStructs, mirroring
+        :meth:`IndexIVF.warm_capacity_shapes`. ``buckets`` are the
+        write-path batch shapes (build._bucket_size's first two)."""
+        from semadb_tpu.index.vamana.build import (
+            BUILD_W,
+            OVERFLOW_CHUNK,
+            _insert_step,
+        )
+
+        cap = capacity or self.state.capacity
+        cfg = self.config
+        st = GraphState(
+            vectors=_jax.ShapeDtypeStruct((cap, cfg.dim), jnp.float32),
+            adjacency=_jax.ShapeDtypeStruct(
+                (cap, cfg.degree_bound), jnp.int32
+            ),
+            exists=_jax.ShapeDtypeStruct((cap,), jnp.bool_),
+        )
+        chunk = min(OVERFLOW_CHUNK, cap)
+        alpha = _jax.ShapeDtypeStruct((), jnp.float32)
+        for b in buckets:
+            _insert_step.lower(
+                st,
+                _jax.ShapeDtypeStruct((b,), jnp.int32),
+                _jax.ShapeDtypeStruct((b, cfg.dim), jnp.float32),
+                _jax.ShapeDtypeStruct((b,), jnp.bool_),
+                cfg,
+                self.params.search_size,
+                8,  # intra_k: insert_batch's default, the incremental path
+                chunk,
+                False,
+                alpha,
+                None,
+                None,
+                BUILD_W,
+                False,
+            ).compile()
 
     def _insert_chunked(self, items: Sequence[Tuple[int, np.ndarray]]) -> None:
         """Insert in growing rounds.

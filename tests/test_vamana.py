@@ -431,3 +431,48 @@ def test_pool_build_seeded_refine_schedule(monkeypatch):
     check_connectivity(idx)
     adj = np.asarray(idx.state.adjacency)
     assert (adj[ids] != NIL).sum(-1).max() <= idx.config.degree_bound
+
+
+def test_vamana_grow_ahead_warm():
+    """ROADMAP round-5 gap #4: the graph engine gets the grow-ahead
+    treatment IVF has — occupancy past SEMADB_GROW_AHEAD_FRAC spawns a
+    background warmer that AOT-compiles the NEXT bucket's insert kernel,
+    so the synchronous bucket crossing pays a pad + cache hit instead of
+    a full XLA compile. (The pad itself stays synchronous: graph writes
+    are Shard-serialized, there is no engine lock to pad under.)"""
+    import time
+
+    import numpy as np
+
+    from semadb_tpu.index.vamana import IndexVamana, required_capacity
+    from semadb_tpu.models.schema import VectorVamanaParams
+
+    p = VectorVamanaParams(
+        vector_size=8, distance_metric="euclidean",
+        search_size=20, degree_bound=8, alpha=1.2,
+    )
+    rng = np.random.default_rng(0)
+    idx = IndexVamana(p)
+    cap0 = idx.state.capacity
+    assert cap0 == 128
+    # 110/128 > 0.8 -> warmer fires after the txn returns
+    idx.insert_update_delete(
+        [(i + 2, rng.standard_normal(8).astype(np.float32)) for i in range(110)]
+    )
+    for _ in range(200):
+        if idx._grow_thread is None and idx._warm_target:
+            break
+        time.sleep(0.05)
+    assert idx._warm_target == required_capacity(cap0, idx.config), (
+        "grow-ahead warm did not run for the next bucket"
+    )
+    # Capacity itself is unchanged (warm-only) until a write crosses it...
+    assert idx.state.capacity == cap0
+    big_id = cap0 + 5
+    v = rng.standard_normal(8).astype(np.float32)
+    idx.insert_update_delete([(big_id, v)])
+    assert idx.state.capacity > cap0
+    d, i = idx.search_batch(v[None, :], 1)
+    assert int(np.asarray(i)[0, 0]) == big_id
+    # Direct AOT warm never touches live arrays
+    idx.warm_capacity_shapes(idx.state.capacity * 4, buckets=(64,))

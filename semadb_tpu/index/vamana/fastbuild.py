@@ -483,9 +483,19 @@ def bulk_build_pools(
     # every corpus reference, and build pools gathering from state.vectors
     # with a row offset — no second corpus copy next to pools + graph.
     # At 10M × 128d this is the difference between ~21 GB and ~14 GB peak.
+    # Gated on corpus size: lean's offset gathers + blocked kmeans
+    # assignment cost real build time (a 1M × 128d build measured ~262 s
+    # exec lean vs ~107 s with the direct full-array path in one window),
+    # and below the byte threshold the second corpus copy it avoids is
+    # affordable HBM.
     off = int(ids32[0]) if n else 0
+    lean_bytes = int(
+        os.environ.get("SEMADB_VAMANA_FB_LEAN_BYTES", 2 << 30)
+    )
     lean = bool(
-        n and np.array_equal(ids32, np.arange(off, off + n, dtype=np.int32))
+        n
+        and n * int(np.shape(vec_np)[1]) * 4 >= lean_bytes
+        and np.array_equal(ids32, np.arange(off, off + n, dtype=np.int32))
     )
     with _logger().timed("vamana fastbuild pools", count=n):
         if lean:

@@ -476,3 +476,43 @@ def test_vamana_grow_ahead_warm():
     assert int(np.asarray(i)[0, 0]) == big_id
     # Direct AOT warm never touches live arrays
     idx.warm_capacity_shapes(idx.state.capacity * 4, buckets=(64,))
+
+
+def test_pool_build_lean_mode_parity(monkeypatch):
+    """The memory-lean pool flow (adopt-first + offset gathers, the
+    10M-scale shape) is size-gated (SEMADB_VAMANA_FB_LEAN_BYTES: its
+    blocked assignment costs ~2.5x build time at 1M where the second
+    corpus copy it avoids is affordable) — force it on and check it
+    builds the same-quality graph as the direct path."""
+    import numpy as np
+
+    from semadb_tpu.index.vamana import IndexVamana
+    from semadb_tpu.models.schema import VectorVamanaParams
+    from semadb_tpu.tools.datasets import embedding_like
+
+    monkeypatch.setenv("SEMADB_VAMANA_FB_LEAN_BYTES", "1")
+    n = 6000
+    ds = embedding_like(n, 32, 64, latent=16, seed=9, spread=0.5)
+    ids = np.arange(2, n + 2, dtype=np.int32)
+    p = VectorVamanaParams(
+        vector_size=32, distance_metric="euclidean",
+        search_size=75, degree_bound=32, alpha=1.2,
+    )
+    dd = (
+        (ds.test[:, None, :].astype(np.float64) - ds.train[None].astype(np.float64))
+        ** 2
+    ).sum(-1)
+    gt = np.argsort(dd, 1)[:, :10] + 2
+    idx = IndexVamana(p)
+    idx.insert_bulk(ids, ds.train, build_mode="pool")
+    _, i_ = idx.search_batch(ds.test, 10, search_size=75)
+    r = np.mean([len(set(i_[b]) & set(gt[b])) / 10 for b in range(64)])
+    assert r >= 0.98, f"lean pool build recall too low: {r}"
+    check_connectivity(idx)
+    # Non-contiguous ids can never take the lean flow (offset gathers
+    # assume batch row b lives at vecs[b + off]) — still builds fine.
+    idx2 = IndexVamana(p)
+    ids_gap = np.concatenate([ids[: n // 2], ids[n // 2 :] + 7]).astype(np.int32)
+    idx2.insert_bulk(ids_gap, ds.train, build_mode="pool")
+    _, i2 = idx2.search_batch(ds.test[:8], 10, search_size=75)
+    assert np.asarray(i2).shape == (8, 10)

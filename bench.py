@@ -943,6 +943,20 @@ def _run_shardwrite(jax) -> None:
         print(f"# shardwrite {time.strftime('%H:%M:%S')} {msg}",
               file=sys.stderr, flush=True)
 
+    def hbm(tag):
+        # Diagnostic for the 10M reopen OOM class: where the resident
+        # set actually sits at each lifecycle edge (stats are
+        # device-side, so this also drains the dispatch queue).
+        try:
+            ms = jax.local_devices()[0].memory_stats() or {}
+            stage(
+                f"hbm[{tag}] in_use "
+                f"{ms.get('bytes_in_use', 0) / 2**30:.2f} GiB, peak "
+                f"{ms.get('peak_bytes_in_use', 0) / 2**30:.2f} GiB"
+            )
+        except Exception:
+            pass
+
     n_txns = int(os.environ.get("BENCH_WRITE_TXNS", 64))
     txn_pts = int(os.environ.get("BENCH_WRITE_TXN_POINTS", 1000))
     flush_every = int(os.environ.get("BENCH_FLUSH_EVERY", 0))
@@ -1051,6 +1065,7 @@ def _run_shardwrite(jax) -> None:
         if t % 16 == 15:
             stage(f"txn {t+1}/{n_txns} elapsed {time.time()-t_loop:.1f}s")
     wall = time.time() - t_loop
+    hbm("post-txns")
     lat_ms = np.sort(np.array(lat) * 1000.0)
     p50 = float(lat_ms[len(lat_ms) // 2])
     p99 = float(lat_ms[min(int(len(lat_ms) * 0.99), len(lat_ms) - 1)])
@@ -1073,6 +1088,7 @@ def _run_shardwrite(jax) -> None:
     import gc
 
     gc.collect()
+    hbm("pre-reopen")
     t0 = time.time()
     shard = Shard(open_store(os.path.join(tmp, "sharddb.sdb")), col)
     idx2 = shard.device_indices[bucket]
@@ -1091,6 +1107,7 @@ def _run_shardwrite(jax) -> None:
     )
     stage(f"crash reopen {reopen_s:.1f}s ({journal_txns} journaled txns, "
           f"probe parity {recovered:.3f})")
+    hbm("post-reopen")
     t0 = time.time()
     shard.close()  # compaction: the off-hot-path full cut
     close_flush_s = time.time() - t0

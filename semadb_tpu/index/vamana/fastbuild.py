@@ -249,51 +249,73 @@ def build_pools(
         fit_rows = vecs  # no-slice fast path (a full slice would copy)
     else:
         fit_rows = vecs[row_off : row_off + n : stride]
-    cents, _ = kmeans_fit_large(fit_rows, C, seed=seed, iters=KM_ITERS)
-    if row_off == 0 and n == vecs.shape[0]:
-        asn = np.asarray(kmeans_assign(vecs, cents, t=T))  # [N, T] host
-    else:
+
+    def assign(cents_t, t):
+        if row_off == 0 and n == vecs.shape[0]:
+            return np.asarray(kmeans_assign(vecs, cents_t, t=t))  # [N, t]
         # Bounded-block assignment against the adopted matrix: a whole-
         # corpus slice would be a 5 GB transient at 10M.
         CH = 1 << 20
         cap = vecs.shape[0]
-        asn = np.empty((n, T), np.int32)
+        out = np.empty((n, t), np.int32)
         for lo in range(0, n, CH):
             hi = min(lo + CH, n)
             rows = jnp.clip(
                 jnp.arange(lo, lo + CH, dtype=jnp.int32) + row_off, 0, cap - 1
             )
-            asn[lo:hi] = np.asarray(kmeans_assign(vecs[rows], cents, t=T))[
+            out[lo:hi] = np.asarray(kmeans_assign(vecs[rows], cents_t, t=t))[
                 : hi - lo
             ]
+        return out
+
+    # Cross-cluster pool mixing (SEMADB_VAMANA_FB_MIX=m): the last m of
+    # the T assignment slots come from an INDEPENDENT k-means partition
+    # (decorrelated seed). A true-neighbour pair that straddles a cluster
+    # boundary in one partition lands interior to a shared cluster in the
+    # other with high probability — targeting the diagnosed fast-build
+    # residual (~0.0011 at 1M: candidates the single partition's pools
+    # never contain). Matmul mass is unchanged (same n·T member entries);
+    # only the subsampled fit + one extra assignment pass are added.
+    mix = min(int(os.environ.get("SEMADB_VAMANA_FB_MIX", 0)), T - 1)
+    mix = max(mix, 0)
+    cents, _ = kmeans_fit_large(fit_rows, C, seed=seed, iters=KM_ITERS)
+    asn = assign(cents, T - mix)
+    C_total = C
+    if mix:
+        cents_b, _ = kmeans_fit_large(
+            fit_rows, C, seed=seed + 7919, iters=KM_ITERS
+        )
+        asn = np.concatenate([asn, assign(cents_b, mix) + C], axis=1)
+        C_total = 2 * C
 
     # Host segment packing: entries (cluster, point, slot) grouped by cluster
     flat_c = asn.reshape(-1).astype(np.int64)  # entry order: point-major
     flat_p = np.repeat(np.arange(n, dtype=np.int32), T)
     flat_t = np.tile(np.arange(T, dtype=np.int32), n)
     order = np.argsort(flat_c, kind="stable")
-    counts = np.bincount(flat_c, minlength=C)
+    counts = np.bincount(flat_c, minlength=C_total)
     # Cap members per cluster: heavy-tail clusters lose candidates past the
     # cap (their points keep the other assignment's pool + random edges).
     m_max = _round_up(min(int(counts.max()), 4 * MEMBER_TARGET * T), 128)
-    starts = np.zeros(C + 1, np.int64)
+    starts = np.zeros(C_total + 1, np.int64)
     starts[1:] = np.cumsum(counts)
     pos = np.arange(n * T, dtype=np.int64) - starts[flat_c[order]]
     keep = pos < m_max
-    member = np.full((C, m_max), NIL, np.int32)
-    slot = np.zeros((C, m_max), np.int32)
+    member = np.full((C_total, m_max), NIL, np.int32)
+    slot = np.zeros((C_total, m_max), np.int32)
     member[flat_c[order][keep], pos[keep]] = flat_p[order][keep]
     slot[flat_c[order][keep], pos[keep]] = flat_t[order][keep]
     # Query-routing representatives: SEMADB_VAMANA_FB_REPS members per
     # cluster (>1 widens each routed cluster's entry WITHOUT widening the
     # cluster top-k — the round-4 route-seed sweep showed more CLUSTERS
     # loses recall past ~8-16, but more entries per good cluster is a
-    # different lever).
+    # different lever). Routing stays on the PRIMARY partition: reps are
+    # sliced to its C clusters (the mixed partition only feeds pools).
     n_reps = max(1, int(os.environ.get("SEMADB_VAMANA_FB_REPS", 1)))
     reps = (
-        member[:, 0].copy()
+        member[:C, 0].copy()
         if n_reps == 1
-        else member[:, : min(n_reps, m_max)].copy()
+        else member[:C, : min(n_reps, m_max)].copy()
     )
 
     # Size-bucketed dispatch: padding every cluster to the HEAVY-TAIL max

@@ -125,10 +125,18 @@ class IndexFlat:
         rows = int(arrays["vectors"].shape[0])
         idx = cls(params, capacity=rows)
         # Row-bounded snapshots persist only used rows; re-pad on device
-        # to the growth-policy bucket so write shapes match pre-crash.
+        # along the PREGROW-AWARE growth chain so write shapes match the
+        # pre-crash process (seeding the chain at 128 and max()ing with
+        # pregrow lets a growth-bucket overshoot beat the deliberate
+        # pregrow shape — the 10M reopen OOM, see IndexIVF.from_arrays).
+        from semadb_tpu.utils.grow import initial_capacity
+
+        base = initial_capacity(params.vector_size * 4, MIN_CAPACITY)
         target = max(
-            idx.capacity,
-            next_capacity(128, rows - 1, params.vector_size * 4) if rows else 128,
+            next_capacity(base, rows - 1, params.vector_size * 4)
+            if rows
+            else base,
+            rows,
         )
         vec = jnp.asarray(arrays["vectors"])
         ex = jnp.asarray(arrays["exists"])

@@ -1909,9 +1909,18 @@ class IndexIVF:
         # shapes match the pre-crash process and hit the compile cache.
         vec = jnp.asarray(arrays["vectors"])
         rows = int(vec.shape[0])
+        # Re-pad from the PREGROW-AWARE base (idx.capacity =
+        # initial_capacity), exactly the chain the pre-crash process
+        # grew along. max(bucket-from-128, pregrow) here OOMed the 10M
+        # crash-reopen leg: pregrow 10.07M rows (5.16 GB vectors) lost
+        # the max() to the 16.7M growth bucket (8.6 GB) — 3.4 GB the
+        # live process never held, spent next to the 6.4 GB slab
+        # rebuild (bench.py shardwrite, round 5).
         cap = max(
-            next_capacity(128, rows - 1, D * 4) if rows else 128,
-            idx.capacity,  # covers SEMADB_PREGROW_ROWS
+            next_capacity(idx.capacity, rows - 1, D * 4)
+            if rows
+            else idx.capacity,
+            rows,
         )
         if cap > rows:
             vec = jnp.pad(vec, ((0, cap - rows), (0, 0)))

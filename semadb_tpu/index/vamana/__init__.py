@@ -177,11 +177,20 @@ class IndexVamana:
             adjacency=jnp.asarray(arrays["adjacency"]),
             exists=jnp.asarray(arrays["exists"]),
         )
-        # Row-bounded snapshots persist only used rows; re-pad to the
-        # growth-policy bucket on device (see IndexIVF.from_arrays).
+        # Row-bounded snapshots persist only used rows; re-pad on device
+        # along the PREGROW-AWARE growth chain (seeding the chain at the
+        # 128 floor and max()ing with pregrow lets a growth-bucket
+        # overshoot beat the deliberate pregrow shape — the 10M reopen
+        # OOM class, see IndexIVF.from_arrays).
+        from semadb_tpu.utils.grow import initial_capacity, next_capacity
+
+        row_bytes = (idx.config.dim + idx.config.degree_bound) * 4
+        base = max(
+            graph.MIN_CAPACITY, initial_capacity(row_bytes, graph.MIN_CAPACITY)
+        )
         target = max(
-            graph.required_capacity(max(rows - 1, 0), idx.config),
-            idx.state.capacity,  # covers SEMADB_PREGROW_ROWS (init_graph)
+            next_capacity(base, max(rows - 1, 0), row_bytes),
+            rows,
         )
         if state.capacity < target:
             state = grow_graph(state, target)

@@ -415,7 +415,6 @@ def _expand_pool(
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-@functools.partial(jax.jit, donate_argnums=(0,))
 def _topup_chunk(adjacency, ids, pool_d, pool_i, exists):
     """Backedge top-up: fill a chunk's NIL adjacency slots with their
     nearest not-yet-linked pool candidates. The alpha-detour prune can

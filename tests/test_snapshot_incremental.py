@@ -399,3 +399,34 @@ def test_device_corpus_bulk_load_snapshot_roundtrip(tmp_path, monkeypatch):
     _, i1 = idx.search_batch(q, 10)
     _, i2 = idx2.search_batch(q, 10)
     assert set(np.asarray(i1)[0].tolist()) == set(np.asarray(i2)[0].tolist())
+
+
+def test_pregrow_reload_capacity_matches_live(monkeypatch):
+    """Round-5 regression (10M crash-reopen OOM): from_arrays computed
+    max(bucket-chain-from-128, pregrow capacity), letting a growth-bucket
+    OVERSHOOT beat the deliberate pregrow shape — at 10M the reopened
+    vectors matrix re-padded to the 16.7M bucket (8.6 GB) instead of the
+    live process's 10.07M pregrow rows (5.16 GB), and the extra 3.4 GB
+    next to the derived-slab rebuild OOMed the chip. Reload capacity
+    must equal the pre-crash (pregrow) capacity."""
+    import semadb_tpu.utils.grow as grow
+    from semadb_tpu.index.ivf import IndexIVF
+    from semadb_tpu.models.schema import VectorIVFParams
+
+    # pregrow 5000 -> capacity 8192; rows 4500 -> the 128-chain bucket
+    # is 16384, which the old max() picked.
+    monkeypatch.setattr(grow, "PREGROW_ROWS", 5000)
+    n = 4500
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+    idx = IndexIVF(VectorIVFParams(vector_size=DIM, distance_metric="euclidean"))
+    idx.insert_bulk(np.arange(2, n + 2, dtype=np.int64), vecs)
+    assert idx.capacity == 8192
+    arrays = {k: np.asarray(v) for k, v in idx.device_arrays().items()}
+    arrays["vectors"] = arrays["vectors"][: idx.snapshot_row_bounds()["vectors"]]
+    idx2 = IndexIVF.from_arrays(idx.params, arrays)
+    assert idx2.capacity == idx.capacity, (idx2.capacity, idx.capacity)
+    q = vecs[77:78]
+    _, i1 = idx.search_batch(q, 10)
+    _, i2 = idx2.search_batch(q, 10)
+    assert set(np.asarray(i1)[0].tolist()) == set(np.asarray(i2)[0].tolist())

@@ -433,6 +433,57 @@ def test_pool_build_seeded_refine_schedule(monkeypatch):
     assert (adj[ids] != NIL).sum(-1).max() <= idx.config.degree_bound
 
 
+def test_pool_build_mixed_partition_schedule(monkeypatch):
+    """Cross-cluster pool mixing (SEMADB_VAMANA_FB_MIX): the last mix
+    assignment slots come from an independent k-means partition so
+    true-neighbour pairs straddling a cluster boundary in one partition
+    share a cluster in the other. Composed with the backedge top-up and
+    multi-rep routing knobs — the full round-5 lever stack must hold
+    every graph invariant and stay within noise of the plain pool
+    build's recall."""
+    import numpy as np
+
+    from semadb_tpu.index.vamana import IndexVamana
+    from semadb_tpu.models.schema import VectorVamanaParams
+    from semadb_tpu.tools.datasets import embedding_like
+
+    monkeypatch.setenv("SEMADB_VAMANA_FB_T", "3")
+    monkeypatch.setenv("SEMADB_VAMANA_FB_MIX", "1")
+    monkeypatch.setenv("SEMADB_VAMANA_FB_TOPUP", "1")
+    monkeypatch.setenv("SEMADB_VAMANA_FB_REPS", "2")
+
+    n = 6000
+    ds = embedding_like(n, 32, 64, latent=16, seed=13, spread=0.5)
+    ids = np.arange(2, n + 2, dtype=np.int32)
+    p = VectorVamanaParams(
+        vector_size=32, distance_metric="euclidean",
+        search_size=75, degree_bound=32, alpha=1.2,
+    )
+    idx = IndexVamana(p)
+    idx.insert_bulk(ids, ds.train, build_mode="pool")
+
+    dd = (
+        (ds.test[:, None, :].astype(np.float64) - ds.train[None].astype(np.float64))
+        ** 2
+    ).sum(-1)
+    gt = np.argsort(dd, 1)[:, :10] + 2
+    _, i_ = idx.search_batch(ds.test, 10, search_size=75)
+    r = np.mean([len(set(i_[b]) & set(gt[b])) / 10 for b in range(64)])
+    assert r >= 0.98, f"mixed-partition pool build recall too low: {r}"
+    check_connectivity(idx)
+    adj = np.asarray(idx.state.adjacency)
+    ex = np.asarray(idx.state.exists)
+    counts = (adj[ids] != NIL).sum(-1)
+    assert counts.max() <= idx.config.degree_bound
+    live_edges = adj[ids]
+    ok = (live_edges == NIL) | ex[np.clip(live_edges, 0, len(ex) - 1)]
+    assert ok.all(), "edge to non-existent node after mixed pool build"
+    for row, nid in zip(live_edges[:200], ids[:200]):
+        e = row[row != NIL]
+        assert nid not in e
+        assert len(set(e.tolist())) == len(e)
+
+
 def test_vamana_grow_ahead_warm():
     """ROADMAP round-5 gap #4: the graph engine gets the grow-ahead
     treatment IVF has — occupancy past SEMADB_GROW_AHEAD_FRAC spawns a
